@@ -1,0 +1,154 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Core relational foundation (SURVEY.md §2 #1-5).
+  *
+  * These exercise the engine primitives everything else composes:
+  * scan→filter→agg, multi-way joins with broadcast dims, window functions,
+  * rollup, and semi/anti joins. All plans are declarative DataFrame ops so
+  * Catalyst gets pushdown/pruning/join-reorder for free; every query ends in
+  * a deterministic orderBy and rounds floats so the DuckDB oracle compare is
+  * stable.
+  */
+object CoreQueries {
+
+  /** TPC-H Q1-style pricing summary: single scan, map-side partial agg. */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2000-12-01 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Top-3 customers by revenue per nation: fact⋈fact shuffle join plus
+    * broadcast dims, then a ranked window. Dims are explicitly broadcast —
+    * at 100 TB the fact side never shuffles for them. */
+  def q2RevenueTopN(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice", "l_discount")
+    val o  = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val c  = Tables.customer(s, dir).select("c_custkey", "c_name", "c_nationkey")
+    val n  = Tables.nation(s, dir).select("n_nationkey", "n_name")
+    val rev = li
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_custkey"), col("c_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("revenue").desc, col("c_custkey"))
+    rev.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .orderBy(col("n_name"), col("rk"))
+  }
+
+  /** Running totals per supplier: row_number + cumulative sum over one
+    * window partitioning (single shuffle, both functions share it). */
+  def q3WindowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, dir)
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("running_qty",
+        round(sum(col("l_quantity")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "rn", "running_qty")
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  /** ROLLUP aggregation over orders; grouping nulls are coalesced to 'ALL'
+    * so null-ordering semantics never enter the oracle compare. */
+  def q4Rollup(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("sum_price"))
+      .orderBy(col("status"), col("priority"))
+  }
+
+  /** Left-semi (EXISTS) and left-anti (NOT EXISTS) joins, tagged and
+    * unioned. The anti join is the same primitive the reference's dedup
+    * upsert uses (`socrata_id NOT IN ...`, main.py:368-371). */
+  def q5SemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select("c_custkey", "c_name")
+    val oF  = Tables.orders(s, dir).filter(col("o_orderstatus") === "F").select("o_custkey")
+    val oAll = Tables.orders(s, dir).select("o_custkey")
+    val semi = c.join(oF, col("c_custkey") === col("o_custkey"), "left_semi")
+      .withColumn("tag", lit("has_f_order"))
+    val anti = c.join(oAll, col("c_custkey") === col("o_custkey"), "left_anti")
+      .withColumn("tag", lit("no_orders"))
+    semi.unionByName(anti).orderBy(col("tag"), col("c_custkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q2_revenue_topn"    -> (q2RevenueTopN _),
+    "q3_window_running"  -> (q3WindowRunning _),
+    "q4_rollup"          -> (q4Rollup _),
+    "q5_semi_anti"       -> (q5SemiAnti _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_extendedprice),4) AS avg_price,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_revenue_topn" ->
+      """WITH rev AS (
+        | SELECT n_name, c_custkey, c_name,
+        |  round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        | FROM lineitem
+        | JOIN orders   ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation   ON c_nationkey = n_nationkey
+        | GROUP BY n_name, c_custkey, c_name)
+        |SELECT n_name, c_custkey, c_name, revenue, rk FROM (
+        | SELECT *, row_number() OVER (PARTITION BY n_name ORDER BY revenue DESC, c_custkey) AS rk
+        | FROM rev) t
+        |WHERE rk <= 3 ORDER BY n_name, rk""".stripMargin,
+    "q3_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | row_number() OVER w AS rn,
+        | round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |ORDER BY l_suppkey, rn""".stripMargin,
+    "q4_rollup" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS status,
+        | coalesce(o_orderpriority,'ALL') AS priority,
+        | count(*) AS n_orders, round(sum(o_totalprice),2) AS sum_price
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q5_semi_anti" ->
+      """SELECT c_custkey, c_name, 'has_f_order' AS tag FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |UNION ALL
+        |SELECT c_custkey, c_name, 'no_orders' AS tag FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY tag, c_custkey""".stripMargin)
+}
