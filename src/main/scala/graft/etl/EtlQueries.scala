@@ -1,0 +1,463 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.geo.GeoFunctions
+import Synth._
+
+/** The reference ETL surface re-expressed as declarative Spark plans
+  * (SURVEY.md §2 #6-18). Each operator cites the reference behavior it
+  * re-expresses. The warehouse ("carto") and source ("soda") snapshots are
+  * synthesized from `events` per Synth.
+  */
+object EtlQueries {
+
+  private val IngestCutoff = java.sql.Timestamp.valueOf("2024-01-25 00:00:00")
+  private val MergeCutoff  = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+  private val TallyCutoff  = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+
+  /** #6 Incremental ingest with anti-join dedup (main.py:79-132, the
+    * `WHERE socrata_id NOT IN (...)` guard at main.py:368-371). The
+    * existing-keys side is pruned to the same time window BEFORE the join —
+    * at 100 TB this makes the anti-join window×window, never window×history.
+    */
+  def ingestDedup(s: SparkSession, dir: String): DataFrame = {
+    val id = col("event_id")
+    val incoming = Tables.events(s, dir).filter(col("ts") >= lit(IngestCutoff))
+    val existing = Tables.events(s, dir)
+      .filter(inCarto(col("event_id")) && col("ts") >= lit(IngestCutoff))
+      .select("event_id")
+    incoming.join(existing, Seq("event_id"), "left_anti")
+      .select(id, col("ts"), year(col("ts")).cast("long").as("yr"),
+        month(col("ts")).cast("long").as("mon"), col("event_type"),
+        mk(id).as("mk"), mi(id).as("mi"), ck(id).as("ck"), ci(id).as("ci"),
+        pk(id).as("pk"), Synth.pi(id).as("pi"), tk(id).as("tk"), ti(id).as("ti"),
+        sodaLng(id).as("lng"), sodaLat(id).as("lat"))
+      .orderBy(id)
+  }
+
+  /** #7 Record normalization (main.py:185-298): timestamp-derived fields,
+    * JSON prop extraction, derived totals, geometry presence. */
+  def normalize(s: SparkSession, dir: String): DataFrame = {
+    val id = col("event_id")
+    Tables.events(s, dir)
+      .select(id, col("ts"),
+        year(col("ts")).cast("long").as("yr"),
+        month(col("ts")).cast("long").as("mon"),
+        col("event_type"),
+        regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long").as("propk"),
+        mk(id).as("mk"), mi(id).as("mi"), ck(id).as("ck"), ci(id).as("ci"),
+        pk(id).as("pk"), Synth.pi(id).as("pi"), tk(id).as("tk"), ti(id).as("ti"),
+        cartoLng(id).as("lng"), cartoLat(id).as("lat"),
+        cartoLng(id).isNotNull.as("has_geom"))
+      .orderBy(id)
+  }
+
+  /** #8 Multi-value text field → trimmed, de-quoted array
+    * (main.py:135-163: comma split, strip quotes/spaces, drop blanks). */
+  def arrayParse(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(lit("'"), col("p_brand"), lit("' , "),
+      regexp_replace(col("p_type"), " ", ","))
+    Tables.part(s, dir)
+      .select(col("p_partkey"), raw.as("raw"))
+      .select(col("p_partkey"),
+        filter(
+          transform(split(col("raw"), ","), x => regexp_replace(trim(x), "'", "")),
+          x => x =!= "").as("factors"))
+      .withColumn("n_factors", size(col("factors")).cast("long"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** #9 Out-of-extent geometry nulling (main.py:378-405: bbox of nyc_borough,
+    * anything outside has the_geom set NULL). */
+  def geoBbox(s: SparkSession, dir: String): DataFrame = {
+    val id = col("event_id")
+    val lng = cartoLng(id)
+    val lat = cartoLat(id)
+    val bad = lng.isNotNull && !inExtent(lng, lat)
+    Tables.events(s, dir)
+      .select(id,
+        when(bad, lit(null).cast("double")).otherwise(lng).as("clean_lng"),
+        when(bad, lit(null).cast("double")).otherwise(lat).as("clean_lat"),
+        bad.as("geom_nulled"))
+      .orderBy(id)
+  }
+
+  /** #10 Containment-zone assignment (main.py:408-533: 8 ST_Within UPDATE
+    * joins). Zone dim is derived from `region` (5 boxes) and broadcast —
+    * the fact side never shuffles. */
+  def zoneAssign(s: SparkSession, dir: String): DataFrame = {
+    val id = col("event_id")
+    val ev = Tables.events(s, dir)
+      .select(id, cartoLng(id).as("lng"), cartoLat(id).as("lat"))
+    val zones = Tables.region(s, dir).select(
+      col("r_name").as("zone"),
+      (lit(-74.25) + col("r_regionkey") * lit(0.1)).as("west"),
+      (lit(-74.25) + (col("r_regionkey") + lit(1)) * lit(0.1)).as("east"),
+      lit(40.50).as("south"), lit(40.90).as("north"))
+    ev.join(broadcast(zones),
+        col("lng") >= col("west") && col("lng") < col("east") &&
+        col("lat") >= col("south") && col("lat") < col("north"), "left")
+      .select(id, col("zone"))
+      .orderBy(id)
+  }
+
+  /** #11 Intersection crash counts (main.py:613-647): per intersection,
+    * crashes within 600 m in the window having any injury/fatality. The
+    * intersections dim (from `part`) is broadcast; distance is the fused
+    * codegen haversine expression. */
+  def intersectionCrashcount(s: SparkSession, dir: String): DataFrame = {
+    GeoFunctions.register(s)
+    val id = col("event_id")
+    val ix = Tables.part(s, dir).filter(col("p_partkey") < 100).select(
+      col("p_partkey").as("intersection_id"),
+      (lit(-74.25) + (col("p_partkey") % 10) * lit(0.05) + lit(0.025)).as("ilng"),
+      (lit(40.50) + (col("p_partkey") / lit(10)).cast("long") % 10 * lit(0.04) + lit(0.02)).as("ilat"))
+    val crashes = Tables.events(s, dir)
+      .filter(col("ts") >= lit(TallyCutoff))
+      .select(id, cartoLng(id).as("lng"), cartoLat(id).as("lat"),
+        tk(id).as("tk"), ti(id).as("ti"))
+      .filter(col("lng").isNotNull && (col("tk") > 0 || col("ti") > 0))
+    crashes.join(broadcast(ix),
+        GeoFunctions.haversineM(col("ilat"), col("ilng"), col("lat"), col("lng")) <= 600.0)
+      .groupBy(col("intersection_id"))
+      .agg(count(lit(1)).as("crashcount"))
+      .orderBy(col("intersection_id"))
+  }
+
+  /** #12 CDC on tallies (main.py:817-965, fixtallies/): join refreshed
+    * source against warehouse, keep rows where any of the 8 counters
+    * changed, emit the new counters. */
+  def cdcTallies(s: SparkSession, dir: String): DataFrame = {
+    val id = col("event_id")
+    val soda = Tables.events(s, dir).select(id,
+      mk(id).as("s_mk"), sodaMi(id).as("s_mi"), ck(id).as("s_ck"), ci(id).as("s_ci"),
+      sodaPk(id).as("s_pk"), Synth.pi(id).as("s_pi"), sodaTk(id).as("s_tk"), sodaTi(id).as("s_ti"))
+    val carto = Tables.events(s, dir).filter(inCarto(id)).select(id,
+      mk(id).as("c_mk"), mi(id).as("c_mi"), ck(id).as("c_ck"), ci(id).as("c_ci"),
+      pk(id).as("c_pk"), Synth.pi(id).as("c_pi"), tk(id).as("c_tk"), ti(id).as("c_ti"))
+    soda.join(carto, Seq("event_id"))
+      .filter(
+        col("s_mk") =!= col("c_mk") || col("s_mi") =!= col("c_mi") ||
+        col("s_ck") =!= col("c_ck") || col("s_ci") =!= col("c_ci") ||
+        col("s_pk") =!= col("c_pk") || col("s_pi") =!= col("c_pi") ||
+        col("s_tk") =!= col("c_tk") || col("s_ti") =!= col("c_ti"))
+      .select(id, col("s_mk").as("new_mk"), col("s_mi").as("new_mi"),
+        col("s_ck").as("new_ck"), col("s_ci").as("new_ci"),
+        col("s_pk").as("new_pk"), col("s_pi").as("new_pi"),
+        col("s_tk").as("new_tk"), col("s_ti").as("new_ti"))
+      .orderBy(id)
+  }
+
+  /** #13 CDC on geometry (main.py:968-1079, findgeomupdates/, fixnullgeom/):
+    * moved ≥ 15 m (haversine) or newly geocoded after NULL. */
+  def cdcGeom(s: SparkSession, dir: String): DataFrame = {
+    GeoFunctions.register(s)
+    val id = col("event_id")
+    val soda = Tables.events(s, dir)
+      .select(id, sodaLng(id).as("s_lng"), sodaLat(id).as("s_lat"))
+      .filter(col("s_lng").isNotNull)
+    val carto = Tables.events(s, dir).filter(inCarto(id))
+      .select(id, cartoLng(id).as("c_lng"), cartoLat(id).as("c_lat"))
+    soda.join(carto, Seq("event_id"))
+      .withColumn("reason",
+        when(col("c_lng").isNull, lit("geocoded"))
+          .when(GeoFunctions.haversineM(col("c_lat"), col("c_lng"), col("s_lat"), col("s_lng")) >= 15.0,
+            lit("moved"))
+          .otherwise(lit(null).cast("string")))
+      .filter(col("reason").isNotNull)
+      .select(id, col("s_lng").as("new_lng"), col("s_lat").as("new_lat"), col("reason"))
+      .orderBy(id)
+  }
+
+  /** Vehicle array per event + the crosswalk dim, shared by #14/#15.
+    * The crosswalk is a real dimension table (vehicletype_crosswalk_prod in
+    * the reference, main.py:1082-1102), broadcast and joined on
+    * array-containment. */
+  private def vehicleArr(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    filter(array(col("event_type"),
+      when(id % 4 === 0, lit("click")).when(id % 4 === 1, lit("purchase")).otherwise(lit(""))),
+      x => x =!= "")
+
+  private def crosswalkFlags(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val id = col("event_id")
+    val cw = Seq(
+      ("POINTER", "click"), ("POINTER", "view"),
+      ("CONVERT", "purchase"), ("CONVERT", "signup"),
+      ("FAIL", "error")).toDF("cls", "alias")
+    val ev = Tables.events(s, dir).select(id, vehicleArr(id).as("vehicles"))
+    ev.join(broadcast(cw), array_contains(col("vehicles"), col("alias")), "left")
+      .groupBy(id)
+      .agg(
+        coalesce(max(when(col("cls") === "POINTER", lit(true))), lit(false)).as("has_pointer"),
+        coalesce(max(when(col("cls") === "CONVERT", lit(true))), lit(false)).as("has_convert"),
+        coalesce(max(when(col("cls") === "FAIL", lit(true))), lit(false)).as("has_fail"))
+  }
+
+  /** #14 Array-overlap crosswalk → per-class booleans (main.py:1082-1102). */
+  def vehicleCrosswalk(s: SparkSession, dir: String): DataFrame =
+    crosswalkFlags(s, dir).orderBy(col("event_id"))
+
+  /** #15 Blame allocation (main.py:650-790): blame factor from the class
+    * flags, allocated counters, per-mode attribution. */
+  def blameAllocation(s: SparkSession, dir: String): DataFrame = {
+    val id = col("event_id")
+    val flags = crosswalkFlags(s, dir)
+    val tallies = flags
+      .withColumn("tki", tk(id))
+      .withColumn("tii", ti(id))
+      .withColumn("has_other",
+        !(col("has_pointer") || col("has_convert") || col("has_fail")))
+      .withColumn("bike_blame",
+        col("has_pointer") && !col("has_convert") && !col("has_fail"))
+      .withColumn("blame_factor",
+        when(col("bike_blame"), lit(1.0) / col("has_pointer").cast("int"))
+          .otherwise(lit(1.0) / nullif(
+            col("has_convert").cast("int") + col("has_fail").cast("int") + col("has_other").cast("int"),
+            lit(0))))
+      .withColumn("injured_allocated", round(col("blame_factor") * col("tii"), 4))
+      .withColumn("killed_allocated", round(col("blame_factor") * col("tki"), 4))
+    tallies.select(id,
+        round(col("blame_factor"), 4).as("blame_factor"),
+        col("injured_allocated"), col("killed_allocated"),
+        when(col("bike_blame") && col("has_pointer"), col("injured_allocated")).otherwise(0.0).as("injured_by_pointer"),
+        when(col("bike_blame") && col("has_pointer"), col("killed_allocated")).otherwise(0.0).as("killed_by_pointer"),
+        when(col("has_convert"), col("injured_allocated")).otherwise(0.0).as("injured_by_convert"),
+        when(col("has_convert"), col("killed_allocated")).otherwise(0.0).as("killed_by_convert"),
+        when(col("has_fail"), col("injured_allocated")).otherwise(0.0).as("injured_by_fail"),
+        when(col("has_fail"), col("killed_allocated")).otherwise(0.0).as("killed_by_fail"),
+        when(col("has_other"), col("injured_allocated")).otherwise(0.0).as("injured_by_other"),
+        when(col("has_other"), col("killed_allocated")).otherwise(0.0).as("killed_by_other"))
+      .orderBy(id)
+  }
+
+  /** #16 Backlog audit (backlog/check_backlog.py): per-day counts of source
+    * records missing from the warehouse. */
+  def backlogCheck(s: SparkSession, dir: String): DataFrame = {
+    val id = col("event_id")
+    val soda = Tables.events(s, dir).select(id, col("ts"))
+    val carto = Tables.events(s, dir).filter(inCarto(id)).select("event_id")
+    soda.join(carto, Seq("event_id"), "left_anti")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_missing"), min(id).as("min_id"), max(id).as("max_id"))
+      .orderBy(col("day"))
+  }
+
+  /** #17 High-crash cells (highcrash_intersections/): severity-weighted
+    * top-20 grid cells. */
+  def highcrashRank(s: SparkSession, dir: String): DataFrame = {
+    val id = col("event_id")
+    val pts = Tables.events(s, dir)
+      .select(id, cartoLng(id).as("lng"), cartoLat(id).as("lat"),
+        (tk(id) * 3 + ti(id)).as("weight"))
+      .filter(col("lng").isNotNull && inExtent(col("lng"), col("lat")))
+    val cells = pts
+      .withColumn("cx", floor((col("lng") + lit(74.25)) / lit(0.05)).cast("long"))
+      .withColumn("cy", floor((col("lat") - lit(40.5)) / lit(0.04)).cast("long"))
+      .groupBy(col("cx"), col("cy"))
+      .agg(sum(col("weight")).as("total_weight"), count(lit(1)).as("n_crashes"))
+    val w = Window.orderBy(col("total_weight").desc, col("cx"), col("cy"))
+    cells.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 20)
+      .orderBy(col("rk"))
+  }
+
+  /** #18 Full upsert merge (insert-new + update-changed in one pass —
+    * main.py:301-375 + 817-965 combined, as a MERGE would express it). */
+  def upsertMerge(s: SparkSession, dir: String): DataFrame = {
+    val id = col("event_id")
+    val soda = Tables.events(s, dir).filter(col("ts") >= lit(MergeCutoff))
+      .select(id, sodaTk(id).as("s_tk"), sodaTi(id).as("s_ti"),
+        mk(id).as("s_mk"), sodaMi(id).as("s_mi"), sodaPk(id).as("s_pk"))
+    val carto = Tables.events(s, dir)
+      .filter(inCarto(id) && col("ts") >= lit(MergeCutoff))
+      .select(id, tk(id).as("c_tk"), ti(id).as("c_ti"),
+        mk(id).as("c_mk"), mi(id).as("c_mi"), pk(id).as("c_pk"))
+    soda.join(carto, Seq("event_id"), "left")
+      .withColumn("action",
+        when(col("c_tk").isNull, lit("insert"))
+          .when(col("s_tk") =!= col("c_tk") || col("s_ti") =!= col("c_ti") ||
+                col("s_mk") =!= col("c_mk") || col("s_mi") =!= col("c_mi") ||
+                col("s_pk") =!= col("c_pk"), lit("update"))
+          .otherwise(lit(null).cast("string")))
+      .filter(col("action").isNotNull)
+      .select(id, col("action"), col("s_tk").as("new_tk"), col("s_ti").as("new_ti"))
+      .orderBy(id)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_ingest_dedup"            -> (ingestDedup _),
+    "etl_normalize"               -> (normalize _),
+    "etl_array_parse"             -> (arrayParse _),
+    "etl_geo_bbox"                -> (geoBbox _),
+    "etl_zone_assign"             -> (zoneAssign _),
+    "etl_intersection_crashcount" -> (intersectionCrashcount _),
+    "etl_cdc_tallies"             -> (cdcTallies _),
+    "etl_cdc_geom"                -> (cdcGeom _),
+    "etl_vehicle_crosswalk"       -> (vehicleCrosswalk _),
+    "etl_blame_allocation"        -> (blameAllocation _),
+    "etl_backlog_check"           -> (backlogCheck _),
+    "etl_highcrash_rank"          -> (highcrashRank _),
+    "etl_upsert_merge"            -> (upsertMerge _))
+
+  // ---------------- DuckDB oracle SQL (mirrors the plans above) ----------------
+
+  private val e = "event_id"
+  private val vehicleArrSql =
+    s"list_filter([event_type, CASE WHEN $e % 4 = 0 THEN 'click' WHEN $e % 4 = 1 THEN 'purchase' ELSE '' END], x -> x != '')"
+
+  val oracles: Map[String, String] = Map(
+    "etl_ingest_dedup" ->
+      s"""SELECT event_id, ts, year(ts)::BIGINT AS yr, month(ts)::BIGINT AS mon, event_type,
+         | ${mkSql(e)} AS mk, ${miSql(e)} AS mi, ${ckSql(e)} AS ck, ${ciSql(e)} AS ci,
+         | ${pkSql(e)} AS pk, ${piSql(e)} AS pi, ${tkSql(e)} AS tk, ${tiSql(e)} AS ti,
+         | ${sodaLngSql(e)} AS lng, ${sodaLatSql(e)} AS lat
+         |FROM events
+         |WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+         | AND NOT EXISTS (SELECT 1 FROM events x
+         |   WHERE x.event_id % 10 != 3 AND x.ts >= TIMESTAMP '2024-01-25 00:00:00'
+         |     AND x.event_id = events.event_id)
+         |ORDER BY event_id""".stripMargin,
+    "etl_normalize" ->
+      s"""SELECT event_id, ts, year(ts)::BIGINT AS yr, month(ts)::BIGINT AS mon, event_type,
+         | regexp_extract(props, '"k": ([0-9]+)', 1)::BIGINT AS propk,
+         | ${mkSql(e)} AS mk, ${miSql(e)} AS mi, ${ckSql(e)} AS ck, ${ciSql(e)} AS ci,
+         | ${pkSql(e)} AS pk, ${piSql(e)} AS pi, ${tkSql(e)} AS tk, ${tiSql(e)} AS ti,
+         | ${cartoLngSql(e)} AS lng, ${cartoLatSql(e)} AS lat,
+         | (${cartoLngSql(e)} IS NOT NULL) AS has_geom
+         |FROM events ORDER BY event_id""".stripMargin,
+    "etl_array_parse" ->
+      """WITH r AS (SELECT p_partkey,
+        |  '''' || p_brand || ''' , ' || replace(p_type, ' ', ',') AS raw FROM part)
+        |SELECT p_partkey,
+        | list_filter(list_transform(string_split(raw, ','), x -> replace(trim(x), '''', '')), x -> x != '') AS factors,
+        | len(list_filter(list_transform(string_split(raw, ','), x -> replace(trim(x), '''', '')), x -> x != ''))::BIGINT AS n_factors
+        |FROM r ORDER BY p_partkey""".stripMargin,
+    "etl_geo_bbox" ->
+      s"""WITH g AS (SELECT event_id, ${cartoLngSql(e)} AS lng, ${cartoLatSql(e)} AS lat FROM events)
+         |SELECT event_id,
+         | CASE WHEN lng IS NOT NULL AND NOT ${inExtentSql("lng", "lat")} THEN NULL ELSE lng END AS clean_lng,
+         | CASE WHEN lng IS NOT NULL AND NOT ${inExtentSql("lng", "lat")} THEN NULL ELSE lat END AS clean_lat,
+         | (lng IS NOT NULL AND NOT ${inExtentSql("lng", "lat")}) AS geom_nulled
+         |FROM g ORDER BY event_id""".stripMargin,
+    "etl_zone_assign" ->
+      s"""WITH g AS (SELECT event_id, ${cartoLngSql(e)} AS lng, ${cartoLatSql(e)} AS lat FROM events),
+         |z AS (SELECT r_name AS zone, -74.25 + r_regionkey * 0.1 AS west,
+         |  -74.25 + (r_regionkey + 1) * 0.1 AS east, 40.50 AS south, 40.90 AS north FROM region)
+         |SELECT g.event_id, z.zone FROM g LEFT JOIN z
+         | ON g.lng >= z.west AND g.lng < z.east AND g.lat >= z.south AND g.lat < z.north
+         |ORDER BY g.event_id""".stripMargin,
+    "etl_intersection_crashcount" ->
+      s"""WITH ix AS (SELECT p_partkey AS intersection_id,
+         |  -74.25 + (p_partkey % 10) * 0.05 + 0.025 AS ilng,
+         |  40.50 + ((p_partkey // 10) % 10) * 0.04 + 0.02 AS ilat
+         | FROM part WHERE p_partkey < 100),
+         |c AS (SELECT event_id, ${cartoLngSql(e)} AS lng, ${cartoLatSql(e)} AS lat,
+         |  ${tkSql(e)} AS tk, ${tiSql(e)} AS ti
+         | FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00')
+         |SELECT ix.intersection_id, count(*) AS crashcount
+         |FROM c JOIN ix ON ${GeoFunctions.haversineSql("ix.ilat", "ix.ilng", "c.lat", "c.lng")} <= 600.0
+         |WHERE c.lng IS NOT NULL AND (c.tk > 0 OR c.ti > 0)
+         |GROUP BY ix.intersection_id ORDER BY ix.intersection_id""".stripMargin,
+    "etl_cdc_tallies" ->
+      s"""SELECT event_id,
+         | ${mkSql(e)} AS new_mk, ${sodaMiSql(e)} AS new_mi, ${ckSql(e)} AS new_ck,
+         | ${ciSql(e)} AS new_ci, ${sodaPkSql(e)} AS new_pk, ${piSql(e)} AS new_pi,
+         | ${sodaTkSql(e)} AS new_tk, ${sodaTiSql(e)} AS new_ti
+         |FROM events
+         |WHERE ${inCartoSql(e)} AND (
+         | ${sodaMiSql(e)} != ${miSql(e)} OR ${sodaPkSql(e)} != ${pkSql(e)} OR
+         | ${sodaTkSql(e)} != ${tkSql(e)} OR ${sodaTiSql(e)} != ${tiSql(e)})
+         |ORDER BY event_id""".stripMargin,
+    "etl_cdc_geom" ->
+      s"""WITH j AS (
+         | SELECT event_id, ${sodaLngSql(e)} AS s_lng, ${sodaLatSql(e)} AS s_lat,
+         |  ${cartoLngSql(e)} AS c_lng, ${cartoLatSql(e)} AS c_lat
+         | FROM events WHERE ${inCartoSql(e)} AND ${sodaLngSql(e)} IS NOT NULL)
+         |SELECT event_id, s_lng AS new_lng, s_lat AS new_lat,
+         | CASE WHEN c_lng IS NULL THEN 'geocoded'
+         |      WHEN ${GeoFunctions.haversineSql("c_lat", "c_lng", "s_lat", "s_lng")} >= 15.0 THEN 'moved'
+         | END AS reason
+         |FROM j
+         |WHERE (CASE WHEN c_lng IS NULL THEN 'geocoded'
+         |      WHEN ${GeoFunctions.haversineSql("c_lat", "c_lng", "s_lat", "s_lng")} >= 15.0 THEN 'moved'
+         | END) IS NOT NULL
+         |ORDER BY event_id""".stripMargin,
+    "etl_vehicle_crosswalk" ->
+      s"""SELECT event_id,
+         | list_has_any($vehicleArrSql, ['click','view']) AS has_pointer,
+         | list_has_any($vehicleArrSql, ['purchase','signup']) AS has_convert,
+         | list_has_any($vehicleArrSql, ['error']) AS has_fail
+         |FROM events ORDER BY event_id""".stripMargin,
+    "etl_blame_allocation" ->
+      s"""WITH f AS (
+         | SELECT event_id, ${tkSql(e)} AS tki, ${tiSql(e)} AS tii,
+         |  list_has_any($vehicleArrSql, ['click','view']) AS has_pointer,
+         |  list_has_any($vehicleArrSql, ['purchase','signup']) AS has_convert,
+         |  list_has_any($vehicleArrSql, ['error']) AS has_fail
+         | FROM events),
+         |g AS (
+         | SELECT *, NOT (has_pointer OR has_convert OR has_fail) AS has_other,
+         |  has_pointer AND NOT has_convert AND NOT has_fail AS bike_blame
+         | FROM f),
+         |h AS (
+         | SELECT *, CASE WHEN bike_blame THEN 1.0 / has_pointer::INT
+         |   ELSE 1.0 / nullif(has_convert::INT + has_fail::INT + has_other::INT, 0) END AS blame_factor_raw
+         | FROM g),
+         |i AS (
+         | SELECT *, round(blame_factor_raw * tii, 4) AS injured_allocated,
+         |  round(blame_factor_raw * tki, 4) AS killed_allocated
+         | FROM h)
+         |SELECT event_id, round(blame_factor_raw, 4) AS blame_factor,
+         | injured_allocated, killed_allocated,
+         | CASE WHEN bike_blame AND has_pointer THEN injured_allocated ELSE 0.0 END AS injured_by_pointer,
+         | CASE WHEN bike_blame AND has_pointer THEN killed_allocated ELSE 0.0 END AS killed_by_pointer,
+         | CASE WHEN has_convert THEN injured_allocated ELSE 0.0 END AS injured_by_convert,
+         | CASE WHEN has_convert THEN killed_allocated ELSE 0.0 END AS killed_by_convert,
+         | CASE WHEN has_fail THEN injured_allocated ELSE 0.0 END AS injured_by_fail,
+         | CASE WHEN has_fail THEN killed_allocated ELSE 0.0 END AS killed_by_fail,
+         | CASE WHEN has_other THEN injured_allocated ELSE 0.0 END AS injured_by_other,
+         | CASE WHEN has_other THEN killed_allocated ELSE 0.0 END AS killed_by_other
+         |FROM i ORDER BY event_id""".stripMargin,
+    "etl_backlog_check" ->
+      s"""SELECT date_trunc('day', ts) AS day, count(*) AS n_missing,
+         | min(event_id) AS min_id, max(event_id) AS max_id
+         |FROM events WHERE NOT ${inCartoSql(e)}
+         |GROUP BY date_trunc('day', ts) ORDER BY day""".stripMargin,
+    "etl_highcrash_rank" ->
+      s"""WITH pts AS (
+         | SELECT event_id, ${cartoLngSql(e)} AS lng, ${cartoLatSql(e)} AS lat,
+         |  (${tkSql(e)} * 3 + ${tiSql(e)}) AS weight
+         | FROM events),
+         |cells AS (
+         | SELECT floor((lng + 74.25) / 0.05)::BIGINT AS cx, floor((lat - 40.5) / 0.04)::BIGINT AS cy,
+         |  sum(weight)::BIGINT AS total_weight, count(*) AS n_crashes
+         | FROM pts WHERE lng IS NOT NULL AND ${inExtentSql("lng", "lat")}
+         | GROUP BY 1, 2)
+         |SELECT cx, cy, total_weight, n_crashes, rk FROM (
+         | SELECT *, row_number() OVER (ORDER BY total_weight DESC, cx, cy) AS rk FROM cells) t
+         |WHERE rk <= 20 ORDER BY rk""".stripMargin,
+    "etl_upsert_merge" ->
+      s"""WITH soda AS (
+         | SELECT event_id, ${sodaTkSql(e)} AS s_tk, ${sodaTiSql(e)} AS s_ti,
+         |  ${mkSql(e)} AS s_mk, ${sodaMiSql(e)} AS s_mi, ${sodaPkSql(e)} AS s_pk
+         | FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'),
+         |carto AS (
+         | SELECT event_id, ${tkSql(e)} AS c_tk, ${tiSql(e)} AS c_ti,
+         |  ${mkSql(e)} AS c_mk, ${miSql(e)} AS c_mi, ${pkSql(e)} AS c_pk
+         | FROM events WHERE ${inCartoSql(e)} AND ts >= TIMESTAMP '2024-01-20 00:00:00')
+         |SELECT soda.event_id,
+         | CASE WHEN carto.event_id IS NULL THEN 'insert'
+         |      WHEN s_tk != c_tk OR s_ti != c_ti OR s_mk != c_mk OR s_mi != c_mi OR s_pk != c_pk THEN 'update'
+         | END AS action,
+         | s_tk AS new_tk, s_ti AS new_ti
+         |FROM soda LEFT JOIN carto ON soda.event_id = carto.event_id
+         |WHERE (CASE WHEN carto.event_id IS NULL THEN 'insert'
+         |      WHEN s_tk != c_tk OR s_ti != c_ti OR s_mk != c_mk OR s_mi != c_mi OR s_pk != c_pk THEN 'update'
+         | END) IS NOT NULL
+         |ORDER BY soda.event_id""".stripMargin)
+}
