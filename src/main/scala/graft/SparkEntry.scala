@@ -11,10 +11,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    relational.CoreQueries.queries ++ etl.EtlQueries.queries
+    relational.CoreQueries.queries ++ etl.EtlQueries.queries ++
+      text.TextQueries.queries ++ dedup.DedupQueries.queries ++
+      sim.SimQueries.queries ++ multimodal.MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    relational.CoreQueries.oracles ++ etl.EtlQueries.oracles
+    relational.CoreQueries.oracles ++ etl.EtlQueries.oracles ++
+      text.TextQueries.oracles ++ dedup.DedupQueries.oracles ++
+      sim.SimQueries.oracles ++ multimodal.MultimodalQueries.oracles
 }

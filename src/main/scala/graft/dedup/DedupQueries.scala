@@ -1,0 +1,105 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication operators (SURVEY.md §2 #19-23).
+  *
+  * Scale posture: exact dedup is a hash groupBy (map-side combinable, one
+  * shuffle on the digest). Near-dup detection never goes all-pairs — pairs
+  * are generated only inside small blocks (language × length bucket here;
+  * MinHash/LSH bands in MinHashLsh.scala for the general case), which is the
+  * standard sub-quadratic shape at 100 TB.
+  */
+object DedupQueries {
+
+  private def words(c: Column): Column = split(c, "\\s+")
+
+  /** Distinct 3-word shingles of a document. */
+  def shingles(c: Column): Column = {
+    val ws = words(c)
+    array_distinct(transform(sequence(lit(1), size(ws) - 2),
+      i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
+  }
+
+  /** #19 Exact dedup: content digest → group, min-id winner. */
+  def exact(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_id"))
+      .orderBy(col("content_hash"))
+  }
+
+  /** #20 N-gram Jaccard near-dup pairs within (lang, length-bucket) blocks. */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"), (col("n_chars") / lit(100)).cast("long").as("lb"),
+      shingles(col("text")).as("sh"))
+    val a = d.select(col("doc_id").as("a_id"), col("lang"), col("lb"), col("sh").as("a_sh"))
+    val b = d.select(col("doc_id").as("b_id"), col("lang"), col("lb"), col("sh").as("b_sh"))
+    a.join(b, Seq("lang", "lb"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh"))), 4))
+      .filter(col("jaccard") >= 0.10)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Widen-then-multiply dot product (mirrors DuckDB's ::DOUBLE[] semantics). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** #23 Embedding near-dup pairs: cosine ≥ 0.35 within label blocks (the
+    * label stands in for an IVF cell assignment at scale). */
+  def embeddingCosine(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("vec_id").as("a_id"), col("label"), col("embedding").as("a_emb"))
+    val b = e.select(col("vec_id").as("b_id"), col("label"), col("embedding").as("b_emb"))
+    a.join(b, Seq("label"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cosine", round(cosine(col("a_emb"), col("b_emb")), 4))
+      .filter(col("cosine") >= 0.35)
+      .select("a_id", "b_id", "label", "cosine")
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact"            -> (exact _),
+    "dedup_ngram_jaccard"    -> (ngramJaccard _),
+    "dedup_embedding_cosine" -> (embeddingCosine _))
+
+  private val w = "regexp_split_to_array(text, '\\s+')"
+  /** DuckDB distinct 3-shingle list (1-indexed lists). */
+  val shinglesSql: String =
+    s"list_distinct(list_transform(range(1, len($w) - 1), " +
+      s"i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2]))"
+  def cosineSql(a: String, b: String): String =
+    s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keeper_id
+        |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, lang, (n_chars // 100) AS lb, $shinglesSql AS sh FROM documents)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         | round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+         |FROM d a JOIN d b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+         |WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.10
+         |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_embedding_cosine" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label,
+         | round(${cosineSql("a.emb", "b.emb")}, 4) AS cosine
+         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE round(${cosineSql("a.emb", "b.emb")}, 4) >= 0.35
+         |ORDER BY a_id, b_id""".stripMargin)
+}

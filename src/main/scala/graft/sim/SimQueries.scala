@@ -1,0 +1,50 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.DedupQueries.{cosine, cosineSql}
+
+/** Similarity search (SURVEY.md §2 #24-25).
+  *
+  * Brute force is the exactness baseline: broadcast the (small) query set
+  * against the corpus, score map-side, take per-query top-k. At 100 TB the
+  * corpus side stays partition-parallel with no shuffle until the final
+  * per-query k-row reduction (the window below collapses to a tiny
+  * aggregation because rows were pre-filtered per partition by rank). The
+  * LSH-bucketed variant (AnnLsh.scala) is the sub-linear scale path.
+  */
+object SimQueries {
+
+  /** #24 Brute-force cosine top-10 for the first 10 vectors as queries. */
+  def annTopkBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("cosine", round(cosine(col("q_emb"), col("n_emb")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select("q_id", "n_id", "rank", "cosine")
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_topk_brute" -> (annTopkBrute _))
+
+  val oracles: Map[String, String] = Map(
+    "ann_topk_brute" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |scored AS (
+         | SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |  round(${cosineSql("q.emb", "c.emb")}, 4) AS cosine
+         | FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id != c.vec_id)
+         |SELECT q_id, n_id, rank, cosine FROM (
+         | SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+         | FROM scored) t
+         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)
+}

@@ -1,0 +1,123 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for the training-data pipeline surface
+  * (SURVEY.md §2 #26-29): language ID, quality scoring, token counting,
+  * content fingerprinting. All are single-pass, map-side-only projections —
+  * no shuffle at any scale — built from codegen'd higher-order functions
+  * (no UDFs in the hot path).
+  */
+object TextQueries {
+
+  private def words(c: Column): Column = split(c, "\\s+")
+
+  private val Stopwords = Seq("the", "a", "of", "and", "in")
+  private val EnMarkers = Seq("the", "a", "line", "customer")
+  private val ToolMarkers = Seq("spark", "query", "table", "join", "scan")
+  private val DataMarkers = Seq("data", "row", "column", "value", "key")
+
+  private def countIn(ws: Column, vocab: Seq[String]): Column =
+    size(filter(ws, w => w.isin(vocab: _*))).cast("long")
+
+  /** #26 Marker-token language scoring with deterministic arg-max. */
+  def langid(s: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        countIn(ws, EnMarkers).as("cnt_en"),
+        countIn(ws, ToolMarkers).as("cnt_tool"),
+        countIn(ws, DataMarkers).as("cnt_data"))
+      .withColumn("pred_lang",
+        when(col("cnt_en") >= col("cnt_tool") && col("cnt_en") >= col("cnt_data"), lit("en"))
+          .when(col("cnt_tool") >= col("cnt_data"), lit("tool"))
+          .otherwise(lit("data")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** #27 Quality scoring: length/stopword/word-shape statistics → score. */
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(ws).cast("long").as("n_words"),
+        aggregate(transform(ws, w => length(w).cast("long")), lit(0L), (acc, x) => acc + x).as("sum_len"),
+        countIn(ws, Stopwords).as("n_stop"))
+      .withColumn("avg_word_len", round(col("sum_len").cast("double") / col("n_words"), 4))
+      .withColumn("stop_ratio", round(col("n_stop").cast("double") / col("n_words"), 4))
+      .withColumn("quality_score",
+        round(least(lit(1.0), col("n_words") / lit(100.0)) * (lit(1.0) - col("stop_ratio")), 4))
+      .select("doc_id", "n_words", "avg_word_len", "stop_ratio", "quality_score")
+      .orderBy(col("doc_id"))
+  }
+
+  /** #28 Token counting: whitespace tokens and a BPE-ish regex tokenizer. */
+  def tokens(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars_calc"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** #29 Content fingerprint: digest of the sorted distinct token set —
+    * the normalization-based fingerprint used for near-dup candidate
+    * bucketing at scale. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(array_distinct(ws)).cast("long").as("n_distinct_tokens"),
+        md5(concat_ws(" ", sort_array(array_distinct(ws)))).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid"      -> (langid _),
+    "text_quality"     -> (quality _),
+    "text_tokens"      -> (tokens _),
+    "text_fingerprint" -> (fingerprint _))
+
+  private def sqlList(vs: Seq[String]): String = vs.map(v => s"'$v'").mkString("[", ",", "]")
+  private val w = "regexp_split_to_array(text, '\\s+')"
+
+  val oracles: Map[String, String] = Map(
+    "text_langid" ->
+      s"""WITH c AS (SELECT doc_id,
+         | len(list_filter($w, x -> list_contains(${sqlList(EnMarkers)}, x)))::BIGINT AS cnt_en,
+         | len(list_filter($w, x -> list_contains(${sqlList(ToolMarkers)}, x)))::BIGINT AS cnt_tool,
+         | len(list_filter($w, x -> list_contains(${sqlList(DataMarkers)}, x)))::BIGINT AS cnt_data
+         |FROM documents)
+         |SELECT doc_id, cnt_en, cnt_tool, cnt_data,
+         | CASE WHEN cnt_en >= cnt_tool AND cnt_en >= cnt_data THEN 'en'
+         |      WHEN cnt_tool >= cnt_data THEN 'tool' ELSE 'data' END AS pred_lang
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""WITH c AS (SELECT doc_id,
+         | len($w)::BIGINT AS n_words,
+         | (list_sum(list_transform($w, x -> len(x))))::BIGINT AS sum_len,
+         | len(list_filter($w, x -> list_contains(${sqlList(Stopwords)}, x)))::BIGINT AS n_stop
+         |FROM documents),
+         |d AS (SELECT doc_id, n_words,
+         | round(sum_len::DOUBLE / n_words, 4) AS avg_word_len,
+         | round(n_stop::DOUBLE / n_words, 4) AS stop_ratio
+         |FROM c)
+         |SELECT doc_id, n_words, avg_word_len, stop_ratio,
+         | round(least(1.0, n_words / 100.0) * (1.0 - stop_ratio), 4) AS quality_score
+         |FROM d ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      s"""SELECT doc_id,
+         | len($w)::BIGINT AS ws_tokens,
+         | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS bpe_tokens,
+         | len(text)::BIGINT AS n_chars_calc
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      s"""SELECT doc_id,
+         | len(list_distinct($w))::BIGINT AS n_distinct_tokens,
+         | md5(array_to_string(list_sort(list_distinct($w)), ' ')) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin)
+}
