@@ -13,12 +13,15 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational.CoreQueries.queries ++ etl.EtlQueries.queries ++
       text.TextQueries.queries ++ dedup.DedupQueries.queries ++
-      sim.SimQueries.queries ++ multimodal.MultimodalQueries.queries
+      dedup.MinHashLsh.queries ++ dedup.SimHash.queries ++
+      sim.SimQueries.queries ++ sim.AnnLsh.queries ++
+      multimodal.MultimodalQueries.queries ++ streaming.StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     relational.CoreQueries.oracles ++ etl.EtlQueries.oracles ++
       text.TextQueries.oracles ++ dedup.DedupQueries.oracles ++
-      sim.SimQueries.oracles ++ multimodal.MultimodalQueries.oracles
+      sim.SimQueries.oracles ++ multimodal.MultimodalQueries.oracles ++
+      streaming.StreamQueries.oracles
 }

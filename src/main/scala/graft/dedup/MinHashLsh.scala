@@ -1,0 +1,61 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** MinHash + LSH near-duplicate detection (SURVEY.md §2 #21).
+  *
+  * Pipeline (all codegen'd higher-order functions, no UDFs):
+  *   shingle → base hash (xxhash64 → mod P) → K permuted minima (signature)
+  *   → 16 bands of 4 → band-bucket self-join → verified Jaccard.
+  *
+  * Scale: signatures are computed map-side in one pass over the corpus; the
+  * only shuffle is the band-bucket exchange, whose keys are uniform by
+  * construction (hash buckets), so no skew. Candidate verification joins
+  * shingle sets back by doc_id — at 100 TB that join is a shuffle of the
+  * candidate subset only, which LSH has already cut to ~O(dups), not O(n²).
+  */
+object MinHashLsh {
+
+  val K = 64          // signature length
+  val Bands = 16      // 16 bands × r=4 rows; s-curve threshold ≈ (1/16)^(1/4) ≈ 0.5
+  val RowsPerBand = K / Bands
+  val P = 2147483647L // 2^31 - 1, keeps (a·h + b) inside a long
+
+  /** K-minima MinHash signature of a distinct-shingle array column. */
+  def signature(shingleCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val hs = transform(shingleCol, sh => pmod(xxhash64(sh), lit(P)))
+    transform(sequence(lit(0), lit(K - 1)),
+      k => array_min(transform(hs, h => pmod((k * 2 + 1) * h + k * 40503L + 13L, lit(P)))))
+  }
+
+  /** Candidate pairs via banded signatures, then exact-Jaccard verification. */
+  def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), DedupQueries.shingles(col("text")).as("sh"))
+    val sigs = docs.select(col("doc_id"), signature(col("sh")).as("sig"))
+    val banded = sigs
+      .select(col("doc_id"), explode(sequence(lit(0), lit(Bands - 1))).as("band"), col("sig"))
+      .select(col("doc_id"), col("band"),
+        xxhash64(col("band"), slice(col("sig"), col("band") * RowsPerBand + 1, lit(RowsPerBand))).as("bkey"))
+    val a = banded.select(col("doc_id").as("a_id"), col("band"), col("bkey"))
+    val b = banded.select(col("doc_id").as("b_id"), col("band"), col("bkey"))
+    val candidates = a.join(b, Seq("band", "bkey"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val shA = docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val shB = docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    candidates.join(shA, "a_id").join(shB, "b_id")
+      .withColumn("jaccard",
+        round(size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh"))), 4))
+      .filter(col("jaccard") >= 0.10)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_minhash_lsh" -> (nearDupPairs _))
+}

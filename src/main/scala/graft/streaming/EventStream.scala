@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** True Structured Streaming paths (SURVEY.md §2 #31-32).
+  *
+  * The reference is a scheduled batch poller (fetch last 2 months, dedup,
+  * load — main.py:79-132). Spark-natively that becomes a continuous
+  * pipeline: `readStream` → event-time windows with watermarks for the
+  * rolling aggregations, and `flatMapGroupsWithState` for gap-based
+  * sessions. Batch twins with identical semantics live in StreamQueries so
+  * the DuckDB oracle can check the logic; these streaming versions are
+  * exercised end-to-end (MemoryStream, multiple batches, late data) in
+  * EventStreamSpec.
+  */
+object EventStream {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  case class SessionState(start: Long, end: Long, n: Long, sum: Double)
+
+  case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, sum_value: Double)
+
+  /** Watermarked tumbling-window counts per event type. Late events beyond
+    * the watermark are dropped; state is bounded by watermark horizon —
+    * the property that keeps this runnable forever at 100 TB/day. */
+  def windowedAgg(events: Dataset[Event], watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Gap-based sessionization with event-time timeout: a session closes when
+    * the watermark passes its end + gap, at which point it is emitted.
+    * State per user is one open session — O(active users), not O(events). */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = StreamQueries.SessionGapSeconds,
+      watermark: String = "2 hours"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapSeconds * 1000L
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

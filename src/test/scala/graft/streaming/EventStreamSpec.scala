@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import EventStream.{Event, Session}
+
+/** End-to-end Structured Streaming: MemoryStream → watermarked transforms →
+  * memory sink, across multiple micro-batches with late data. */
+class EventStreamSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(1704067200000L + minutes * 60000L)
+
+  test("watermarked windowed aggregation emits closed windows") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.windowedAgg(input.toDS(), watermark = "30 minutes")
+      .writeStream.format("memory").queryName("win_agg").outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0), Event(2, ts(10), 1, "click", 2.0),
+        Event(3, ts(20), 2, "view", 3.0))
+      q.processAllAvailable()
+      // push watermark far past the first hour so its windows close
+      input.addData(Event(4, ts(180), 1, "click", 4.0))
+      q.processAllAvailable()
+      input.addData(Event(5, ts(360), 1, "click", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_agg").collect()
+      val clicks = rows.find(r => r.getString(1) == "click" && r.getTimestamp(0) == ts(0))
+      assert(clicks.isDefined, s"first-hour click window missing: ${rows.mkString(";")}")
+      assert(clicks.get.getLong(2) == 2L)
+      assert(clicks.get.getDouble(3) == 3.0)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions on gap timeout and splits on gaps") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionize(input.toDS(), gapSeconds = 600, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // user 1: two events 5 min apart (one session), then 30 min gap → new session
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0), Event(2, ts(5), 1, "click", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts(35), 1, "view", 3.0))
+      q.processAllAvailable()
+      // advance watermark way past everything so all sessions time out
+      input.addData(Event(4, ts(600), 2, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(5, ts(1200), 2, "click", 1.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions").as[Session].collect()
+      val u1 = sessions.filter(_.user_id == 1).sortBy(_.session_start.getTime)
+      assert(u1.length == 2, s"expected 2 sessions for user 1, got ${u1.toSeq}")
+      assert(u1(0).n_events == 2 && u1(0).sum_value == 3.0)
+      assert(u1(0).session_start == ts(0) && u1(0).session_end == ts(5))
+      assert(u1(1).n_events == 1 && u1(1).session_start == ts(35))
+    } finally q.stop()
+  }
+
+  test("streaming windowed agg agrees with the batch twin on the same data") {
+    implicit val ctx = spark.sqlContext
+    val events = Seq(
+      Event(1, ts(0), 1, "click", 1.0), Event(2, ts(10), 1, "view", 2.0),
+      Event(3, ts(70), 2, "click", 3.0))
+    val input = MemoryStream[Event]
+    val q = EventStream.windowedAgg(input.toDS(), watermark = "1 minute")
+      .writeStream.format("memory").queryName("parity_stream").outputMode("append").start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      input.addData(Event(99, ts(10000), 9, "x", 0.0)) // close everything
+      q.processAllAvailable()
+      val streamed = spark.table("parity_stream")
+        .filter($"event_type" =!= "x")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = EventStream.windowedAgg(events.toDS().coalesce(1), watermark = "0 seconds")
+      // batch mode ignores watermark; same groupBy produces the same windows
+      val batchRows = batch.collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == batchRows)
+    } finally q.stop()
+  }
+}
