@@ -5,9 +5,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The normalized crash-record projection is the reference's central
+    * transform (main.py:185-298). */
   def entry(spark: SparkSession): DataFrame =
-    relational.CoreQueries.q1PricingSummary(spark, "/root/testdata/sf0.001")
+    etl.EtlQueries.normalize(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

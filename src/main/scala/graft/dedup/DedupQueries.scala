@@ -15,14 +15,10 @@ import graft.Tables
   */
 object DedupQueries {
 
-  private def words(c: Column): Column = split(c, "\\s+")
-
-  /** Distinct 3-word shingles of a document. */
-  def shingles(c: Column): Column = {
-    val ws = words(c)
-    array_distinct(transform(sequence(lit(1), size(ws) - 2),
-      i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
-  }
+  /** Distinct 3-word shingles of a document — compiled expression (see
+    * HashExprs.Shingles for why the lambda version is O(words²)). Callers
+    * must have run HashExprs.register on the session. */
+  def shingles(c: Column): Column = graft.functions.HashExprs.shingles3(c)
 
   /** #19 Exact dedup: content digest → group, min-id winner. */
   def exact(s: SparkSession, dir: String): DataFrame = {
@@ -34,6 +30,7 @@ object DedupQueries {
 
   /** #20 N-gram Jaccard near-dup pairs within (lang, length-bucket) blocks. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
     val d = Tables.documents(s, dir).select(
       col("doc_id"), col("lang"), (col("n_chars") / lit(100)).cast("long").as("lb"),
       shingles(col("text")).as("sh"))
@@ -42,24 +39,22 @@ object DedupQueries {
     a.join(b, Seq("lang", "lb"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("jaccard",
-        round(size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-          size(array_union(col("a_sh"), col("b_sh"))), 4))
+        round(graft.functions.HashExprs.jaccardSim(col("a_sh"), col("b_sh")), 4))
       .filter(col("jaccard") >= 0.10)
       .select("a_id", "b_id", "jaccard")
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** Widen-then-multiply dot product (mirrors DuckDB's ::DOUBLE[] semantics). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
-
+  /** Cosine over widened doubles — compiled CosineSim expression, which
+    * reproduces the sequential-sum order of DuckDB's list_dot_product
+    * formula bit for bit. Callers must have run HashExprs.register. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    graft.functions.HashExprs.cosineSim(a.cast("array<double>"), b.cast("array<double>"))
 
   /** #23 Embedding near-dup pairs: cosine ≥ 0.35 within label blocks (the
     * label stands in for an IVF cell assignment at scale). */
   def embeddingCosine(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
     val e = Tables.embeddings(s, dir)
     val a = e.select(col("vec_id").as("a_id"), col("label"), col("embedding").as("a_emb"))
     val b = e.select(col("vec_id").as("b_id"), col("label"), col("embedding").as("b_emb"))

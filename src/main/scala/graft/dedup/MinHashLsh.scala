@@ -22,20 +22,21 @@ object MinHashLsh {
   val K = 64          // signature length
   val Bands = 16      // 16 bands × r=4 rows; s-curve threshold ≈ (1/16)^(1/4) ≈ 0.5
   val RowsPerBand = K / Bands
-  val P = 2147483647L // 2^31 - 1, keeps (a·h + b) inside a long
 
-  /** K-minima MinHash signature of a distinct-shingle array column. */
-  def signature(shingleCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val hs = transform(shingleCol, sh => pmod(xxhash64(sh), lit(P)))
-    transform(sequence(lit(0), lit(K - 1)),
-      k => array_min(transform(hs, h => pmod((k * 2 + 1) * h + k * 40503L + 13L, lit(P)))))
-  }
-
-  /** Candidate pairs via banded signatures, then exact-Jaccard verification. */
+  /** Candidate pairs via banded signatures, then exact-Jaccard verification.
+    *
+    * The signature is the compiled MinHashSignature expression (one JVM call
+    * per row — see HashExprs for why the lambda formulation is ~1000×
+    * slower), and a repartition barrier sits between signature computation
+    * and the band explode so Catalyst cannot re-inline the sketch into all
+    * 16 band projections. */
   def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), DedupQueries.shingles(col("text")).as("sh"))
-    val sigs = docs.select(col("doc_id"), signature(col("sh")).as("sig"))
+    val sigs = docs
+      .select(col("doc_id"), graft.functions.HashExprs.minhashSig(col("sh")).as("sig"))
+      .repartition(col("doc_id"))
     val banded = sigs
       .select(col("doc_id"), explode(sequence(lit(0), lit(Bands - 1))).as("band"), col("sig"))
       .select(col("doc_id"), col("band"),
@@ -49,8 +50,7 @@ object MinHashLsh {
     val shB = docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
     candidates.join(shA, "a_id").join(shB, "b_id")
       .withColumn("jaccard",
-        round(size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-          size(array_union(col("a_sh"), col("b_sh"))), 4))
+        round(graft.functions.HashExprs.jaccardSim(col("a_sh"), col("b_sh")), 4))
       .filter(col("jaccard") >= 0.10)
       .select("a_id", "b_id", "jaccard")
       .orderBy(col("a_id"), col("b_id"))

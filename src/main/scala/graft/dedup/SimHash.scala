@@ -19,18 +19,15 @@ import graft.Tables
   */
 object SimHash {
 
-  /** SQL expression for the 64-bit simhash of a whitespace-token column. */
-  val simhashExpr: String =
-    """aggregate(sequence(0, 63), 0L, (acc, b) ->
-      |  acc + if(
-      |    aggregate(split(text, '\\s+'), 0L,
-      |      (a2, w) -> a2 + if((shiftright(xxhash64(w), b) & 1L) = 1L, 1L, -1L)) >= 0,
-      |    shiftleft(1L, b), 0L))""".stripMargin
-
-  /** Per-document simhash plus Hamming-≤3 near-dup pairs via 16-bit bands. */
+  /** Per-document simhash plus Hamming-≤3 near-dup pairs via 16-bit bands.
+    * The hash is the compiled SimHash64 expression (see HashExprs); the
+    * repartition barrier stops Catalyst re-inlining it into each band row. */
   def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
     val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), expr(simhashExpr).as("simhash"))
+      .select(col("doc_id"),
+        graft.functions.HashExprs.simhash64(split(col("text"), "\\s+")).as("simhash"))
+      .repartition(col("doc_id"))
     val banded = docs
       .select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("band"))

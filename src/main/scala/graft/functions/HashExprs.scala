@@ -1,0 +1,253 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom hash/sketch expressions.
+  *
+  * Spark's higher-order functions (transform/aggregate) are interpreted
+  * (CodegenFallback) — a MinHash signature written as nested lambdas costs
+  * hundreds of interpreted expression evals per element, and Catalyst
+  * re-inlines the whole tree into every consumer projection (e.g. one copy
+  * per LSH band). These expressions instead compute the complete sketch in
+  * one compiled JVM call per row: one pass to base-hash the tokens, then
+  * tight primitive loops. Benchmarked ~1000× faster than the lambda
+  * formulation at sf0.1 (1384 s → ~1 s for the MinHash stage).
+  */
+object HashExprs {
+
+  /** FNV-1a 64-bit over UTF-8 bytes — cheap, deterministic, dependency-free. */
+  def fnv64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  val MinHashP = 2147483647L // 2^31 - 1
+
+  def register(spark: SparkSession): Unit = synchronized {
+    val r = spark.sessionState.functionRegistry
+    r.createOrReplaceTempFunction("minhash_sig",
+      exprs => MinHashSignature(exprs.head), "built-in")
+    r.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64(exprs.head), "built-in")
+    r.createOrReplaceTempFunction("shingles3",
+      exprs => Shingles(exprs.head, 3), "built-in")
+    r.createOrReplaceTempFunction("cosine_sim",
+      exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+    r.createOrReplaceTempFunction("jaccard_sim",
+      exprs => JaccardSim(exprs(0), exprs(1)), "built-in")
+  }
+
+  def minhashSig(c: Column): Column = call_function("minhash_sig", c)
+  def simhash64(c: Column): Column = call_function("simhash64", c)
+  def shingles3(c: Column): Column = call_function("shingles3", c)
+  def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  def jaccardSim(a: Column, b: Column): Column = call_function("jaccard_sim", a, b)
+}
+
+/** K=64 MinHash signature of an array<string> of shingles:
+  * sig[k] = min over shingles of ((2k+1)·h + 40503·k + 13) mod (2^31-1),
+  * h = fnv64(shingle) mod (2^31-1). */
+case class MinHashSignature(child: Expression) extends UnaryExpression with CodegenFallback {
+  val K = 64
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"minhash_sig needs array<string>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val base = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val h = HashExprs.fnv64(arr.getUTF8String(i).getBytes)
+      base(i) = java.lang.Math.floorMod(h, HashExprs.MinHashP)
+      i += 1
+    }
+    val sig = new Array[Long](K)
+    var k = 0
+    while (k < K) {
+      val a = 2L * k + 1
+      val b = 40503L * k + 13
+      var m = Long.MaxValue
+      i = 0
+      while (i < n) {
+        val v = (a * base(i) + b) % HashExprs.MinHashP
+        if (v < m) m = v
+        i += 1
+      }
+      sig(k) = if (n == 0) 0L else m
+      k += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of an array<string> of tokens: bit b is set iff the sum of
+  * ±1 votes (sign of bit b of each token hash) is non-negative. */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"simhash64 needs array<string>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = HashExprs.fnv64(arr.getUTF8String(i).getBytes)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) >= 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct k-word shingles of a whitespace-separated text column, one
+  * compiled call per row. The lambda formulation
+  * (transform(sequence, i -> element_at(split(text), i) ...)) re-splits the
+  * text for every index under interpreted HOF eval — O(words²) regex work
+  * per document. */
+case class Shingles(child: Expression, k: Int) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"shingles needs string, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].toString.split("\\s+")
+    val n = words.length - k + 1
+    val seen = new java.util.LinkedHashSet[String](math.max(4, n * 2))
+    var i = 0
+    while (i < n) {
+      val sb = new java.lang.StringBuilder(64)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = UTF8String.fromString(it.next()); p += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Cosine similarity of two array<double> columns in one compiled pass,
+  * reproducing the widen-then-multiply sequential-sum order of the HOF
+  * formulation (and DuckDB's list_dot_product) bit for bit. */
+case class CosineSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"cosine_sim needs two array<double>, got $t")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData].toDoubleArray()
+    val b = r.asInstanceOf[ArrayData].toDoubleArray()
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) { dot += a(i) * b(i); i += 1 }
+    i = 0
+    while (i < a.length) { na += a(i) * a(i); i += 1 }
+    i = 0
+    while (i < b.length) { nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Jaccard similarity of two array<string> columns in one compiled pass:
+  * |a ∩ b| / |distinct(a ++ b)|, matching
+  * len(list_intersect)/len(list_distinct(list_concat)) in the oracle. One
+  * hash set per row instead of the two set-builds array_intersect +
+  * array_union cost — and cheap enough that Catalyst duplicating it into a
+  * pushed-down filter predicate doesn't matter. */
+case class JaccardSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sim"
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"jaccard_sim needs two array<string>, got $t")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val setA = new java.util.HashSet[UTF8String](a.numElements() * 2)
+    var i = 0
+    while (i < a.numElements()) { setA.add(a.getUTF8String(i)); i += 1 }
+    val seenB = new java.util.HashSet[UTF8String](b.numElements() * 2)
+    var inter = 0
+    var bOnly = 0
+    i = 0
+    while (i < b.numElements()) {
+      val s = b.getUTF8String(i)
+      if (seenB.add(s)) {
+        if (setA.contains(s)) inter += 1 else bOnly += 1
+      }
+      i += 1
+    }
+    val union = setA.size + bOnly
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

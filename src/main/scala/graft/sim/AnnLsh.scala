@@ -42,6 +42,7 @@ object AnnLsh {
       (acc, i) => acc * 2 + element_at(bits, band * BandBits + i + 1))
 
   def annTopkLsh(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .withColumn("bits", signBits(col("emb")))

@@ -20,6 +20,7 @@ object SimQueries {
 
   /** #24 Brute-force cosine top-10 for the first 10 vectors as queries. */
   def annTopkBrute(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
     val e = Tables.embeddings(s, dir)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))

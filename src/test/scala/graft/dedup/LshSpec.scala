@@ -13,6 +13,7 @@ class LshSpec extends AnyFunSuite {
 
   /** Exhaustive (unblocked) shingle-Jaccard pairs above a threshold. */
   private def exhaustivePairs(minJ: Double): Set[(Long, Long)] = {
+    graft.functions.HashExprs.register(spark)
     val d = Tables.documents(spark, sf)
       .select(col("doc_id"), DedupQueries.shingles(col("text")).as("sh"))
     val a = d.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
