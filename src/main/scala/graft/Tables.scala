@@ -32,6 +32,21 @@ object Tables {
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }
+
+  /** events with `ts >= cutoff`, filtered on the RAW nanos long so the
+    * predicate pushes into the parquet scan (a filter on the converted
+    * timestamp column cannot — `timestamp_micros(ts div 1000) >= c` wraps
+    * the column in an expression). Exact for whole-microsecond cutoffs:
+    * floor(ns/1000) >= c_us  ⟺  ns >= c_us·1000. At 100 TB this is the
+    * difference between scanning a window and scanning history. */
+  def eventsSince(s: SparkSession, d: String, cutoff: java.sql.Timestamp): DataFrame = {
+    import org.apache.spark.sql.functions._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val cutoffNanos = cutoff.getTime * 1000000L
+    table(s, d, "events")
+      .filter(col("ts") >= cutoffNanos)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

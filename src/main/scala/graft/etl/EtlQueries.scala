@@ -26,9 +26,9 @@ object EtlQueries {
     */
   def ingestDedup(s: SparkSession, dir: String): DataFrame = {
     val id = col("event_id")
-    val incoming = Tables.events(s, dir).filter(col("ts") >= lit(IngestCutoff))
-    val existing = Tables.events(s, dir)
-      .filter(inCarto(col("event_id")) && col("ts") >= lit(IngestCutoff))
+    val incoming = Tables.eventsSince(s, dir, IngestCutoff)
+    val existing = Tables.eventsSince(s, dir, IngestCutoff)
+      .filter(inCarto(col("event_id")))
       .select("event_id")
     incoming.join(existing, Seq("event_id"), "left_anti")
       .select(id, col("ts"), year(col("ts")).cast("long").as("yr"),
@@ -116,8 +116,7 @@ object EtlQueries {
       col("p_partkey").as("intersection_id"),
       (lit(-74.25) + (col("p_partkey") % 10) * lit(0.05) + lit(0.025)).as("ilng"),
       (lit(40.50) + (col("p_partkey") / lit(10)).cast("long") % 10 * lit(0.04) + lit(0.02)).as("ilat"))
-    val crashes = Tables.events(s, dir)
-      .filter(col("ts") >= lit(TallyCutoff))
+    val crashes = Tables.eventsSince(s, dir, TallyCutoff)
       .select(id, cartoLng(id).as("lng"), cartoLat(id).as("lat"),
         tk(id).as("tk"), ti(id).as("ti"))
       .filter(col("lng").isNotNull && (col("tk") > 0 || col("ti") > 0))
@@ -270,11 +269,11 @@ object EtlQueries {
     * main.py:301-375 + 817-965 combined, as a MERGE would express it). */
   def upsertMerge(s: SparkSession, dir: String): DataFrame = {
     val id = col("event_id")
-    val soda = Tables.events(s, dir).filter(col("ts") >= lit(MergeCutoff))
+    val soda = Tables.eventsSince(s, dir, MergeCutoff)
       .select(id, sodaTk(id).as("s_tk"), sodaTi(id).as("s_ti"),
         mk(id).as("s_mk"), sodaMi(id).as("s_mi"), sodaPk(id).as("s_pk"))
-    val carto = Tables.events(s, dir)
-      .filter(inCarto(id) && col("ts") >= lit(MergeCutoff))
+    val carto = Tables.eventsSince(s, dir, MergeCutoff)
+      .filter(inCarto(id))
       .select(id, tk(id).as("c_tk"), ti(id).as("c_ti"),
         mk(id).as("c_mk"), mi(id).as("c_mi"), pk(id).as("c_pk"))
     soda.join(carto, Seq("event_id"), "left")
