@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the physical-plan properties that matter at 100 TB: filters reach
+  * the parquet scan, scans are column-pruned, dims broadcast, anti-joins
+  * stay hash joins. A regression here won't flip correctness, so only this
+  * spec would catch it. */
+class PlanSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q1 pushes the shipdate filter into the scan and prunes columns") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("LessThanOrEqual(l_shipdate"), "shipdate filter must be in PushedFilters")
+    assert(!p.contains("l_orderkey"), "untouched columns must be pruned from the scan")
+  }
+
+  test("q2 broadcasts dimension tables") {
+    val p = plan("q2_revenue_topn")
+    assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
+    assert(!p.contains("SortMergeJoin"), "no sort-merge join expected at this size")
+  }
+
+  test("ingest dedup is a window-pruned anti hash join") {
+    val p = plan("etl_ingest_dedup")
+    assert(p.contains("LeftAnti"))
+    assert(p.contains("GreaterThanOrEqual(ts,"), "window filter must push to the scan")
+  }
+
+  test("zone assignment broadcasts the zone dim and prunes the fact scan") {
+    val p = plan("etl_zone_assign")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("ReadSchema: struct<event_id:bigint>"),
+      "fact scan should read only event_id (coords are derived)")
+  }
+
+  test("intersection crash counts broadcast the intersections dim") {
+    val p = plan("etl_intersection_crashcount")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    assert(p.contains("LessThan(p_partkey,100)"), "dim filter must push down")
+    assert(p.contains("haversine_m"), "fused haversine expression must be in the join condition")
+  }
+
+  test("minhash banding computes the signature behind an exchange barrier") {
+    val p = plan("dedup_minhash_lsh")
+    assert(p.contains("minhash_sig"))
+    assert(p.contains("Exchange hashpartitioning(doc_id"),
+      "repartition barrier must separate signature computation from band explode")
+  }
+}
