@@ -6,10 +6,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The normalized crash-record projection is the reference's central
-    * transform (main.py:185-298). */
+    * The full reference daily run (main.py:1132-1197) fused into one plan. */
   def entry(spark: SparkSession): DataFrame =
-    etl.EtlQueries.normalize(spark, "/root/testdata/sf0.001")
+    etl.CrashPipeline.enrichedCrashes(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
