@@ -15,7 +15,7 @@ object SparkEntry {
     relational.CoreQueries.queries ++ etl.EtlQueries.queries ++
       text.TextQueries.queries ++ dedup.DedupQueries.queries ++
       dedup.MinHashLsh.queries ++ dedup.SimHash.queries ++
-      sim.SimQueries.queries ++ sim.AnnLsh.queries ++
+      sim.SimQueries.queries ++ sim.AnnLsh.queries ++ sim.AnnIvf.queries ++
       multimodal.MultimodalQueries.queries ++ streaming.StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -23,6 +23,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     relational.CoreQueries.oracles ++ etl.EtlQueries.oracles ++
       text.TextQueries.oracles ++ dedup.DedupQueries.oracles ++
-      sim.SimQueries.oracles ++ multimodal.MultimodalQueries.oracles ++
+      sim.SimQueries.oracles ++ sim.AnnIvf.oracles ++
+      multimodal.MultimodalQueries.oracles ++
       streaming.StreamQueries.oracles
 }

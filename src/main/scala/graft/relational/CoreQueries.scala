@@ -95,12 +95,42 @@ object CoreQueries {
     semi.unionByName(anti).orderBy(col("tag"), col("c_custkey"))
   }
 
+  /** TPC-H Q6-style forecast: tight range predicates that must ALL reach the
+    * parquet scan — the pure pushdown/pruning benchmark. */
+  def q6Forecast(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .filter(
+        col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** TPC-H Q14-style conditional ratio: join + conditional aggregation. */
+  def q7PromoRatio(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val p = Tables.part(s, dir).select("p_partkey", "p_type")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(round(
+        lit(100.0) * sum(when(col("p_type").startsWith("STANDARD"),
+          col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)) /
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("standard_pct"),
+        count(lit(1)).as("n_rows"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_revenue_topn"    -> (q2RevenueTopN _),
     "q3_window_running"  -> (q3WindowRunning _),
     "q4_rollup"          -> (q4Rollup _),
-    "q5_semi_anti"       -> (q5SemiAnti _))
+    "q5_semi_anti"       -> (q5SemiAnti _),
+    "q6_forecast"        -> (q6Forecast _),
+    "q7_promo_ratio"     -> (q7PromoRatio _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -150,5 +180,21 @@ object CoreQueries {
         |UNION ALL
         |SELECT c_custkey, c_name, 'no_orders' AS tag FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        |ORDER BY tag, c_custkey""".stripMargin)
+        |ORDER BY tag, c_custkey""".stripMargin,
+    "q6_forecast" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.03 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q7_promo_ratio" ->
+      """SELECT round(
+        |  100.0 * sum(CASE WHEN p_type LIKE 'STANDARD%'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) /
+        |  sum(l_extendedprice * (1 - l_discount)), 4) AS standard_pct,
+        | count(*) AS n_rows
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'""".stripMargin)
 }

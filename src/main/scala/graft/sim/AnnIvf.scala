@@ -1,0 +1,97 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.DedupQueries.{cosine, cosineSql}
+
+/** IVF-style ANN (SURVEY.md §2 #25b) — the inverted-file scale path next to
+  * the hyperplane-LSH variant.
+  *
+  * Cells: the first 16 vectors serve as deterministic "centroids" (a real
+  * deployment k-means-trains them offline; determinism matters here because
+  * the DuckDB oracle must reproduce the exact assignment). Every corpus
+  * vector is assigned to its best-cosine centroid; a query probes its
+  * nprobe=4 best cells and ranks only vectors in those cells.
+  *
+  * Scale: assignment is one broadcast (16 centroids) map-side pass; the
+  * probe join is an equi-join on cell id — per-query work drops from O(N)
+  * to O(N·nprobe/cells), and cells shard naturally across executors.
+  */
+object AnnIvf {
+
+  val Cells = 16
+  val NProbe = 4
+  val TopK = 10
+
+  def annTopkIvf(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val cents = e.filter(col("vec_id") < Cells)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+
+    // best-cell assignment per corpus vector (rounded score, id tie-break —
+    // the same deterministic argmax the oracle computes)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("c_id"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("score", round(cosine(col("emb"), col("c_emb")), 6))
+      .withColumn("r", row_number().over(wAssign))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("emb"), col("c_id").as("cell"))
+
+    // nprobe best cells per query vector
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id"))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      .crossJoin(broadcast(cents))
+      .withColumn("score", round(cosine(col("q_emb"), col("c_emb")), 6))
+      .withColumn("r", row_number().over(wProbe))
+      .filter(col("r") <= NProbe)
+      .select(col("q_id"), col("q_emb"), col("c_id").as("cell"))
+
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
+    assigned.join(probes, "cell")
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cosine", round(cosine(col("q_emb"), col("emb")), 4))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("cosine"))
+      .dropDuplicates("q_id", "n_id")
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= TopK)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_ivf" -> (annTopkIvf _))
+
+  val oracles: Map[String, String] = Map(
+    "ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |cents AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < $Cells),
+         |assigned AS (
+         | SELECT vec_id, emb, c_id AS cell FROM (
+         |  SELECT e.vec_id, e.emb, cents.c_id,
+         |   row_number() OVER (PARTITION BY e.vec_id
+         |     ORDER BY round(${cosineSql("e.emb", "cents.c_emb")}, 6) DESC, cents.c_id) AS r
+         |  FROM e CROSS JOIN cents) t
+         | WHERE r = 1),
+         |probes AS (
+         | SELECT q_id, q_emb, c_id AS cell FROM (
+         |  SELECT e.vec_id AS q_id, e.emb AS q_emb, cents.c_id,
+         |   row_number() OVER (PARTITION BY e.vec_id
+         |     ORDER BY round(${cosineSql("e.emb", "cents.c_emb")}, 6) DESC, cents.c_id) AS r
+         |  FROM e CROSS JOIN cents WHERE e.vec_id < 10) t
+         | WHERE r <= $NProbe),
+         |cand AS (
+         | SELECT DISTINCT probes.q_id, assigned.vec_id AS n_id,
+         |  round(${cosineSql("probes.q_emb", "assigned.emb")}, 4) AS cosine
+         | FROM assigned JOIN probes ON assigned.cell = probes.cell
+         | WHERE probes.q_id != assigned.vec_id)
+         |SELECT q_id, n_id, rank, cosine FROM (
+         | SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+         | FROM cand) t
+         |WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin)
+}
