@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Property-style checks of the compiled sketch expressions, driven through
+  * SQL (the registered-function surface) so analysis, type-checking, and
+  * eval are all exercised. Uses scalacheck generators with a fixed seed loop
+  * (the scalatest-scalacheck bridge is not on the offline classpath). */
+class HashExprsPropSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+  HashExprs.register(spark)
+  graft.geo.GeoFunctions.register(spark)
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val doc = Gen.listOfN(30, word).map(_.mkString(" "))
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n * 4).iterator.flatMap(i => g.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(42L + i))).take(n).toSeq
+
+  test("jaccard_sim is bounded, symmetric, and 1 for identical sets") {
+    val pairs = samples(doc, 20).zip(samples(doc, 20).reverse)
+    val rows = pairs.toDF("a", "b").selectExpr(
+      "jaccard_sim(shingles3(a), shingles3(b)) AS ab",
+      "jaccard_sim(shingles3(b), shingles3(a)) AS ba",
+      "jaccard_sim(shingles3(a), shingles3(a)) AS aa").collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
+      assert(r.getDouble(0) == r.getDouble(1), "jaccard must be symmetric")
+      assert(r.getDouble(2) == 1.0, "identical non-empty shingle sets must score 1")
+    }
+  }
+
+  test("minhash signature similarity tracks true jaccard for near-identical docs") {
+    val docs = samples(doc, 10)
+    val rows = docs.map(a => (a, a + " zzz")).toDF("a", "b").selectExpr(
+      "minhash_sig(shingles3(a)) AS sa", "minhash_sig(shingles3(b)) AS sb")
+      .selectExpr("size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v)) AS agree")
+      .collect()
+    rows.foreach(r => assert(r.getInt(0) >= 40,
+      s"near-identical docs must agree on most of 64 minima, got ${r.getInt(0)}"))
+  }
+
+  test("simhash is order-insensitive over the token multiset") {
+    val docs = samples(doc, 10)
+    val rows = docs.map(a => (a, a.split(" ").reverse.mkString(" "))).toDF("a", "b")
+      .selectExpr("simhash64(split(a, ' ')) AS ha", "simhash64(split(b, ' ')) AS hb").collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("cosine_sim is 1 on self, symmetric, and within [-1, 1]") {
+    val vec = Gen.listOfN(16, Gen.choose(-5.0, 5.0)).suchThat(_.exists(_ != 0.0))
+    val rows = samples(vec, 20).zip(samples(vec, 20).reverse).toDF("a", "b").selectExpr(
+      "cosine_sim(a, b) AS ab", "cosine_sim(b, a) AS ba", "cosine_sim(a, a) AS aa").collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+      assert(r.getDouble(0) == r.getDouble(1))
+      assert(r.getDouble(0) >= -1.0 - 1e-12 && r.getDouble(0) <= 1.0 + 1e-12)
+    }
+  }
+
+  test("haversine is symmetric, non-negative, zero on self") {
+    val pt = for {
+      lat <- Gen.choose(-85.0, 85.0); lng <- Gen.choose(-179.0, 179.0)
+    } yield (lat, lng)
+    val rows = samples(pt, 20).zip(samples(pt, 20).reverse)
+      .map { case ((a, b), (c, d)) => (a, b, c, d) }
+      .toDF("lat1", "lng1", "lat2", "lng2").selectExpr(
+        "haversine_m(lat1, lng1, lat2, lng2) AS ab",
+        "haversine_m(lat2, lng2, lat1, lng1) AS ba",
+        "haversine_m(lat1, lng1, lat1, lng1) AS self").collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1))
+      assert(r.getDouble(0) >= 0.0)
+      assert(r.getDouble(2) == 0.0)
+    }
+  }
+}
