@@ -15,6 +15,7 @@ object SparkEntry {
     relational.CoreQueries.queries ++ etl.EtlQueries.queries ++
       text.TextQueries.queries ++ dedup.DedupQueries.queries ++
       dedup.MinHashLsh.queries ++ dedup.SimHash.queries ++
+      dedup.DedupClusters.queries ++
       sim.SimQueries.queries ++ sim.AnnLsh.queries ++ sim.AnnIvf.queries ++
       multimodal.MultimodalQueries.queries ++ streaming.StreamQueries.queries
 
@@ -23,6 +24,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     relational.CoreQueries.oracles ++ etl.EtlQueries.oracles ++
       text.TextQueries.oracles ++ dedup.DedupQueries.oracles ++
+      dedup.DedupClusters.oracles ++
       sim.SimQueries.oracles ++ sim.AnnIvf.oracles ++
       multimodal.MultimodalQueries.oracles ++
       streaming.StreamQueries.oracles

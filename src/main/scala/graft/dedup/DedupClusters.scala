@@ -1,0 +1,78 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-dup cluster resolution (SURVEY.md §2 #20b): connected components
+  * over the verified near-dup pair graph, assigning every clustered
+  * document its canonical representative (min doc_id in the component) —
+  * the "keep one per duplicate cluster" step every training-data dedup
+  * pipeline ends with.
+  *
+  * Spark-side: min-label propagation — iterative broadcast-free joins with
+  * a localCheckpoint per round (bounds lineage), converging in component-
+  * diameter iterations. Near-dup components are tiny by construction
+  * (near-identical docs), so convergence is fast; the join shuffles only
+  * the edge set, which LSH has already cut to ~O(dups). The oracle is a
+  * recursive CTE computing the same transitive closure in DuckDB.
+  */
+object DedupClusters {
+
+  /** Connected components of an undirected edge list (u, v). */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.toDF("a", "b")
+    val sym = edges.union(edges.select(col("b"), col("a"))).toDF("u", "v")
+      .localCheckpoint(true)
+    var labels = sym.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val neighborMin = sym.join(labels, sym("v") === labels("id"))
+        .groupBy(sym("u").as("nid"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** #20b: canonical doc per near-dup cluster, over the same verified
+    * pair set as dedup_ngram_jaccard. */
+  def clusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupQueries.ngramJaccard(s, dir).select("a_id", "b_id")
+    connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("label").as("canonical"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> (clusters _))
+
+  private val pairsSql: String =
+    s"""SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |FROM d a JOIN d b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+       |WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.10""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE
+         |d AS (SELECT doc_id, lang, (n_chars // 100) AS lb, ${DedupQueries.shinglesSql} AS sh FROM documents),
+         |pairs AS ($pairsSql),
+         |edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION ALL SELECT b_id, a_id FROM pairs),
+         |reach(u, v) AS (
+         | SELECT u, v FROM edges
+         | UNION
+         | SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |nodes AS (SELECT DISTINCT u FROM edges)
+         |SELECT n.u AS doc_id, least(n.u, min(r.v)) AS canonical
+         |FROM nodes n JOIN reach r ON r.u = n.u
+         |GROUP BY n.u ORDER BY doc_id""".stripMargin)
+}
