@@ -17,7 +17,9 @@ object SparkEntry {
       dedup.MinHashLsh.queries ++ dedup.SimHash.queries ++
       dedup.DedupClusters.queries ++
       sim.SimQueries.queries ++ sim.AnnLsh.queries ++ sim.AnnIvf.queries ++
-      multimodal.MultimodalQueries.queries ++ streaming.StreamQueries.queries
+      sim.VectorOps.queries ++
+      multimodal.MultimodalQueries.queries ++ streaming.StreamQueries.queries ++
+      streaming.StreamDedup.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +29,6 @@ object SparkEntry {
       dedup.DedupClusters.oracles ++
       sim.SimQueries.oracles ++ sim.AnnIvf.oracles ++
       multimodal.MultimodalQueries.oracles ++
-      streaming.StreamQueries.oracles
+      sim.VectorOps.oracles ++ streaming.StreamQueries.oracles ++
+      streaming.StreamDedup.oracles
 }

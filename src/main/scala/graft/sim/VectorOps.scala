@@ -1,0 +1,47 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Embedding maintenance ops (SURVEY.md §2 #24b): L2 normalization and
+  * symmetric int8 quantization — the two transforms every embedding corpus
+  * goes through before ANN serving. Map-side only, no shuffle at any scale.
+  */
+object VectorOps {
+
+  /** #24b: per-vector L2 norm, normalized (rounded) vector, and int8
+    * quantization scale + codes. */
+  def embNormalize(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
+    val emb = col("embedding").cast("array<double>")
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), emb.as("emb"))
+      .withColumn("norm",
+        sqrt(aggregate(col("emb"), lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn("unit", transform(col("emb"), x => round(x / col("norm"), 5)))
+      .withColumn("maxabs", aggregate(col("emb"), lit(0.0), (acc, x) => greatest(acc, abs(x))))
+      .withColumn("q8", transform(col("emb"),
+        x => round(x * lit(127.0) / col("maxabs")).cast("long")))
+      .select(col("vec_id"), round(col("norm"), 6).as("norm"),
+        col("unit"), round(col("maxabs"), 6).as("maxabs"), col("q8"))
+      .orderBy(col("vec_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_normalize" -> (embNormalize _))
+
+  val oracles: Map[String, String] = Map(
+    "emb_normalize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |n AS (SELECT vec_id, emb,
+        |  sqrt(list_dot_product(emb, emb)) AS norm,
+        |  list_max(list_transform(emb, x -> abs(x))) AS maxabs
+        | FROM e)
+        |SELECT vec_id, round(norm, 6) AS norm,
+        | list_transform(emb, x -> round(x / norm, 5)) AS unit,
+        | round(maxabs, 6) AS maxabs,
+        | list_transform(emb, x -> round(x * 127.0 / maxabs)::BIGINT) AS q8
+        |FROM n ORDER BY vec_id""".stripMargin)
+}
