@@ -13,7 +13,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational.CoreQueries.queries ++ etl.EtlQueries.queries ++
-      text.TextQueries.queries ++ dedup.DedupQueries.queries ++
+      text.TextQueries.queries ++ text.PiiScrub.queries ++ dedup.DedupQueries.queries ++
       dedup.MinHashLsh.queries ++ dedup.SimHash.queries ++
       dedup.DedupClusters.queries ++
       sim.SimQueries.queries ++ sim.AnnLsh.queries ++ sim.AnnIvf.queries ++
@@ -25,7 +25,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     relational.CoreQueries.oracles ++ etl.EtlQueries.oracles ++
-      text.TextQueries.oracles ++ dedup.DedupQueries.oracles ++
+      text.TextQueries.oracles ++ text.PiiScrub.oracles ++ dedup.DedupQueries.oracles ++
       dedup.DedupClusters.oracles ++
       sim.SimQueries.oracles ++ sim.AnnIvf.oracles ++
       multimodal.MultimodalQueries.oracles ++

@@ -123,7 +123,25 @@ object CoreQueries {
         count(lit(1)).as("n_rows"))
   }
 
+  /** TPC-H Q17-style: correlated per-group threshold — small-quantity
+    * orders below 20% of the part's average quantity. Expressed as the
+    * scalable join-against-aggregate (one extra partial-agg pass) rather
+    * than a per-row correlated subquery; the oracle states it as the
+    * correlated form to prove equivalence. */
+  def q8SmallQty(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_partkey", "l_quantity", "l_extendedprice")
+    val avgQty = li.groupBy(col("l_partkey").as("ap_key"))
+      .agg((avg(col("l_quantity")) * 0.5).as("threshold"))
+    val p = Tables.part(s, dir).filter(col("p_brand") === "Brand#4").select("p_partkey")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(avgQty, col("l_partkey") === col("ap_key"))
+      .filter(col("l_quantity") < col("threshold"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+        count(lit(1)).as("n_rows"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q8_small_qty"       -> (q8SmallQty _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_revenue_topn"    -> (q2RevenueTopN _),
     "q3_window_running"  -> (q3WindowRunning _),
@@ -188,6 +206,12 @@ object CoreQueries {
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount >= 0.03 AND l_discount <= 0.07
         |  AND l_quantity < 24""".stripMargin,
+    "q8_small_qty" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS n_rows
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#4'
+        |  AND l_quantity < (
+        |    SELECT 0.5 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)""".stripMargin,
     "q7_promo_ratio" ->
       """SELECT round(
         |  100.0 * sum(CASE WHEN p_type LIKE 'STANDARD%'
