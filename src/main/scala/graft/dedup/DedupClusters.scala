@@ -18,30 +18,49 @@ import org.apache.spark.sql.functions._
   */
 object DedupClusters {
 
-  /** Connected components of an undirected edge list (u, v). */
+  /** Connected components of an undirected edge list (u, v). The edge set
+    * is materialized once up front (one checkpoint — its producer may be an
+    * expensive near-dup join); each round is then a single join+agg over the
+    * tiny edge/label sets, carrying the previous label so convergence is
+    * checked on the same materialized frame instead of an extra join. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.toDF("a", "b")
-    val sym = edges.union(edges.select(col("b"), col("a"))).toDF("u", "v")
-      .localCheckpoint(true)
-    var labels = sym.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIters) {
-      val neighborMin = sym.join(labels, sym("v") === labels("id"))
-        .groupBy(sym("u").as("nid"))
-        .agg(min(col("label")).as("nlabel"))
-      val next = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+    val spark = pairs.sparkSession
+    // The per-iteration frames are tiny (near-dup graphs are sparse), so
+    // whole-stage codegen buys nothing here but costs a janino compile per
+    // unique plan per iteration — painful under sbt's layered classloader.
+    // Run the loop interpreted, restore afterwards.
+    // materialize the (possibly expensive) pair-producing plan with codegen
+    // ON, before switching the tiny iteration loop to interpreted mode
+    val edges = pairs.toDF("a", "b").localCheckpoint(true)
+    val prevWsc = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val sym = edges.union(edges.select(col("b"), col("a"))).toDF("u", "v")
+      var labels = sym.select(col("u").as("id")).distinct()
+        .withColumn("label", col("id"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = next
-      iter += 1
-    }
-    labels
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIters) {
+        val neighborMin = sym.join(labels, sym("v") === labels("id"))
+          .groupBy(sym("u").as("nid"))
+          .agg(min(col("label")).as("nlabel"))
+        val viaNeighbor = labels.join(neighborMin, labels("id") === neighborMin("nid"), "left")
+          .select(col("id"), col("label").as("old"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        // pointer doubling: resolve each label through the label table too,
+        // halving the rounds a long chain needs (diameter → log diameter)
+        val lbl2 = viaNeighbor.select(col("id").as("pid"), col("label").as("plabel"))
+        val next = viaNeighbor.join(lbl2, viaNeighbor("label") === lbl2("pid"), "left")
+          .select(col("id"), col("old"),
+            least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
+          .localCheckpoint(true)
+        converged = next.filter(col("label") =!= col("old")).isEmpty
+        labels = next.select("id", "label")
+        iter += 1
+      }
+      labels
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prevWsc)
   }
 
   /** #20b: canonical doc per near-dup cluster, over the same verified

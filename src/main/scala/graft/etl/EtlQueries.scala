@@ -288,7 +288,26 @@ object EtlQueries {
       .orderBy(id)
   }
 
+  /** #14b Crosswalk coverage audit (vehicletypecrosswalk/
+    * check_vehicletypes.py): free-form vehicle values not mapped by the
+    * crosswalk, with frequency and a sample record — the feed constantly
+    * invents new variants ("tesla 5", "morotcycel"), and unmapped values
+    * silently drop out of the hasvehicle_* filters. The audit crosswalk
+    * deliberately lacks the 'error' alias (the just-appeared variant). */
+  def crosswalkAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val id = col("event_id")
+    val known = Seq("click", "view", "purchase", "signup").toDF("alias")
+    Tables.events(s, dir)
+      .select(id, explode(vehicleArr(id)).as("vt"))
+      .join(broadcast(known), col("vt") === col("alias"), "left_anti")
+      .groupBy(col("vt").as("unmatched_value"))
+      .agg(count(lit(1)).as("n"), min(id).as("sample_id"))
+      .orderBy(col("unmatched_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_crosswalk_audit"         -> (crosswalkAudit _),
     "etl_ingest_dedup"            -> (ingestDedup _),
     "etl_normalize"               -> (normalize _),
     "etl_array_parse"             -> (arrayParse _),
@@ -310,6 +329,11 @@ object EtlQueries {
     s"list_filter([event_type, CASE WHEN $e % 4 = 0 THEN 'click' WHEN $e % 4 = 1 THEN 'purchase' ELSE '' END], x -> x != '')"
 
   val oracles: Map[String, String] = Map(
+    "etl_crosswalk_audit" ->
+      s"""WITH v AS (SELECT event_id, unnest($vehicleArrSql) AS vt FROM events)
+         |SELECT vt AS unmatched_value, count(*) AS n, min(event_id) AS sample_id
+         |FROM v WHERE vt NOT IN ('click', 'view', 'purchase', 'signup')
+         |GROUP BY vt ORDER BY unmatched_value""".stripMargin,
     "etl_ingest_dedup" ->
       s"""SELECT event_id, ts, year(ts)::BIGINT AS yr, month(ts)::BIGINT AS mon, event_type,
          | ${mkSql(e)} AS mk, ${miSql(e)} AS mi, ${ckSql(e)} AS ck, ${ciSql(e)} AS ci,
