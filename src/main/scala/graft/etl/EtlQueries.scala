@@ -306,8 +306,24 @@ object EtlQueries {
       .orderBy(col("unmatched_value"))
   }
 
+  /** #17b Day-of-week × hour crash heatmap — the aggregation behind the
+    * crashmapper frontend's time-of-day filtering. Spark's dayofweek is
+    * 1-7 Sun-Sat, DuckDB's 0-6 Sun-Sat; normalized to 0-6 here. */
+  def dowHourHeatmap(s: SparkSession, dir: String): DataFrame = {
+    val id = col("event_id")
+    Tables.events(s, dir)
+      .select((dayofweek(col("ts")) - 1).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hr"),
+        tk(id).as("tk"), ti(id).as("ti"))
+      .groupBy(col("dow"), col("hr"))
+      .agg(count(lit(1)).as("n_crashes"),
+        sum(col("tk")).as("total_killed"), sum(col("ti")).as("total_injured"))
+      .orderBy(col("dow"), col("hr"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_crosswalk_audit"         -> (crosswalkAudit _),
+    "etl_dow_heatmap"             -> (dowHourHeatmap _),
     "etl_ingest_dedup"            -> (ingestDedup _),
     "etl_normalize"               -> (normalize _),
     "etl_array_parse"             -> (arrayParse _),
@@ -329,6 +345,12 @@ object EtlQueries {
     s"list_filter([event_type, CASE WHEN $e % 4 = 0 THEN 'click' WHEN $e % 4 = 1 THEN 'purchase' ELSE '' END], x -> x != '')"
 
   val oracles: Map[String, String] = Map(
+    "etl_dow_heatmap" ->
+      s"""SELECT dayofweek(ts)::BIGINT AS dow, hour(ts)::BIGINT AS hr,
+         | count(*) AS n_crashes,
+         | (sum(${tkSql(e)}))::BIGINT AS total_killed,
+         | (sum(${tiSql(e)}))::BIGINT AS total_injured
+         |FROM events GROUP BY 1, 2 ORDER BY dow, hr""".stripMargin,
     "etl_crosswalk_audit" ->
       s"""WITH v AS (SELECT event_id, unnest($vehicleArrSql) AS vt FROM events)
          |SELECT vt AS unmatched_value, count(*) AS n, min(event_id) AS sample_id

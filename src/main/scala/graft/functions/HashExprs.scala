@@ -43,6 +43,8 @@ object HashExprs {
       exprs => SimHash64(exprs.head), "built-in")
     r.createOrReplaceTempFunction("shingles3",
       exprs => Shingles(exprs.head, 3), "built-in")
+    r.createOrReplaceTempFunction("bigrams_all",
+      exprs => Shingles(exprs.head, 2, distinct = false), "built-in")
     r.createOrReplaceTempFunction("cosine_sim",
       exprs => CosineSim(exprs(0), exprs(1)), "built-in")
     r.createOrReplaceTempFunction("jaccard_sim",
@@ -52,6 +54,7 @@ object HashExprs {
   def minhashSig(c: Column): Column = call_function("minhash_sig", c)
   def simhash64(c: Column): Column = call_function("simhash64", c)
   def shingles3(c: Column): Column = call_function("shingles3", c)
+  def bigramsAll(c: Column): Column = call_function("bigrams_all", c)
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def jaccardSim(a: Column, b: Column): Column = call_function("jaccard_sim", a, b)
 }
@@ -144,7 +147,8 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   * (transform(sequence, i -> element_at(split(text), i) ...)) re-splits the
   * text for every index under interpreted HOF eval — O(words²) regex work
   * per document. */
-case class Shingles(child: Expression, k: Int) extends UnaryExpression with CodegenFallback {
+case class Shingles(child: Expression, k: Int, distinct: Boolean = true)
+    extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "shingles"
@@ -155,8 +159,9 @@ case class Shingles(child: Expression, k: Int) extends UnaryExpression with Code
 
   override def nullSafeEval(input: Any): Any = {
     val words = input.asInstanceOf[UTF8String].toString.split("\\s+")
-    val n = words.length - k + 1
-    val seen = new java.util.LinkedHashSet[String](math.max(4, n * 2))
+    val n = math.max(0, words.length - k + 1)
+    val acc = new java.util.LinkedHashSet[String](math.max(4, n * 2))
+    val all = if (distinct) null else new Array[Any](n)
     var i = 0
     while (i < n) {
       val sb = new java.lang.StringBuilder(64)
@@ -166,14 +171,18 @@ case class Shingles(child: Expression, k: Int) extends UnaryExpression with Code
         sb.append(words(i + j))
         j += 1
       }
-      seen.add(sb.toString)
+      if (distinct) acc.add(sb.toString)
+      else all(i) = UTF8String.fromString(sb.toString)
       i += 1
     }
-    val out = new Array[Any](seen.size)
-    val it = seen.iterator()
-    var p = 0
-    while (it.hasNext) { out(p) = UTF8String.fromString(it.next()); p += 1 }
-    new GenericArrayData(out)
+    if (!distinct) new GenericArrayData(all)
+    else {
+      val out = new Array[Any](acc.size)
+      val it = acc.iterator()
+      var p = 0
+      while (it.hasNext) { out(p) = UTF8String.fromString(it.next()); p += 1 }
+      new GenericArrayData(out)
+    }
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -76,7 +76,24 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** #28b Corpus n-gram frequency statistics: top-50 word bigrams — the
+    * vocabulary/statistics pass of a tokenizer-training pipeline. A single
+    * explode→groupBy (map-side combinable) + top-k. */
+  def ngramFreq(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("bigram"))
+    Tables.documents(s, dir)
+      .select(explode(graft.functions.HashExprs.bigramsAll(col("text"))).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 50)
+      .orderBy(col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ngram_freq"  -> (ngramFreq _),
     "text_langid"      -> (langid _),
     "text_quality"     -> (quality _),
     "text_tokens"      -> (tokens _),
@@ -86,6 +103,15 @@ object TextQueries {
   private val w = "regexp_split_to_array(text, '\\s+')"
 
   val oracles: Map[String, String] = Map(
+    "text_ngram_freq" ->
+      s"""WITH b AS (
+         | SELECT unnest(list_transform(range(1, len($w)),
+         |   i -> $w[i] || ' ' || $w[i+1])) AS bigram
+         | FROM documents),
+         |c AS (SELECT bigram, count(*) AS n FROM b GROUP BY bigram)
+         |SELECT bigram, n, rk FROM (
+         | SELECT *, row_number() OVER (ORDER BY n DESC, bigram) AS rk FROM c) t
+         |WHERE rk <= 50 ORDER BY rk""".stripMargin,
     "text_langid" ->
       s"""WITH c AS (SELECT doc_id,
          | len(list_filter($w, x -> list_contains(${sqlList(EnMarkers)}, x)))::BIGINT AS cnt_en,
