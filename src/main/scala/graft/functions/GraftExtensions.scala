@@ -18,6 +18,9 @@ import graft.geo.HaversineMeters
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // opt-in containment-join → cell-equi-join rewrite
+    // (spark.graft.rewriteContainmentJoin=true)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteContainmentJoin)
     ext.injectFunction((
       new FunctionIdentifier("haversine_m"),
       new ExpressionInfo(classOf[HaversineMeters].getName, "haversine_m"),
