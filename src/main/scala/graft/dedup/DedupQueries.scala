@@ -66,8 +66,29 @@ object DedupQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** #20c Benchmark decontamination: flag corpus documents whose 3-gram
+    * shingles overlap a benchmark set (doc_id < 10 stands in for the eval
+    * suite) above a containment threshold — the standard pre-training
+    * hygiene pass. The benchmark shingle set is a one-row aggregate,
+    * broadcast to every partition; the corpus never shuffles. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
+    val d = Tables.documents(s, dir).select(col("doc_id"), shingles(col("text")).as("sh"))
+    val bench = d.filter(col("doc_id") < 10)
+      .select(explode(col("sh")).as("shingle"))
+      .agg(array_sort(collect_set(col("shingle"))).as("bench_sh"))
+    d.crossJoin(broadcast(bench))
+      .select(col("doc_id"),
+        size(col("sh")).cast("long").as("n_shingles"),
+        size(array_intersect(col("sh"), col("bench_sh"))).cast("long").as("n_overlap"))
+      .withColumn("containment", round(col("n_overlap").cast("double") / col("n_shingles"), 4))
+      .withColumn("contaminated", col("doc_id") < 10 || col("containment") >= 0.5 || col("n_overlap") >= 20)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"            -> (exact _),
+    "text_decontaminate"     -> (decontaminate _),
     "dedup_ngram_jaccard"    -> (ngramJaccard _),
     "dedup_embedding_cosine" -> (embeddingCosine _))
 
@@ -80,6 +101,15 @@ object DedupQueries {
     s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
 
   val oracles: Map[String, String] = Map(
+    "text_decontaminate" ->
+      s"""WITH d AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+         |bench AS (SELECT list_distinct(flatten(list(sh))) AS bench_sh FROM d WHERE doc_id < 10)
+         |SELECT doc_id, len(sh)::BIGINT AS n_shingles,
+         | len(list_intersect(sh, bench_sh))::BIGINT AS n_overlap,
+         | round(len(list_intersect(sh, bench_sh))::DOUBLE / len(sh), 4) AS containment,
+         | (doc_id < 10 OR round(len(list_intersect(sh, bench_sh))::DOUBLE / len(sh), 4) >= 0.5
+         |   OR len(list_intersect(sh, bench_sh)) >= 20) AS contaminated
+         |FROM d CROSS JOIN bench ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keeper_id
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
