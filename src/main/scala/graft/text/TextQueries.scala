@@ -92,7 +92,22 @@ object TextQueries {
       .orderBy(col("rk"))
   }
 
+  /** #28c Deterministic stratified sampling — the data-mixing step of a
+    * training corpus: per-language keep-rates applied via a content-stable
+    * hash bucket (md5 prefix), so the sample is reproducible on any engine
+    * and any cluster size; `TABLESAMPLE`/rand() are neither. */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+      .cast("long") % 100
+    val rate = when(col("lang") === "en", 80L).otherwise(40L)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"), rate.as("keep_rate"))
+      .filter(col("bucket") < col("keep_rate"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_stratified" -> (sampleStratified _),
     "text_ngram_freq"  -> (ngramFreq _),
     "text_langid"      -> (langid _),
     "text_quality"     -> (quality _),
@@ -103,6 +118,13 @@ object TextQueries {
   private val w = "regexp_split_to_array(text, '\\s+')"
 
   val oracles: Map[String, String] = Map(
+    "sample_stratified" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT % 100 AS bucket,
+        |  (CASE WHEN lang = 'en' THEN 80 ELSE 40 END)::BIGINT AS keep_rate
+        | FROM documents)
+        |SELECT doc_id, lang, bucket, keep_rate FROM b
+        |WHERE bucket < keep_rate ORDER BY doc_id""".stripMargin,
     "text_ngram_freq" ->
       s"""WITH b AS (
          | SELECT unnest(list_transform(range(1, len($w)),
