@@ -1,0 +1,68 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.{DedupClusters, DedupQueries}
+
+/** Training-corpus builder: the LLM-data-pipeline operators composed into
+  * one job, the way CrashPipeline composes the reference ETL surface.
+  *
+  *   quality gate → exact dedup → near-dup cluster canonicalization →
+  *   benchmark decontamination → deterministic stratified sampling
+  *
+  * Each stage is the same logic as its standalone oracle-checked operator;
+  * the composition stays declarative except the (iterative) cluster step.
+  * Scale shape: the corpus is filtered map-side first (cheapest cut), the
+  * only shuffles are the dedup groupBy and the sparse near-dup machinery,
+  * and the benchmark set rides along as a broadcast.
+  */
+object CorpusPipeline {
+
+  def build(s: SparkSession, dir: String,
+      minWords: Long = 10, maxStopRatio: Double = 0.6,
+      benchmarkMaxOverlap: Long = 20, sampleBucketOf100: Long = 80): DataFrame = {
+    graft.functions.HashExprs.register(s)
+
+    // 1. quality gate (map-side only)
+    val ws = split(col("text"), "\\s+")
+    val stop = size(filter(ws, w => w.isin("the", "a", "of", "and", "in"))).cast("double")
+    val quality = Tables.documents(s, dir)
+      .withColumn("n_words", size(ws).cast("long"))
+      .filter(col("n_words") >= minWords &&
+        stop / col("n_words") <= maxStopRatio)
+
+    // 2. exact dedup: keep the min doc_id per content hash
+    val keepers = quality
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val exactDeduped = quality.join(keepers, "doc_id")
+
+    // 3. near-dup canonicalization: drop non-canonical cluster members
+    val clusters = DedupClusters.clusters(s, dir)
+      .filter(col("doc_id") =!= col("canonical"))
+      .select(col("doc_id"))
+    val nearDeduped = exactDeduped.join(clusters, Seq("doc_id"), "left_anti")
+
+    // 4. decontamination vs the benchmark shingle set (broadcast)
+    val sh = DedupQueries.shingles(col("text"))
+    val bench = Tables.documents(s, dir).filter(col("doc_id") < 10)
+      .select(explode(DedupQueries.shingles(col("text"))).as("shingle"))
+      .agg(array_sort(collect_set(col("shingle"))).as("bench_sh"))
+    val clean = nearDeduped
+      .withColumn("sh", sh)
+      .crossJoin(broadcast(bench))
+      .filter(col("doc_id") >= 10 &&
+        size(array_intersect(col("sh"), col("bench_sh"))) < benchmarkMaxOverlap)
+      .drop("sh", "bench_sh")
+
+    // 5. deterministic sample (content-stable hash bucket)
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+      .cast("long") % 100
+    clean.filter(bucket < sampleBucketOf100)
+      .select("doc_id", "text", "lang", "source", "n_chars", "n_words")
+      .orderBy("doc_id")
+  }
+}
