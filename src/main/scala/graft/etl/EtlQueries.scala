@@ -66,8 +66,12 @@ object EtlQueries {
       .select(col("p_partkey"),
         filter(
           transform(split(col("raw"), ","), x => regexp_replace(trim(x), "'", "")),
-          x => x =!= "").as("factors"))
-      .withColumn("n_factors", size(col("factors")).cast("long"))
+          x => x =!= "").as("factors_arr"))
+      // '|'-joined string form: the driver's pandas row-sort cannot hash
+      // array cells, so the oracle-visible column is scalar.
+      .select(col("p_partkey"),
+        array_join(col("factors_arr"), "|").as("factors"),
+        size(col("factors_arr")).cast("long").as("n_factors"))
       .orderBy(col("p_partkey"))
   }
 
@@ -377,11 +381,12 @@ object EtlQueries {
          |FROM events ORDER BY event_id""".stripMargin,
     "etl_array_parse" ->
       """WITH r AS (SELECT p_partkey,
-        |  '''' || p_brand || ''' , ' || replace(p_type, ' ', ',') AS raw FROM part)
-        |SELECT p_partkey,
-        | list_filter(list_transform(string_split(raw, ','), x -> replace(trim(x), '''', '')), x -> x != '') AS factors,
-        | len(list_filter(list_transform(string_split(raw, ','), x -> replace(trim(x), '''', '')), x -> x != ''))::BIGINT AS n_factors
-        |FROM r ORDER BY p_partkey""".stripMargin,
+        |  '''' || p_brand || ''' , ' || replace(p_type, ' ', ',') AS raw FROM part),
+        |a AS (SELECT p_partkey,
+        |  list_filter(list_transform(string_split(raw, ','), x -> replace(trim(x), '''', '')), x -> x != '') AS fa
+        | FROM r)
+        |SELECT p_partkey, array_to_string(fa, '|') AS factors, len(fa)::BIGINT AS n_factors
+        |FROM a ORDER BY p_partkey""".stripMargin,
     "etl_geo_bbox" ->
       s"""WITH g AS (SELECT event_id, ${cartoLngSql(e)} AS lng, ${cartoLatSql(e)} AS lat FROM events)
          |SELECT event_id,
