@@ -48,32 +48,18 @@ object CrashPipeline {
         col("lat") >= lit(40.50) && col("lat") < lit(40.90), "left")
       .drop("west", "east")
 
-    // vehicle crosswalk flags (update_hasvehicle, main.py:1082-1102)
-    val vehicles = filter(array(col("event_type"),
-      when(id % 4 === 0, lit("click")).when(id % 4 === 1, lit("purchase")).otherwise(lit(""))),
-      x => x =!= "")
-    val cw = Seq(
-      ("POINTER", "click"), ("POINTER", "view"),
-      ("CONVERT", "purchase"), ("CONVERT", "signup"),
-      ("FAIL", "error")).toDF("cls", "alias")
-    val flagged = zoned.withColumn("vehicles", vehicles)
-      .join(broadcast(cw), array_contains(col("vehicles"), col("alias")), "left")
-      .groupBy(zoned.columns.map(col) :+ col("vehicles"): _*)
-      .agg(
-        coalesce(max(when(col("cls") === "POINTER", lit(true))), lit(false)).as("has_pointer"),
-        coalesce(max(when(col("cls") === "CONVERT", lit(true))), lit(false)).as("has_convert"),
-        coalesce(max(when(col("cls") === "FAIL", lit(true))), lit(false)).as("has_fail"))
+    // vehicle crosswalk flags (update_hasvehicle, main.py:1082-1102): the
+    // per-class alias lists are driver-collected constants, so every flag is
+    // a map-side arrays_overlap — the fact side is never exchanged (the
+    // previous formulation broadcast-NLJ'd an alias dim and re-collapsed
+    // with a groupBy over a ~20-column composite key: a full fact shuffle)
+    val flagged = EtlQueries.withCrosswalkFlags(s,
+      zoned.withColumn("vehicles", vehicleArr(id)))
 
-    // blame allocation (update_blame_allocations, main.py:650-790)
-    flagged
-      .withColumn("has_other", !(col("has_pointer") || col("has_convert") || col("has_fail")))
-      .withColumn("bike_blame", col("has_pointer") && !col("has_convert") && !col("has_fail"))
-      .withColumn("blame_factor",
-        when(col("bike_blame"), lit(1.0) / col("has_pointer").cast("int"))
-          .otherwise(lit(1.0) / nullif(
-            col("has_convert").cast("int") + col("has_fail").cast("int") + col("has_other").cast("int"),
-            lit(0))))
-      .withColumn("injured_allocated", round(col("blame_factor") * col("ti"), 4))
-      .withColumn("killed_allocated", round(col("blame_factor") * col("tk"), 4))
+    // blame allocation (update_blame_allocations, main.py:650-790): the full
+    // 8-mode × 4-victim × {injured,killed} matrix, all in-projection
+    EtlQueries.withAllocations(EtlQueries.withBlame(flagged))
+      .withColumn("blame_factor", round(col("blame_factor_raw"), 4))
+      .drop("blame_factor_raw")
   }
 }

@@ -176,78 +176,145 @@ object EtlQueries {
       .orderBy(id)
   }
 
-  /** Vehicle array per event + the crosswalk dim, shared by #14/#15.
-    * The crosswalk is a real dimension table (vehicletype_crosswalk_prod in
-    * the reference, main.py:1082-1102), broadcast and joined on
-    * array-containment. */
-  private def vehicleArr(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    filter(array(col("event_type"),
-      when(id % 4 === 0, lit("click")).when(id % 4 === 1, lit("purchase")).otherwise(lit(""))),
-      x => x =!= "")
+  // ---------------- vehicle crosswalk + blame (#14/#15) ----------------
+  //
+  // The reference's 8-class surface: vehicletype_crosswalk_prod maps
+  // free-form vehicle_type[] values to 8 crashmapper classes
+  // (main.py:1082-1102), then blame is allocated per mode × victim class ×
+  // {injured, killed} with bike/scooter special-casing (main.py:650-790).
 
-  private def crosswalkFlags(s: SparkSession, dir: String): DataFrame = {
+  /** The 8 crashmapper vehicle classes, in the reference's mode order. */
+  val ModeClasses: Seq[String] =
+    Seq("bike", "scooter", "motorcycle", "busvan", "car", "suv", "truck", "other")
+
+  /** Class → free-form aliases (the vehicletype_crosswalk_prod rows). */
+  val CrosswalkAliases: Seq[(String, Seq[String])] = Seq(
+    "bike"       -> Seq("bike", "bicycle"),
+    "scooter"    -> Seq("scooter", "e-scooter"),
+    "motorcycle" -> Seq("motorcycle", "moped"),
+    "busvan"     -> Seq("bus", "van"),
+    "car"        -> Seq("sedan", "taxi"),
+    "suv"        -> Seq("suv", "station wagon"),
+    "truck"      -> Seq("truck", "box truck"),
+    "other"      -> Seq("unknown", "other"))
+
+  /** Victim classes → (killed, injured) tally columns; persons = the derived
+    * total, as in main.py:714-717. */
+  private val Victims: Seq[(String, String, String)] = Seq(
+    ("cyclist", "ck", "ci"), ("motorist", "mk", "mi"),
+    ("pedestrian", "pk", "pi"), ("persons", "tk", "ti"))
+
+  /** The crosswalk as a real dimension table. */
+  def crosswalkDim(s: SparkSession): DataFrame = {
     import s.implicits._
-    val id = col("event_id")
-    val cw = Seq(
-      ("POINTER", "click"), ("POINTER", "view"),
-      ("CONVERT", "purchase"), ("CONVERT", "signup"),
-      ("FAIL", "error")).toDF("cls", "alias")
-    val ev = Tables.events(s, dir).select(id, vehicleArr(id).as("vehicles"))
-    ev.join(broadcast(cw), array_contains(col("vehicles"), col("alias")), "left")
-      .groupBy(id)
-      .agg(
-        coalesce(max(when(col("cls") === "POINTER", lit(true))), lit(false)).as("has_pointer"),
-        coalesce(max(when(col("cls") === "CONVERT", lit(true))), lit(false)).as("has_convert"),
-        coalesce(max(when(col("cls") === "FAIL", lit(true))), lit(false)).as("has_fail"))
+    CrosswalkAliases.flatMap { case (c, as) => as.map(c -> _) }.toDF("cls", "alias")
   }
 
-  /** #14 Array-overlap crosswalk → per-class booleans (main.py:1082-1102). */
-  def vehicleCrosswalk(s: SparkSession, dir: String): DataFrame =
-    crosswalkFlags(s, dir).orderBy(col("event_id"))
+  /** Adds the 9 hasvehicle_* booleans to a frame with a `vehicles` array.
+    *
+    * The per-class alias lists are collected ONCE from the dim — the same
+    * driver-side handful of strings the reference's scalar subquery
+    * (ARRAY_AGG ... WHERE crashmapper_vehicletype = X) materializes — and
+    * each flag is then a pure map-side arrays_overlap expression. No join,
+    * no shuffle: at 100 TB the fact table is scanned once and never
+    * exchanged (the previous formulation broadcast-NLJ'd the dim and then
+    * re-collapsed with a full-fact groupBy(event_id)). */
+  private[etl] def withCrosswalkFlags(s: SparkSession, df: DataFrame): DataFrame = {
+    val aliases = CrosswalkAliases.toMap
+    val flagged = df.withColumns(
+      ModeClasses.map(c =>
+        s"hasvehicle_$c" -> arrays_overlap(col("vehicles"), typedlit(aliases(c)))).toMap)
+    val sum8 = ModeClasses.map(c => col(s"hasvehicle_$c").cast("int")).reduce(_ + _)
+    // catch-all: TRUE when no class matched at all (main.py:656-668)
+    flagged.withColumn("hasvehicle_other_unspecified",
+      when(sum8 === lit(0), lit(true)).otherwise(col("hasvehicle_other")))
+  }
 
-  /** #15 Blame allocation (main.py:650-790): blame factor from the class
-    * flags, allocated counters, per-mode attribution. */
+  /** Adds bike_blame + blame_factor_raw (main.py:669-700): bikes/scooters
+    * take the blame only when no motor vehicle is involved; otherwise blame
+    * splits evenly across involved motor classes (+1 for the no-data case). */
+  private[etl] def withBlame(df: DataFrame): DataFrame = {
+    val motor = Seq("motorcycle", "busvan", "car", "suv", "truck", "other")
+      .map(c => col(s"hasvehicle_$c").cast("int")).reduce(_ + _)
+    val sum8 = ModeClasses.map(c => col(s"hasvehicle_$c").cast("int")).reduce(_ + _)
+    df.withColumn("bike_blame",
+        (col("hasvehicle_bike") || col("hasvehicle_scooter")) && motor === lit(0))
+      .withColumn("blame_factor_raw",
+        when(col("bike_blame"),
+          lit(1.0) / nullif(
+            col("hasvehicle_bike").cast("int") + col("hasvehicle_scooter").cast("int"), lit(0)))
+        .otherwise(lit(1.0) / nullif(
+          motor + when(sum8 === lit(0), lit(1)).otherwise(lit(0)), lit(0))))
+  }
+
+  /** Whether mode m takes allocated blame (main.py:718-790): bike/scooter
+    * only under bike_blame; `other` via the unspecified catch-all. */
+  private def modeGate(m: String): org.apache.spark.sql.Column = m match {
+    case "bike" | "scooter" => col("bike_blame") && col(s"hasvehicle_$m")
+    case "other"            => col("hasvehicle_other_unspecified")
+    case _                  => col(s"hasvehicle_$m")
+  }
+
+  /** Adds the 8 *_allocated counters and the 64 per-mode columns in two
+    * single projections (main.py:702-790). */
+  private[etl] def withAllocations(df: DataFrame): DataFrame = {
+    val allocated = df.withColumns(
+      Victims.flatMap { case (v, kc, ic) => Seq(
+        s"${v}_injured_allocated" -> round(col("blame_factor_raw") * col(ic), 4),
+        s"${v}_killed_allocated"  -> round(col("blame_factor_raw") * col(kc), 4))
+      }.toMap)
+    allocated.withColumns(
+      (for { m <- ModeClasses; (v, _, _) <- Victims; sfx <- Seq("injured", "killed") }
+        yield s"${v}_${sfx}_by$m" ->
+          when(modeGate(m), col(s"${v}_${sfx}_allocated")).otherwise(lit(0.0))).toMap)
+  }
+
+  /** #14 Array-overlap crosswalk → 8 has-class booleans + the unspecified
+    * catch-all (main.py:1082-1102). */
+  def vehicleCrosswalk(s: SparkSession, dir: String): DataFrame = {
+    val id = col("event_id")
+    val base = Tables.events(s, dir).select(id, vehicleArr(id).as("vehicles"))
+    withCrosswalkFlags(s, base).drop("vehicles").orderBy(id)
+  }
+
+  /** #15 Blame allocation (main.py:650-790): the full mode × victim-class ×
+    * {injured, killed} matrix — 64 per-mode columns + 8 allocated totals. */
   def blameAllocation(s: SparkSession, dir: String): DataFrame = {
     val id = col("event_id")
-    val flags = crosswalkFlags(s, dir)
-    val tallies = flags
-      .withColumn("tki", tk(id))
-      .withColumn("tii", ti(id))
-      .withColumn("has_other",
-        !(col("has_pointer") || col("has_convert") || col("has_fail")))
-      .withColumn("bike_blame",
-        col("has_pointer") && !col("has_convert") && !col("has_fail"))
-      .withColumn("blame_factor",
-        when(col("bike_blame"), lit(1.0) / col("has_pointer").cast("int"))
-          .otherwise(lit(1.0) / nullif(
-            col("has_convert").cast("int") + col("has_fail").cast("int") + col("has_other").cast("int"),
-            lit(0))))
-      .withColumn("injured_allocated", round(col("blame_factor") * col("tii"), 4))
-      .withColumn("killed_allocated", round(col("blame_factor") * col("tki"), 4))
-    tallies.select(id,
-        round(col("blame_factor"), 4).as("blame_factor"),
-        col("injured_allocated"), col("killed_allocated"),
-        when(col("bike_blame") && col("has_pointer"), col("injured_allocated")).otherwise(0.0).as("injured_by_pointer"),
-        when(col("bike_blame") && col("has_pointer"), col("killed_allocated")).otherwise(0.0).as("killed_by_pointer"),
-        when(col("has_convert"), col("injured_allocated")).otherwise(0.0).as("injured_by_convert"),
-        when(col("has_convert"), col("killed_allocated")).otherwise(0.0).as("killed_by_convert"),
-        when(col("has_fail"), col("injured_allocated")).otherwise(0.0).as("injured_by_fail"),
-        when(col("has_fail"), col("killed_allocated")).otherwise(0.0).as("killed_by_fail"),
-        when(col("has_other"), col("injured_allocated")).otherwise(0.0).as("injured_by_other"),
-        when(col("has_other"), col("killed_allocated")).otherwise(0.0).as("killed_by_other"))
+    val base = Tables.events(s, dir).select(id, vehicleArr(id).as("vehicles"),
+      ck(id).as("ck"), ci(id).as("ci"), mk(id).as("mk"), mi(id).as("mi"),
+      pk(id).as("pk"), Synth.pi(id).as("pi"), tk(id).as("tk"), ti(id).as("ti"))
+    val full = withAllocations(withBlame(withCrosswalkFlags(s, base)))
+    full.select(
+      Seq(id, round(col("blame_factor_raw"), 4).as("blame_factor"), col("bike_blame")) ++
+      Victims.flatMap { case (v, _, _) =>
+        Seq(col(s"${v}_injured_allocated"), col(s"${v}_killed_allocated")) } ++
+      (for { m <- ModeClasses; (v, _, _) <- Victims; sfx <- Seq("injured", "killed") }
+        yield col(s"${v}_${sfx}_by$m")): _*)
       .orderBy(id)
   }
 
-  /** #16 Backlog audit (backlog/check_backlog.py): per-day counts of source
-    * records missing from the warehouse. */
+  /** #16 Backlog audit (backlog/check_backlog.py, esp. the per-month
+    * SODA-vs-warehouse ID-set diff at ~200-320): per month, how many source
+    * records are missing from the warehouse AND which ones — the missing-ID
+    * list is the actionable output. The list is bounded (first 50 ids,
+    * ascending) so a bad month cannot blow up the report row: the bound is
+    * applied with a per-month rank BEFORE collecting, so no unbounded
+    * collect_list state exists even when a month is missing millions of
+    * rows; counts/min/max still cover the full missing set. */
   def backlogCheck(s: SparkSession, dir: String): DataFrame = {
     val id = col("event_id")
     val soda = Tables.events(s, dir).select(id, col("ts"))
     val carto = Tables.events(s, dir).filter(inCarto(id)).select("event_id")
-    soda.join(carto, Seq("event_id"), "left_anti")
-      .groupBy(date_trunc("day", col("ts")).as("day"))
-      .agg(count(lit(1)).as("n_missing"), min(id).as("min_id"), max(id).as("max_id"))
-      .orderBy(col("day"))
+    val missing = soda.join(carto, Seq("event_id"), "left_anti")
+      .select(id, date_trunc("month", col("ts")).as("month"))
+    val w = Window.partitionBy(col("month")).orderBy(id)
+    missing
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_missing"), min(id).as("min_id"), max(id).as("max_id"),
+        array_join(sort_array(collect_list(when(col("rk") <= 50, id))), "|").as("missing_ids"))
+      .orderBy(col("month"))
   }
 
   /** #17 High-crash cells (highcrash_intersections/): severity-weighted
@@ -293,15 +360,15 @@ object EtlQueries {
   }
 
   /** #14b Crosswalk coverage audit (vehicletypecrosswalk/
-    * check_vehicletypes.py): free-form vehicle values not mapped by the
-    * crosswalk, with frequency and a sample record — the feed constantly
-    * invents new variants ("tesla 5", "morotcycel"), and unmapped values
-    * silently drop out of the hasvehicle_* filters. The audit crosswalk
-    * deliberately lacks the 'error' alias (the just-appeared variant). */
+    * check_vehicletypes.py): free-form vehicle values not mapped by any
+    * crosswalk alias, with frequency and a sample record — the feed
+    * constantly invents new variants, and unmapped values silently drop out
+    * of the hasvehicle_* filters (they only surface via the unspecified
+    * catch-all). The synthetic feed plants "tractor"/"golfcart" as the
+    * just-appeared variants. */
   def crosswalkAudit(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val id = col("event_id")
-    val known = Seq("click", "view", "purchase", "signup").toDF("alias")
+    val known = crosswalkDim(s).select(col("alias"))
     Tables.events(s, dir)
       .select(id, explode(vehicleArr(id)).as("vt"))
       .join(broadcast(known), col("vt") === col("alias"), "left_anti")
@@ -345,8 +412,28 @@ object EtlQueries {
   // ---------------- DuckDB oracle SQL (mirrors the plans above) ----------------
 
   private val e = "event_id"
-  private val vehicleArrSql =
-    s"list_filter([event_type, CASE WHEN $e % 4 = 0 THEN 'click' WHEN $e % 4 = 1 THEN 'purchase' ELSE '' END], x -> x != '')"
+
+  // crosswalk/blame SQL fragments generated from the same class/alias/victim
+  // tables the Spark plans use, so the two sides cannot drift
+  private def aliasListSql(c: String): String =
+    CrosswalkAliases.toMap.apply(c).map(a => s"'$a'").mkString("[", ", ", "]")
+  private val flagsSelectSql: String = ModeClasses
+    .map(c => s"list_has_any(va, ${aliasListSql(c)}) AS hasvehicle_$c").mkString(",\n  ")
+  private val sum8Sql: String = ModeClasses.map(c => s"hasvehicle_$c::INT").mkString(" + ")
+  private val motorSql: String = Seq("motorcycle", "busvan", "car", "suv", "truck", "other")
+    .map(c => s"hasvehicle_$c::INT").mkString(" + ")
+  private val victimsSql = Seq(
+    ("cyclist", ckSql(e), ciSql(e)), ("motorist", mkSql(e), miSql(e)),
+    ("pedestrian", pkSql(e), piSql(e)), ("persons", tkSql(e), tiSql(e)))
+  private def modeGateSql(m: String): String = m match {
+    case "bike" | "scooter" => s"(bike_blame AND hasvehicle_$m)"
+    case "other"            => "hasvehicle_other_unspecified"
+    case _                  => s"hasvehicle_$m"
+  }
+  private val byModeSelectSql: String =
+    (for { m <- ModeClasses; (v, _, _) <- victimsSql; sfx <- Seq("injured", "killed") }
+      yield s"CASE WHEN ${modeGateSql(m)} THEN ${v}_${sfx}_allocated ELSE 0.0 END AS ${v}_${sfx}_by$m")
+      .mkString(",\n  ")
 
   val oracles: Map[String, String] = Map(
     "etl_dow_heatmap" ->
@@ -356,9 +443,9 @@ object EtlQueries {
          | (sum(${tiSql(e)}))::BIGINT AS total_injured
          |FROM events GROUP BY 1, 2 ORDER BY dow, hr""".stripMargin,
     "etl_crosswalk_audit" ->
-      s"""WITH v AS (SELECT event_id, unnest($vehicleArrSql) AS vt FROM events)
+      s"""WITH v AS (SELECT event_id, unnest(${vehicleArrSql(e)}) AS vt FROM events)
          |SELECT vt AS unmatched_value, count(*) AS n, min(event_id) AS sample_id
-         |FROM v WHERE vt NOT IN ('click', 'view', 'purchase', 'signup')
+         |FROM v WHERE vt NOT IN (${CrosswalkAliases.flatMap(_._2).map(a => s"'$a'").mkString(", ")})
          |GROUP BY vt ORDER BY unmatched_value""".stripMargin,
     "etl_ingest_dedup" ->
       s"""SELECT event_id, ts, year(ts)::BIGINT AS yr, month(ts)::BIGINT AS mon, event_type,
@@ -438,46 +525,43 @@ object EtlQueries {
          | END) IS NOT NULL
          |ORDER BY event_id""".stripMargin,
     "etl_vehicle_crosswalk" ->
-      s"""SELECT event_id,
-         | list_has_any($vehicleArrSql, ['click','view']) AS has_pointer,
-         | list_has_any($vehicleArrSql, ['purchase','signup']) AS has_convert,
-         | list_has_any($vehicleArrSql, ['error']) AS has_fail
-         |FROM events ORDER BY event_id""".stripMargin,
+      s"""WITH v AS (SELECT event_id, ${vehicleArrSql(e)} AS va FROM events),
+         |f AS (SELECT event_id,
+         |  $flagsSelectSql
+         | FROM v)
+         |SELECT event_id, ${ModeClasses.map(c => s"hasvehicle_$c").mkString(", ")},
+         | CASE WHEN ($sum8Sql) = 0 THEN TRUE ELSE hasvehicle_other END AS hasvehicle_other_unspecified
+         |FROM f ORDER BY event_id""".stripMargin,
     "etl_blame_allocation" ->
-      s"""WITH f AS (
-         | SELECT event_id, ${tkSql(e)} AS tki, ${tiSql(e)} AS tii,
-         |  list_has_any($vehicleArrSql, ['click','view']) AS has_pointer,
-         |  list_has_any($vehicleArrSql, ['purchase','signup']) AS has_convert,
-         |  list_has_any($vehicleArrSql, ['error']) AS has_fail
-         | FROM events),
-         |g AS (
-         | SELECT *, NOT (has_pointer OR has_convert OR has_fail) AS has_other,
-         |  has_pointer AND NOT has_convert AND NOT has_fail AS bike_blame
+      s"""WITH v AS (SELECT event_id, ${vehicleArrSql(e)} AS va FROM events),
+         |f AS (SELECT event_id,
+         |  ${victimsSql.map { case (v, k, i) => s"$k AS v_${v}_k, $i AS v_${v}_i" }.mkString(", ")},
+         |  $flagsSelectSql
+         | FROM v),
+         |g AS (SELECT *,
+         |  CASE WHEN ($sum8Sql) = 0 THEN TRUE ELSE hasvehicle_other END AS hasvehicle_other_unspecified,
+         |  ((hasvehicle_bike OR hasvehicle_scooter) AND ($motorSql) = 0) AS bike_blame,
+         |  CASE WHEN (hasvehicle_bike OR hasvehicle_scooter) AND ($motorSql) = 0
+         |   THEN 1.0 / nullif(hasvehicle_bike::INT + hasvehicle_scooter::INT, 0)
+         |   ELSE 1.0 / nullif(($motorSql) + (CASE WHEN ($sum8Sql) = 0 THEN 1 ELSE 0 END), 0)
+         |  END AS blame_factor_raw
          | FROM f),
-         |h AS (
-         | SELECT *, CASE WHEN bike_blame THEN 1.0 / has_pointer::INT
-         |   ELSE 1.0 / nullif(has_convert::INT + has_fail::INT + has_other::INT, 0) END AS blame_factor_raw
-         | FROM g),
-         |i AS (
-         | SELECT *, round(blame_factor_raw * tii, 4) AS injured_allocated,
-         |  round(blame_factor_raw * tki, 4) AS killed_allocated
-         | FROM h)
-         |SELECT event_id, round(blame_factor_raw, 4) AS blame_factor,
-         | injured_allocated, killed_allocated,
-         | CASE WHEN bike_blame AND has_pointer THEN injured_allocated ELSE 0.0 END AS injured_by_pointer,
-         | CASE WHEN bike_blame AND has_pointer THEN killed_allocated ELSE 0.0 END AS killed_by_pointer,
-         | CASE WHEN has_convert THEN injured_allocated ELSE 0.0 END AS injured_by_convert,
-         | CASE WHEN has_convert THEN killed_allocated ELSE 0.0 END AS killed_by_convert,
-         | CASE WHEN has_fail THEN injured_allocated ELSE 0.0 END AS injured_by_fail,
-         | CASE WHEN has_fail THEN killed_allocated ELSE 0.0 END AS killed_by_fail,
-         | CASE WHEN has_other THEN injured_allocated ELSE 0.0 END AS injured_by_other,
-         | CASE WHEN has_other THEN killed_allocated ELSE 0.0 END AS killed_by_other
+         |i AS (SELECT *,
+         |  ${victimsSql.map { case (v, _, _) =>
+              s"round(blame_factor_raw * v_${v}_i, 4) AS ${v}_injured_allocated, " +
+              s"round(blame_factor_raw * v_${v}_k, 4) AS ${v}_killed_allocated" }
+             .mkString(",\n  ")}
+         | FROM g)
+         |SELECT event_id, round(blame_factor_raw, 4) AS blame_factor, bike_blame,
+         | ${victimsSql.map { case (v, _, _) => s"${v}_injured_allocated, ${v}_killed_allocated" }.mkString(", ")},
+         |  $byModeSelectSql
          |FROM i ORDER BY event_id""".stripMargin,
     "etl_backlog_check" ->
-      s"""SELECT date_trunc('day', ts) AS day, count(*) AS n_missing,
-         | min(event_id) AS min_id, max(event_id) AS max_id
+      s"""SELECT date_trunc('month', ts) AS month, count(*) AS n_missing,
+         | min(event_id) AS min_id, max(event_id) AS max_id,
+         | array_to_string((list_sort(list(event_id)))[1:50], '|') AS missing_ids
          |FROM events WHERE NOT ${inCartoSql(e)}
-         |GROUP BY date_trunc('day', ts) ORDER BY day""".stripMargin,
+         |GROUP BY date_trunc('month', ts) ORDER BY month""".stripMargin,
     "etl_highcrash_rank" ->
       s"""WITH pts AS (
          | SELECT event_id, ${cartoLngSql(e)} AS lng, ${cartoLatSql(e)} AS lat,

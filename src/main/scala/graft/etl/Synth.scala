@@ -102,6 +102,31 @@ object Synth {
   def inCarto(id: Column): Column = id % 10 =!= 3
   def inCartoSql(id: String) = s"($id % 10 != 3)"
 
+  // ---------- free-form vehicle_type[] (main.py:135-163 parses it from the
+  // feed; here derived from event_id so both engines reproduce it). Three
+  // slots cycling through the crosswalk's alias vocabulary plus junk values
+  // ("tractor", "golfcart") the crosswalk doesn't know — the feed constantly
+  // invents variants, which is what the audit (#14b) is for. Empty slots
+  // drop out; some rows end up with no mapped vehicle at all, which is the
+  // hasvehicle_other_unspecified catch-all case (main.py:656-668). ----------
+  private val V1 = Seq("sedan", "suv", "bike", "box truck", "scooter", "taxi", "van", "")
+  private val V2 = Seq("bicycle", "suv", "", "bus", "unknown", "", "moped")
+  private val V3 = Seq("motorcycle", "e-scooter", "truck", "tractor", "golfcart",
+    "", "", "", "", "", "")
+
+  private def pick(id: Column, vocab: Seq[String]): Column =
+    vocab.zipWithIndex.tail.foldLeft(when(id % vocab.size === 0, lit(vocab.head))) {
+      case (acc, (v, i)) => acc.when(id % vocab.size === i, lit(v))
+    }
+  private def pickSql(id: String, vocab: Seq[String]): String =
+    vocab.zipWithIndex.map { case (v, i) => s"WHEN $id % ${vocab.size} = $i THEN '$v'" }
+      .mkString("(CASE ", " ", " END)")
+
+  def vehicleArr(id: Column): Column =
+    filter(array(pick(id, V1), pick(id, V2), pick(id, V3)), x => x =!= "")
+  def vehicleArrSql(id: String): String =
+    s"list_filter([${pickSql(id, V1)}, ${pickSql(id, V2)}, ${pickSql(id, V3)}], x -> x != '')"
+
   // ---------- NYC-like extent (union of the 5 zone boxes) ----------
   val ExtentWest = -74.25
   val ExtentEast = -73.75

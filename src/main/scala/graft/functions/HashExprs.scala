@@ -35,6 +35,15 @@ object HashExprs {
 
   val MinHashP = 2147483647L // 2^31 - 1
 
+  /** splitmix64 finalizer — deterministic pseudo-random bits from an index,
+    * identical on every executor with no broadcast state. */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
   def register(spark: SparkSession): Unit = synchronized {
     val r = spark.sessionState.functionRegistry
     r.createOrReplaceTempFunction("minhash_sig",
@@ -49,6 +58,11 @@ object HashExprs {
       exprs => CosineSim(exprs(0), exprs(1)), "built-in")
     r.createOrReplaceTempFunction("jaccard_sim",
       exprs => JaccardSim(exprs(0), exprs(1)), "built-in")
+    r.createOrReplaceTempFunction("hyperplane_bands",
+      exprs => HyperplaneBands(exprs.head), "built-in")
+    r.createOrReplaceTempFunction("top_cells",
+      exprs => TopCells(exprs(0), exprs(1),
+        exprs(2).eval(null).asInstanceOf[Int]), "built-in")
   }
 
   def minhashSig(c: Column): Column = call_function("minhash_sig", c)
@@ -57,6 +71,9 @@ object HashExprs {
   def bigramsAll(c: Column): Column = call_function("bigrams_all", c)
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def jaccardSim(a: Column, b: Column): Column = call_function("jaccard_sim", a, b)
+  def hyperplaneBands(c: Column): Column = call_function("hyperplane_bands", c)
+  def topCells(emb: Column, cents: Column, k: Int): Column =
+    call_function("top_cells", emb, cents, org.apache.spark.sql.functions.lit(k))
 }
 
 /** K=64 MinHash signature of an array<string> of shingles:
@@ -214,6 +231,118 @@ case class CosineSim(left: Expression, right: Expression)
     i = 0
     while (i < b.length) { nb += b(i) * b(i); i += 1 }
     dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Random-hyperplane LSH band keys of an array<double> embedding in one
+  * compiled call per row: `planes` sign bits (plane p's component for
+  * dimension d is ±1 from splitmix64(p·1000003 + d) — deterministic on every
+  * executor, no plane-matrix broadcast), packed into planes/bandBits band
+  * keys. Replaces the nested interpreted-HOF formulation (16 planes × 64
+  * dims of interpreted eval per row — the exact SURVEY §6 trap). */
+case class HyperplaneBands(child: Expression, planes: Int = 16, bandBits: Int = 4)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_bands"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"hyperplane_bands needs array<double>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val emb = input.asInstanceOf[ArrayData].toDoubleArray()
+    val bits = new Array[Long](planes)
+    var p = 0
+    while (p < planes) {
+      var acc = 0.0
+      var d = 0
+      while (d < emb.length) {
+        val sign = if ((HashExprs.mix64(p.toLong * 1000003L + d) & 1L) == 0L) 1.0 else -1.0
+        acc += emb(d) * sign
+        d += 1
+      }
+      bits(p) = if (acc >= 0) 1L else 0L
+      p += 1
+    }
+    val nBands = planes / bandBits
+    val keys = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var k = 0L
+      var i = 0
+      while (i < bandBits) { k = k * 2 + bits(b * bandBits + i); i += 1 }
+      keys(b) = k
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Top-k centroid cells for an embedding against a literal centroid matrix
+  * (array<array<double>>, index = cell id), ordered by round(cosine, 6)
+  * descending with ascending-index tie-break — the same deterministic argmax
+  * a windowed `row_number` over a crossJoin computes, but entirely map-side:
+  * one compiled call per row, zero shuffle, zero join. k=1 is IVF cell
+  * assignment; k=nprobe is query probing. */
+case class TopCells(left: Expression, right: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "top_cells"
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"top_cells needs (array<double>, array<array<double>>), got $t")
+  }
+
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) { dot += a(i) * b(i); i += 1 }
+    i = 0
+    while (i < a.length) { na += a(i) * a(i); i += 1 }
+    i = 0
+    while (i < b.length) { nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val emb = l.asInstanceOf[ArrayData].toDoubleArray()
+    val cents = r.asInstanceOf[ArrayData]
+    val n = cents.numElements()
+    val scores = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val raw = cosine(emb, cents.getArray(i).toDoubleArray())
+      scores(i) = java.math.BigDecimal.valueOf(raw)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      i += 1
+    }
+    val kk = math.min(k, n)
+    val out = new Array[Long](kk)
+    val used = new Array[Boolean](n)
+    var j = 0
+    while (j < kk) {
+      var best = -1
+      i = 0
+      while (i < n) {
+        if (!used(i) && (best < 0 || scores(i) > scores(best))) best = i
+        i += 1
+      }
+      used(best) = true
+      out(j) = best.toLong
+      j += 1
+    }
+    new GenericArrayData(out)
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =

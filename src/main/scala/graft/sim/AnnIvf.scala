@@ -30,35 +30,32 @@ object AnnIvf {
     graft.functions.HashExprs.register(s)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-    val cents = e.filter(col("vec_id") < Cells)
-      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
 
-    // best-cell assignment per corpus vector (rounded score, id tie-break —
-    // the same deterministic argmax the oracle computes)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("score").desc, col("c_id"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("score", round(cosine(col("emb"), col("c_emb")), 6))
-      .withColumn("r", row_number().over(wAssign))
-      .filter(col("r") === 1)
-      .select(col("vec_id"), col("emb"), col("c_id").as("cell"))
+    // The centroid matrix is a driver-side artifact, exactly as a real IVF
+    // deployment ships offline-k-means centroids to every executor: 16
+    // vectors collected once and inlined as a literal. Cell assignment and
+    // probing then become one compiled TopCells call per row — zero
+    // shuffle, zero join, no windowed argmax (the previous plan ran two
+    // window Exchanges plus a SortMergeJoin for the same answer).
+    val centRows = e.filter(col("vec_id") < Cells)
+      .select(col("vec_id"), col("emb")).collect().sortBy(_.getLong(0))
+    require(centRows.map(_.getLong(0)).toSeq == (0L until Cells),
+      s"expected centroid vec_ids 0..${Cells - 1}")
+    val centsLit = typedlit(centRows.map(_.getSeq[Double](1)).toSeq)
 
-    // nprobe best cells per query vector
-    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id"))
+    val assigned = e.select(col("vec_id"), col("emb"),
+      element_at(graft.functions.HashExprs.topCells(col("emb"), centsLit, 1), 1).as("cell"))
     val probes = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
-      .crossJoin(broadcast(cents))
-      .withColumn("score", round(cosine(col("q_emb"), col("c_emb")), 6))
-      .withColumn("r", row_number().over(wProbe))
-      .filter(col("r") <= NProbe)
-      .select(col("q_id"), col("q_emb"), col("c_id").as("cell"))
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        explode(graft.functions.HashExprs.topCells(col("emb"), centsLit, NProbe)).as("cell"))
 
+    // (q_id, n_id) is unique by construction: each corpus vector lives in
+    // exactly one cell and a query's probe cells are distinct.
     val wRank = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
-    assigned.join(probes, "cell")
+    assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("cosine", round(cosine(col("q_emb"), col("emb")), 4))
       .select(col("q_id"), col("vec_id").as("n_id"), col("cosine"))
-      .dropDuplicates("q_id", "n_id")
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= TopK)
       .orderBy(col("q_id"), col("rank"))
