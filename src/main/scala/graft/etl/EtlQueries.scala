@@ -109,6 +109,43 @@ object EtlQueries {
       .orderBy(id)
   }
 
+  /** #10b Polygon containment-zone assignment — the reference's real zone
+    * join is ST_Within(point, multipolygon) over 8 zone dims
+    * (main.py:408-533; bootstrap initialpolygonlinkage/linkthem.py), not a
+    * bbox test. Zones here are deterministic hexagons derived from the
+    * region dim (vertices are plain rational arithmetic on r_regionkey, so
+    * the DuckDB oracle reproduces them bit-for-bit); the join is a broadcast
+    * bbox prefilter plus the exact ray-cast expression — the fact side never
+    * shuffles, exactly the §5 scale posture. */
+  def zonePolygon(s: SparkSession, dir: String): DataFrame = {
+    GeoFunctions.register(s)
+    val id = col("event_id")
+    val ev = Tables.events(s, dir)
+      .select(id, cartoLng(id).as("lng"), cartoLat(id).as("lat"))
+    val r = col("r_regionkey").cast("double")
+    val zones = Tables.region(s, dir).select(
+      col("r_name").as("zone"),
+      (lit(-74.25) + r * lit(0.1) + lit(0.05)).as("cx"),
+      (lit(40.55) + r * lit(0.04)).as("cy"),
+      (lit(0.03) + r * lit(0.004)).as("rx"),
+      (lit(0.06) + r * lit(0.01)).as("ry"))
+    // hexagon: E, NE, NW, W, SW, SE (flat [x, y, ...] — disjoint across
+    // regions because adjacent half-widths sum below the 0.1 center spacing)
+    val poly = array(
+      col("cx") + col("rx"), col("cy"),
+      col("cx") + col("rx") / 2, col("cy") + col("ry"),
+      col("cx") - col("rx") / 2, col("cy") + col("ry"),
+      col("cx") - col("rx"), col("cy"),
+      col("cx") - col("rx") / 2, col("cy") - col("ry"),
+      col("cx") + col("rx") / 2, col("cy") - col("ry"))
+    ev.join(broadcast(zones),
+        col("lng") >= col("cx") - col("rx") && col("lng") <= col("cx") + col("rx") &&
+        col("lat") >= col("cy") - col("ry") && col("lat") <= col("cy") + col("ry") &&
+        GeoFunctions.pointInPoly(col("lng"), col("lat"), poly), "left")
+      .select(id, col("zone"))
+      .orderBy(id)
+  }
+
   /** #11 Intersection crash counts (main.py:613-647): per intersection,
     * crashes within 600 m in the window having any injury/fatality. The
     * intersections dim (from `part`) is broadcast; distance is the fused
@@ -400,6 +437,7 @@ object EtlQueries {
     "etl_array_parse"             -> (arrayParse _),
     "etl_geo_bbox"                -> (geoBbox _),
     "etl_zone_assign"             -> (zoneAssign _),
+    "etl_zone_polygon"            -> (zonePolygon _),
     "etl_intersection_crashcount" -> (intersectionCrashcount _),
     "etl_cdc_tallies"             -> (cdcTallies _),
     "etl_cdc_geom"                -> (cdcGeom _),
@@ -488,6 +526,27 @@ object EtlQueries {
          |SELECT g.event_id, z.zone FROM g LEFT JOIN z
          | ON g.lng >= z.west AND g.lng < z.east AND g.lat >= z.south AND g.lat < z.north
          |ORDER BY g.event_id""".stripMargin,
+    "etl_zone_polygon" -> {
+      val verts = Seq(
+        ("(z.cx + z.rx)", "z.cy"),
+        ("(z.cx + z.rx / 2)", "(z.cy + z.ry)"),
+        ("(z.cx - z.rx / 2)", "(z.cy + z.ry)"),
+        ("(z.cx - z.rx)", "z.cy"),
+        ("(z.cx - z.rx / 2)", "(z.cy - z.ry)"),
+        ("(z.cx + z.rx / 2)", "(z.cy - z.ry)"))
+      s"""WITH g AS (SELECT event_id, ${cartoLngSql(e)} AS lng, ${cartoLatSql(e)} AS lat FROM events),
+         |z AS (SELECT r_name AS zone,
+         |  -74.25::DOUBLE + r_regionkey * 0.1::DOUBLE + 0.05::DOUBLE AS cx,
+         |  40.55::DOUBLE + r_regionkey * 0.04::DOUBLE AS cy,
+         |  0.03::DOUBLE + r_regionkey * 0.004::DOUBLE AS rx,
+         |  0.06::DOUBLE + r_regionkey * 0.01::DOUBLE AS ry
+         | FROM region)
+         |SELECT g.event_id, z.zone FROM g LEFT JOIN z
+         | ON g.lng >= z.cx - z.rx AND g.lng <= z.cx + z.rx
+         |  AND g.lat >= z.cy - z.ry AND g.lat <= z.cy + z.ry
+         |  AND ${GeoFunctions.rayCastSql("g.lng", "g.lat", verts)}
+         |ORDER BY g.event_id""".stripMargin
+    },
     "etl_intersection_crashcount" ->
       s"""WITH ix AS (SELECT p_partkey AS intersection_id,
          |  -74.25 + (p_partkey % 10) * 0.05 + 0.025 AS ilng,

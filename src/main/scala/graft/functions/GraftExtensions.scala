@@ -5,29 +5,49 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.DoubleType
 
-import graft.geo.HaversineMeters
+import graft.geo.{HaversineMeters, PointInPolygon}
 
-/** SparkSessionExtensions entry point so graft's custom expressions are
-  * available in plain SQL on any session, including thrift/connect servers:
+/** SparkSessionExtensions entry point so ALL of graft's custom expressions
+  * (geo + hash/sketch) are available in plain SQL on any session, including
+  * thrift/connect servers:
   *
   *   spark.sql.extensions=graft.functions.GraftExtensions
   *
-  * (Equivalent to the per-session GeoFunctions.register used by the query
-  * library, but injected at session build time.)
+  * (Equivalent to the per-session GeoFunctions.register / HashExprs.register
+  * used by the query library, but injected at session build time.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def fn(name: String, clazz: Class[_], builder: Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     // opt-in containment-join → cell-equi-join rewrite
     // (spark.graft.rewriteContainmentJoin=true)
     ext.injectOptimizerRule(_ => graft.plans.RewriteContainmentJoin)
-    ext.injectFunction((
-      new FunctionIdentifier("haversine_m"),
-      new ExpressionInfo(classOf[HaversineMeters].getName, "haversine_m"),
-      { exprs: Seq[Expression] =>
+    ext.injectFunction(fn("haversine_m", classOf[HaversineMeters],
+      { exprs =>
         require(exprs.length == 4, "haversine_m(lat1, lng1, lat2, lng2)")
         val d = exprs.map(e => if (e.dataType == DoubleType) e else Cast(e, DoubleType))
         HaversineMeters(d(0), d(1), d(2), d(3))
       }))
+    ext.injectFunction(fn("point_in_polygon", classOf[PointInPolygon],
+      graft.geo.GeoFunctions.buildPointInPolygon))
+    ext.injectFunction(fn("minhash_sig", classOf[MinHashSignature],
+      exprs => MinHashSignature(exprs.head)))
+    ext.injectFunction(fn("simhash64", classOf[SimHash64],
+      exprs => SimHash64(exprs.head)))
+    ext.injectFunction(fn("shingles3", classOf[Shingles],
+      exprs => Shingles(exprs.head, 3)))
+    ext.injectFunction(fn("bigrams_all", classOf[Shingles],
+      exprs => Shingles(exprs.head, 2, distinct = false)))
+    ext.injectFunction(fn("cosine_sim", classOf[CosineSim],
+      exprs => CosineSim(exprs(0), exprs(1))))
+    ext.injectFunction(fn("jaccard_sim", classOf[JaccardSim],
+      exprs => JaccardSim(exprs(0), exprs(1))))
+    ext.injectFunction(fn("hyperplane_bands", classOf[HyperplaneBands],
+      exprs => HyperplaneBands(exprs.head)))
+    ext.injectFunction(fn("top_cells", classOf[TopCells],
+      exprs => TopCells(exprs(0), exprs(1), exprs(2).eval(null).asInstanceOf[Int])))
   }
 }

@@ -29,7 +29,30 @@ object GeoFunctions {
     2 * EarthRadiusMeters * math.asin(math.sqrt(a))
   }
 
+  /** Even-odd ray-cast point-in-polygon over a flat [x0,y0,x1,y1,...] vertex
+    * array — static so generated code calls the same definition the
+    * interpreted path uses. Horizontal edges are skipped by the parity test;
+    * the crossing-x formula is plain left-associative IEEE arithmetic so a
+    * SQL engine evaluating the same formula (rayCastSql) gets bit-identical
+    * doubles. */
+  def pointInPolygon(x: Double, y: Double, poly: org.apache.spark.sql.catalyst.util.ArrayData): Boolean = {
+    val n = poly.numElements() / 2
+    var inside = false
+    var i = 0
+    var j = n - 1
+    while (i < n) {
+      val xi = poly.getDouble(2 * i); val yi = poly.getDouble(2 * i + 1)
+      val xj = poly.getDouble(2 * j); val yj = poly.getDouble(2 * j + 1)
+      if (((yi > y) != (yj > y)) && x < (xj - xi) * (y - yi) / (yj - yi) + xi)
+        inside = !inside
+      j = i
+      i += 1
+    }
+    inside
+  }
+
   private val fnName = "haversine_m"
+  private val pipName = "point_in_polygon"
 
   /** Idempotently register custom expressions with a session so they can be
     * used via call_function / SQL. */
@@ -43,6 +66,38 @@ object GeoFunctions {
         HaversineMeters(d(0), d(1), d(2), d(3))
       },
       "built-in")
+    registry.createOrReplaceTempFunction(pipName, buildPointInPolygon, "built-in")
+  }
+
+  /** Builder with numeric coercion (SQL integer/decimal literals → double). */
+  val buildPointInPolygon: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 3, s"$pipName(x, y, poly)")
+    def d(e: Expression) = if (e.dataType == DoubleType) e else Cast(e, DoubleType)
+    val polyT = org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+    val p = exprs(2).dataType match {
+      case org.apache.spark.sql.types.ArrayType(DoubleType, _) => exprs(2)
+      case _ => Cast(exprs(2), polyT)
+    }
+    PointInPolygon(d(exprs(0)), d(exprs(1)), p)
+  }
+
+  /** Column API for the ray-cast expression (requires register(spark)).
+    * `poly` is a flat array<double> of [x0,y0,x1,y1,...] vertices. */
+  def pointInPoly(x: Column, y: Column, poly: Column): Column =
+    call_function(pipName, x, y, poly)
+
+  /** DuckDB SQL fragment computing the SAME even-odd ray cast over literal
+    * vertex-expression pairs — generated from one vertex list so the two
+    * engines cannot drift. */
+  def rayCastSql(x: String, y: String, vertices: Seq[(String, String)]): String = {
+    val n = vertices.size
+    val terms = vertices.indices.map { i =>
+      val j = if (i == 0) n - 1 else i - 1
+      val (xi, yi) = vertices(i)
+      val (xj, yj) = vertices(j)
+      s"(CASE WHEN (($yi > $y) != ($yj > $y)) AND $x < ($xj - $xi) * ($y - $yi) / ($yj - $yi) + $xi THEN 1 ELSE 0 END)"
+    }
+    s"((${terms.mkString(" + ")}) % 2 = 1)"
   }
 
   /** Column API for the codegen expression (requires register(spark)). */
@@ -89,4 +144,37 @@ case class HaversineMeters(first: Expression, second: Expression, third: Express
       newFirst: Expression, newSecond: Expression,
       newThird: Expression, newFourth: Expression): Expression =
     copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
+}
+
+/** Even-odd ray-cast containment of point (x, y) in a polygon given as a
+  * flat array<double> [x0,y0,x1,y1,...] — the exact-geometry half of the
+  * reference's ST_Within zone assignment (main.py:408-533,
+  * initialpolygonlinkage/linkthem.py); callers pair it with a broadcast
+  * bbox prefilter so the fact side never shuffles. Codegen calls the static
+  * scalar so generated and interpreted paths share one definition and the
+  * expression stays inside whole-stage codegen. */
+case class PointInPolygon(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "point_in_polygon"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (DoubleType, DoubleType, org.apache.spark.sql.types.ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (double, double, array<double>), got $t")
+    }
+
+  override protected def nullSafeEval(x: Any, y: Any, poly: Any): Any =
+    GeoFunctions.pointInPolygon(
+      x.asInstanceOf[Double], y.asInstanceOf[Double],
+      poly.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y, p) => s"graft.geo.GeoFunctions.pointInPolygon($x, $y, $p)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }

@@ -37,6 +37,11 @@ object RangeJoin {
         floor((col(hi) - lit(1e-12)) / cellDeg).cast("long"))
 
     val boxCells = boxes
+      // degenerate boxes (hi <= lo) match nothing under the exact half-open
+      // predicate; drop them BEFORE exploding — sequence(start, stop) with
+      // start > stop throws at runtime, turning an empty result into a
+      // query failure
+      .filter(col(east) > col(west) && col(north) > col(south))
       .withColumn("_cx", explode(cellRange(west, east)))
       .withColumn("_cy", explode(cellRange(south, north)))
       .withColumn("_cell", col("_cx") * 100000L + col("_cy"))

@@ -59,13 +59,19 @@ object RewriteContainmentJoin extends Rule[LogicalPlan] with PredicateHelper {
   private def matchIntervalDims(left: LogicalPlan, right: LogicalPlan, cond: Expression)
       : Seq[(Attribute, Attribute, Attribute)] = {
     val conjuncts = splitConjunctivePredicates(cond)
+    // double-typed dims only: the Floor(Divide(x, 0.05))/Sequence cell
+    // decomposition is numeric — matching a date/string/decimal interval
+    // join here would rewrite a valid plan into an invalid one
+    def isDouble(a: Attribute) = a.dataType == org.apache.spark.sql.types.DoubleType
     val ges = conjuncts.collect {
       case GreaterThanOrEqual(a: Attribute, b: Attribute)
-        if left.outputSet.contains(a) && right.outputSet.contains(b) => (a, b)
+        if isDouble(a) && isDouble(b) &&
+          left.outputSet.contains(a) && right.outputSet.contains(b) => (a, b)
     }
     val lts = conjuncts.collect {
       case LessThan(a: Attribute, b: Attribute)
-        if left.outputSet.contains(a) && right.outputSet.contains(b) => (a, b)
+        if isDouble(a) && isDouble(b) &&
+          left.outputSet.contains(a) && right.outputSet.contains(b) => (a, b)
     }
     ges.flatMap { case (a, lo) =>
       lts.collectFirst { case (a2, hi) if a2.semanticEquals(a) => (a, lo, hi) }
@@ -74,13 +80,20 @@ object RewriteContainmentJoin extends Rule[LogicalPlan] with PredicateHelper {
 
   private def cellIdx(x: Expression): Expression = Floor(Divide(x, Literal(CellDeg)))
 
-  private def cellSeq(lo: Expression, hi: Expression): Expression =
-    new Sequence(cellIdx(lo),
-      Floor(Divide(Subtract(hi, Literal(Eps)), Literal(CellDeg))),
-      Some(Literal(1L)))
+  private def cellSeq(lo: Expression, hi: Expression): Expression = {
+    val start = cellIdx(lo)
+    val stop = Floor(Divide(Subtract(hi, Literal(Eps)), Literal(CellDeg)))
+    val seq = new Sequence(start, stop, Some(Literal(1L)))
       // Sequence is TimeZoneAwareExpression: without an explicit zone the
       // plan flips back to unresolved after this rule runs
       .withTimeZone(conf.sessionLocalTimeZone)
+    // degenerate box (hi <= lo): the nested-loop predicate just returns no
+    // rows, so the rewrite must too — Sequence with start > stop throws
+    If(LessThan(stop, start),
+      Literal.create(Array.empty[Long],
+        org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)),
+      seq)
+  }
 
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
       cond: Expression, hint: JoinHint,

@@ -32,13 +32,20 @@ object WarehouseSink {
     * partition overwrite. `key` identifies records (socrata_id/event_id).
     * Only partitions present in `batch` are rewritten. */
   def merge(spark: SparkSession, batch: DataFrame, path: String, key: String): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val existing =
-      try spark.read.parquet(path)
-      catch { case _: Throwable => null } // first load: nothing to merge with
+      // Only a genuinely-absent warehouse means "first load". Any other
+      // failure (transient IO, corrupt footer) must abort the merge —
+      // treating it as first-load would overwrite the batch's partitions
+      // with batch-only data and silently drop existing rows.
+      try Some(spark.read.parquet(path))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" => None
+      }
     val merged =
-      if (existing == null) batch
-      else {
+      existing match {
+        case None => batch
+        case Some(existing) =>
         // months touched by this batch (small driver list — months, not rows)
         val touched = batch.select("year", "month").distinct()
         val existingTouched = existing.join(broadcast(touched), Seq("year", "month"), "left_semi")
@@ -50,8 +57,11 @@ object WarehouseSink {
         // parquet variant correct and still partition-local.
         kept.unionByName(batch).localCheckpoint(true)
       }
+    // dynamic overwrite scoped to THIS write only — setting it on the shared
+    // session would silently change later full-snapshot Overwrite semantics
     merged.write
       .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("year", "month")
       .parquet(path)
   }

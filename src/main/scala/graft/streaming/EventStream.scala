@@ -62,8 +62,14 @@ object EventStream {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
+                // late cross-batch event more than gap BEFORE the open
+                // session: a separate, already-elapsed session of its own
+                case Some(s) if t + gapMs < s.start =>
+                  closed ::= Session(userId, new Timestamp(t), new Timestamp(t), 1L, e.value)
+                // within gap of the open session on either side: merge,
+                // tracking start as a min so a late event extends backwards
                 case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.sum + e.value))
+                  cur = Some(SessionState(math.min(s.start, t), math.max(s.end, t), s.n + 1, s.sum + e.value))
                 case Some(s) =>
                   closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.sum)
                   cur = Some(SessionState(t, t, 1L, e.value))

@@ -35,4 +35,40 @@ class GeoFunctionsSpec extends AnyFunSuite {
       .collect()
     assert(r.head.isNullAt(0))
   }
+
+  test("ray-cast point-in-polygon: unit-square cases, scalar and expression agree") {
+    GeoFunctions.register(spark)
+    // unit square (0,0)-(1,1)
+    val sq = Seq(1.0, 0.0, 1.0, 1.0, 0.0, 1.0, 0.0, 0.0)
+    def mk(xs: Seq[Double]) = new org.apache.spark.sql.catalyst.util.GenericArrayData(xs.toArray)
+    assert(GeoFunctions.pointInPolygon(0.5, 0.5, mk(sq)))
+    assert(!GeoFunctions.pointInPolygon(1.5, 0.5, mk(sq)))
+    assert(!GeoFunctions.pointInPolygon(-0.1, 0.5, mk(sq)))
+    assert(!GeoFunctions.pointInPolygon(0.5, 1.5, mk(sq)))
+    // concave L-shape: (0,0)-(2,0)-(2,1)-(1,1)-(1,2)-(0,2); (1.5,1.5) is outside
+    val ell = Seq(0.0, 0.0, 2.0, 0.0, 2.0, 1.0, 1.0, 1.0, 1.0, 2.0, 0.0, 2.0)
+    assert(GeoFunctions.pointInPolygon(0.5, 0.5, mk(ell)))
+    assert(GeoFunctions.pointInPolygon(1.5, 0.5, mk(ell)))
+    assert(GeoFunctions.pointInPolygon(0.5, 1.5, mk(ell)))
+    assert(!GeoFunctions.pointInPolygon(1.5, 1.5, mk(ell)))
+    // expression path (codegen) agrees with the static scalar on a grid
+    val pts = (0 until 400).map(i => (i % 20 * 0.13 - 0.2, i / 20 * 0.13 - 0.2))
+    val df = pts.toDF("x", "y").select(col("x"), col("y"),
+      GeoFunctions.pointInPoly(col("x"), col("y"),
+        array(ell.map(lit): _*)).as("in_poly"))
+    df.collect().foreach { r =>
+      assert(r.getBoolean(2) ==
+        GeoFunctions.pointInPolygon(r.getDouble(0), r.getDouble(1), mk(ell)),
+        s"(${r.getDouble(0)}, ${r.getDouble(1)})")
+    }
+  }
+
+  test("zone-polygon query: broadcast + ray-cast, fact side never shuffles") {
+    val p = graft.etl.EtlQueries.zonePolygon(spark, graft.TestSpark.sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"), s"zone dim must broadcast:\n$p")
+    assert(p.contains("point_in_polygon"), "exact ray-cast must be in the join predicate")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"fact side must not shuffle (only the output-sort range exchange is allowed):\n$p")
+  }
 }

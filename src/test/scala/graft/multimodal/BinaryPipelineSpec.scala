@@ -33,14 +33,22 @@ class BinaryPipelineSpec extends AnyFunSuite {
     assert(out(1).ok && out(1).n_frames >= 1)
   }
 
-  test("haversine_m is callable from plain SQL once registered") {
-    // GraftExtensions wires the same builder through SparkSessionExtensions
+  test("custom expressions are callable from plain SQL once registered") {
+    // GraftExtensions wires the same builders through SparkSessionExtensions
     // at session build time; a default session already exists in this JVM,
     // so exercise the extensions object directly plus the SQL path.
     new graft.functions.GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
     graft.geo.GeoFunctions.register(spark)
+    graft.functions.HashExprs.register(spark)
     val d = spark.sql("SELECT haversine_m(40.0, -74.0, 41.0, -74.0) AS d")
       .collect().head.getDouble(0)
     assert(math.abs(d - 111229) < 200)
+    val pip = spark.sql(
+      "SELECT point_in_polygon(0.5, 0.5, array(1.0, 0.0, 1.0, 1.0, 0.0, 1.0, 0.0, 0.0)) AS c")
+      .collect().head.getBoolean(0)
+    assert(pip)
+    val sig = spark.sql("SELECT minhash_sig(array('a b c', 'b c d')) AS s")
+      .collect().head.getSeq[Long](0)
+    assert(sig.length == 64)
   }
 }

@@ -54,4 +54,17 @@ class RangeJoinSpec extends AnyFunSuite {
     val expected = Set((1L, "big"), (2L, "big"), (3L, "big"), (4L, "big"), (3L, "sliver"))
     assert(got == expected)
   }
+
+  test("degenerate boxes (hi <= lo) yield empty results, not a runtime error") {
+    import spark.implicits._
+    val pts = Seq((1L, 0.5, 0.5)).toDF("pid", "lng", "lat")
+    val boxes = Seq(
+      ("inverted", 1.0, 0.0, 0.0, 1.0),  // east <= west
+      ("flat", 0.0, 1.0, 0.5, 0.5),      // north <= south
+      ("ok", 0.0, 1.0, 0.0, 1.0))
+      .toDF("name", "west", "east", "south", "north")
+    val got = RangeJoin.pointInBox(pts, boxes, "lng", "lat")
+      .select("pid", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "ok")))
+  }
 }

@@ -53,4 +53,40 @@ class RewriteContainmentJoinSpec extends AnyFunSuite {
       assert(!eq.queryExecution.executedPlan.toString.contains("_gcell"))
     } finally spark.conf.set(RewriteContainmentJoin.ConfKey, "false")
   }
+
+  test("rule leaves non-double interval joins (dates, longs) untouched") {
+    RewriteContainmentJoin.install(spark)
+    spark.conf.set(RewriteContainmentJoin.ConfKey, "true")
+    try {
+      import spark.implicits._
+      // a long-typed temporal range join: rewriting it through
+      // Floor(Divide(x, 0.05))/Sequence would be an invalid plan
+      val evs = Seq((1L, 5L), (2L, 15L)).toDF("eid", "t")
+      val ranges = Seq(("a", 0L, 10L), ("b", 10L, 20L)).toDF("name", "lo", "hi")
+      val joined = evs.join(ranges, col("t") >= col("lo") && col("t") < col("hi"))
+      assert(!joined.queryExecution.executedPlan.toString.contains("_gcell"),
+        "long-typed intervals must not be cell-decomposed")
+      val got = joined.select("eid", "name").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((1L, "a"), (2L, "b")))
+    } finally spark.conf.set(RewriteContainmentJoin.ConfKey, "false")
+  }
+
+  test("rule handles degenerate boxes (hi <= lo) as empty, not an error") {
+    RewriteContainmentJoin.install(spark)
+    spark.conf.set(RewriteContainmentJoin.ConfKey, "true")
+    try {
+      import spark.implicits._
+      val pts = Seq((1L, 0.5, 0.5)).toDF("pid", "x", "y")
+      val boxes = Seq(("inv", 1.0, 0.0, 0.0, 1.0), ("ok", 0.0, 1.0, 0.0, 1.0))
+        .toDF("name", "w", "e", "s", "n")
+      val joined = pts.join(boxes,
+        col("x") >= col("w") && col("x") < col("e") &&
+          col("y") >= col("s") && col("y") < col("n"))
+      assert(joined.queryExecution.executedPlan.toString.contains("_gcell"))
+      val got = joined.select("pid", "name").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((1L, "ok")))
+    } finally spark.conf.set(RewriteContainmentJoin.ConfKey, "false")
+  }
 }

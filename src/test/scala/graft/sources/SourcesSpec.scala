@@ -66,4 +66,32 @@ class SourcesSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(again == after)
   }
+
+  test("merge treats only a missing warehouse as first load; other read failures abort") {
+    // first load: path does not exist → batch becomes the table
+    val fresh = Files.createTempDirectory("wh").toString + "/new_table"
+    val batch = Seq((1L, "a", 2024L, 1L)).toDF("id", "v", "year", "month")
+    WarehouseSink.merge(spark, batch, fresh, "id")
+    assert(spark.read.parquet(fresh).count() == 1)
+
+    // unreadable warehouse (exists, not parquet): must THROW, not silently
+    // treat as first load and drop existing data
+    val corrupt = Files.createTempDirectory("wh").toString + "/corrupt"
+    Files.createDirectory(java.nio.file.Paths.get(corrupt))
+    Files.writeString(java.nio.file.Paths.get(corrupt, "part-00000.parquet"), "not parquet at all")
+    intercept[Exception] { WarehouseSink.merge(spark, batch, corrupt, "id") }
+    ()
+  }
+
+  test("merge does not leak partitionOverwriteMode onto the shared session") {
+    val before = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    val path = Files.createTempDirectory("wh").toString + "/leak_check"
+    val base = Seq((1L, "a", 2024L, 1L), (2L, "b", 2024L, 2L)).toDF("id", "v", "year", "month")
+    WarehouseSink.writeSnapshot(base, path)
+    WarehouseSink.merge(spark, Seq((3L, "c", 2024L, 1L)).toDF("id", "v", "year", "month"), path, "id")
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode") == before)
+    // and a subsequent full-snapshot overwrite still replaces ALL partitions
+    WarehouseSink.writeSnapshot(base, path)
+    assert(spark.read.parquet(path).count() == 2)
+  }
 }

@@ -65,6 +65,37 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late within-watermark events extend a session backwards or form a past session") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionize(input.toDS(), gapSeconds = 600, watermark = "2 hours")
+      .writeStream.format("memory").queryName("late_sessions").outputMode("append").start()
+    try {
+      // open a session at t=30min
+      input.addData(Event(1, ts(30), 1, "click", 1.0))
+      q.processAllAvailable()
+      // late cross-batch event 5 min BEFORE the session start (within gap):
+      // must merge and move session_start back, not corrupt it
+      input.addData(Event(2, ts(25), 1, "click", 2.0))
+      q.processAllAvailable()
+      // late event 24 min before the (new) start — more than the 10-min gap:
+      // its own, already-elapsed session
+      input.addData(Event(3, ts(1), 1, "view", 3.0))
+      q.processAllAvailable()
+      // advance the watermark far enough to flush the open session
+      input.addData(Event(4, ts(600), 2, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(5, ts(1200), 2, "click", 1.0))
+      q.processAllAvailable()
+      val u1 = spark.table("late_sessions").as[Session].collect()
+        .filter(_.user_id == 1).sortBy(_.session_start.getTime)
+      assert(u1.length == 2, s"expected 2 sessions for user 1, got ${u1.toSeq}")
+      assert(u1(0).session_start == ts(1) && u1(0).session_end == ts(1) && u1(0).n_events == 1)
+      assert(u1(1).session_start == ts(25) && u1(1).session_end == ts(30) && u1(1).n_events == 2)
+      assert(u1(1).sum_value == 3.0)
+    } finally q.stop()
+  }
+
   test("streaming windowed agg agrees with the batch twin on the same data") {
     implicit val ctx = spark.sqlContext
     val events = Seq(
