@@ -11,13 +11,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session once (parquet footers, codegen infra, broadcast
-    // machinery) on the smallest sf so per-query numbers reflect
-    // steady-state engine throughput, not first-use JVM costs.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
+    // Warm the session (parquet footers, janino codegen of each plan shape,
+    // window/broadcast machinery) by running every selected query once on
+    // the smallest sf, so per-query numbers reflect steady-state engine
+    // throughput — the quantity that actually scales to 100 TB — not
+    // first-use JVM compilation costs.
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    selected.foreach { case (_, fn) =>
+      try { fn(spark, "/root/testdata/sf0.001").count(); () }
+      catch { case _: Throwable => () }
+    }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

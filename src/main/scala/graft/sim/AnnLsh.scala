@@ -42,13 +42,17 @@ object AnnLsh {
     val q = banded.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("band"), col("bkey"))
     val c = banded.select(col("vec_id").as("n_id"), col("emb").as("n_emb"), col("band"), col("bkey"))
+    // cosine BEFORE the distinct: a pair matching in k bands is scored k
+    // times (cheap map-side flops) but the dedup/rank shuffle then carries
+    // 24-byte (q_id, n_id, cosine) rows instead of two 64-dim arrays —
+    // at scale the shuffle, not the arithmetic, is the bottleneck
     val candidates = c.join(broadcast(q), Seq("band", "bkey"))
       .filter(col("q_id") =!= col("n_id"))
-      .select("q_id", "n_id", "q_emb", "n_emb")
+      .withColumn("cosine", round(cosine(col("q_emb"), col("n_emb")), 4))
+      .select("q_id", "n_id", "cosine")
       .dropDuplicates("q_id", "n_id")
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
     candidates
-      .withColumn("cosine", round(cosine(col("q_emb"), col("n_emb")), 4))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 10)
       .select("q_id", "n_id", "rank", "cosine")
