@@ -49,5 +49,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => HyperplaneBands(exprs.head)))
     ext.injectFunction(fn("top_cells", classOf[TopCells],
       exprs => TopCells(exprs(0), exprs(1), exprs(2).eval(null).asInstanceOf[Int])))
+    ext.injectFunction(fn("rep_stats", classOf[RepStats],
+      exprs => RepStats(exprs.head)))
   }
 }

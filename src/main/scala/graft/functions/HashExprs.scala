@@ -63,6 +63,8 @@ object HashExprs {
     r.createOrReplaceTempFunction("top_cells",
       exprs => TopCells(exprs(0), exprs(1),
         exprs(2).eval(null).asInstanceOf[Int]), "built-in")
+    r.createOrReplaceTempFunction("rep_stats",
+      exprs => RepStats(exprs.head), "built-in")
   }
 
   def minhashSig(c: Column): Column = call_function("minhash_sig", c)
@@ -74,6 +76,55 @@ object HashExprs {
   def hyperplaneBands(c: Column): Column = call_function("hyperplane_bands", c)
   def topCells(emb: Column, cents: Column, k: Int): Column =
     call_function("top_cells", emb, cents, org.apache.spark.sql.functions.lit(k))
+  def repStats(c: Column): Column = call_function("rep_stats", c)
+}
+
+/** Repetition statistics of a document in one compiled pass — the counters
+  * behind Gopher-style repetition quality filters (repeated-token fraction,
+  * duplicated-n-gram mass): struct(n_words, top_word_n, n_bigrams,
+  * dup_bigram_n). dup_bigram_n is the total occurrence count of bigrams
+  * occurring more than once (the "fraction of text in duplicated n-grams"
+  * numerator). The two hash maps live for one row; nothing shuffles. */
+case class RepStats(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("top_word_n", LongType, nullable = false),
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("dup_bigram_n", LongType, nullable = false)))
+  override def prettyName: String = "rep_stats"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"rep_stats needs string, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].toString.split("\\s+")
+    val wc = new java.util.HashMap[String, Long](words.length * 2)
+    var i = 0
+    while (i < words.length) {
+      wc.merge(words(i), 1L, (a, b) => a + b)
+      i += 1
+    }
+    var topWord = 0L
+    val wIt = wc.values().iterator()
+    while (wIt.hasNext) { val v = wIt.next(); if (v > topWord) topWord = v }
+    val nBigrams = math.max(0, words.length - 1)
+    val bc = new java.util.HashMap[String, Long](nBigrams * 2)
+    i = 0
+    while (i < nBigrams) {
+      bc.merge(words(i) + " " + words(i + 1), 1L, (a, b) => a + b)
+      i += 1
+    }
+    var dup = 0L
+    val bIt = bc.values().iterator()
+    while (bIt.hasNext) { val v = bIt.next(); if (v > 1) dup += v }
+    org.apache.spark.sql.catalyst.InternalRow(
+      words.length.toLong, topWord, nBigrams.toLong, dup)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** K=64 MinHash signature of an array<string> of shingles:

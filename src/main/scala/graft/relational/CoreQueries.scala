@@ -140,8 +140,23 @@ object CoreQueries {
         count(lit(1)).as("n_rows"))
   }
 
+  /** As-of join (q9): each event attributed to the user's most recent
+    * signup at-or-before it — the backward as-of join Spark lacks natively,
+    * via the union + single-window decomposition (operators/AsofJoin). */
+  def q9Asof(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+    val signups = Tables.events(s, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("s_ts"), col("event_id").as("signup_id"))
+    graft.operators.AsofJoin
+      .asofBackward(ev, signups, Seq("user_id"), "ts", "s_ts", "signup_id")
+      .select(col("event_id"), col("user_id"), col("signup_id"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q8_small_qty"       -> (q8SmallQty _),
+    "q9_asof"            -> (q9Asof _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_revenue_topn"    -> (q2RevenueTopN _),
     "q3_window_running"  -> (q3WindowRunning _),
@@ -151,6 +166,23 @@ object CoreQueries {
     "q7_promo_ratio"     -> (q7PromoRatio _))
 
   val oracles: Map[String, String] = Map(
+    // the same union + window decomposition, stated in SQL — right rows at
+    // an equal timestamp sort before left rows (tag), right-row ties
+    // resolve to the highest signup_id (last_value over id-asc order)
+    "q9_asof" ->
+      """WITH u AS (
+        | SELECT user_id, ts AS at, 1 AS tag, event_id, NULL::BIGINT AS signup_id FROM events
+        | UNION ALL
+        | SELECT user_id, ts AS at, 0 AS tag, NULL::BIGINT AS event_id, event_id AS signup_id
+        | FROM events WHERE event_type = 'signup'),
+        |w AS (
+        | SELECT event_id, user_id, tag,
+        |  last_value(signup_id IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY at ASC, tag ASC, signup_id ASC NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_signup
+        | FROM u)
+        |SELECT event_id, user_id, asof_signup AS signup_id
+        |FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,

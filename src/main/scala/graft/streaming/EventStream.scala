@@ -37,6 +37,25 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-stream interval join: purchases joined to the same user's
+    * clicks in the preceding `windowMinutes`. Both sides are watermarked,
+    * and the join condition bounds the click's event time relative to the
+    * purchase's, so Spark can expire click state once the watermark passes
+    * c.ts + window — state is O(events in the interval horizon), the
+    * property that lets the join run forever. Batch twin with identical
+    * semantics: StreamQueries.intervalJoin (oracle-checked). */
+  def intervalJoin(purchases: Dataset[Event], clicks: Dataset[Event],
+      windowMinutes: Int = 30, watermark: String = "2 hours"): DataFrame = {
+    val p = purchases.withWatermark("ts", watermark).alias("p")
+    val c = clicks.withWatermark("ts", watermark).alias("c")
+    p.join(c, expr(
+      s"""p.user_id = c.user_id AND
+         |c.ts <= p.ts AND
+         |c.ts >= p.ts - INTERVAL $windowMinutes MINUTES""".stripMargin))
+      .select(col("p.event_id").as("purchase_id"), col("c.event_id").as("click_id"),
+        col("p.user_id").as("user_id"))
+  }
+
   /** Gap-based sessionization with event-time timeout: a session closes when
     * the watermark passes its end + gap, at which point it is emitted.
     * State per user is one open session — O(active users), not O(events). */

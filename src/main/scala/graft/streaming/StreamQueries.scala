@@ -45,11 +45,36 @@ object StreamQueries {
       .orderBy(col("user_id"), col("sid"))
   }
 
+  /** #32b Purchase→click attribution join, batch twin of the stream-stream
+    * interval join (EventStream.intervalJoin): each purchase joined to the
+    * same user's clicks in the preceding 30 minutes. The batch plan is a
+    * key equi-join with a time-range residual; the streaming plan bounds
+    * state by the watermark + interval. */
+  def intervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.events(s, dir).filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = Tables.events(s, dir).filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+    p.join(c, Seq("user_id"))
+      .filter(col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> (windowAgg _),
-    "stream_sessionize" -> (sessionize _))
+    "stream_sessionize" -> (sessionize _),
+    "stream_interval_join" -> (intervalJoin _))
 
   val oracles: Map[String, String] = Map(
+    "stream_interval_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+        |ORDER BY purchase_id, click_id""".stripMargin,
     "stream_window_agg" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
         | count(*) AS n_events, round(sum(value), 2) AS sum_value

@@ -106,11 +106,58 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** #27c Repetition metrics — the counters behind Gopher-style repetition
+    * quality filters: fraction of tokens that are the single most repeated
+    * word, and the mass of duplicated bigrams. One compiled RepStats call
+    * per row (map-side only); the oracle recomputes the same counters via
+    * unnest + GROUP BY. */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), graft.functions.HashExprs.repStats(col("text")).as("rs"))
+      .select(col("doc_id"),
+        col("rs.n_words").as("n_words"),
+        col("rs.top_word_n").as("top_word_n"),
+        col("rs.n_bigrams").as("n_bigrams"),
+        col("rs.dup_bigram_n").as("dup_bigram_n"))
+      .withColumn("top_word_frac",
+        round(col("top_word_n").cast("double") / col("n_words"), 4))
+      .withColumn("dup_bigram_frac",
+        round(col("dup_bigram_n").cast("double") / col("n_bigrams"), 4))
+      .withColumn("repetitive",
+        col("top_word_frac") >= 0.12 || col("dup_bigram_frac") >= 0.20)
+      .orderBy(col("doc_id"))
+  }
+
+  /** #28d Key-term extraction: top-3 terms per document scored by
+    * tf · corpusSize/df — the tf-idf family with an integer score
+    * (tf·1e6 div df) so both engines rank identically with no
+    * transcendental functions. The document-frequency table is a
+    * vocabulary-sized aggregate, broadcast back against per-doc term
+    * counts. */
+  def keyterms(s: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    val terms = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(ws).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = terms.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .withColumn("score", expr("tf * 1000000 div df"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "rk", "term", "tf", "df", "score")
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (sampleStratified _),
     "text_ngram_freq"  -> (ngramFreq _),
     "text_langid"      -> (langid _),
     "text_quality"     -> (quality _),
+    "text_repetition"  -> (repetition _),
+    "text_keyterms"    -> (keyterms _),
     "text_tokens"      -> (tokens _),
     "text_fingerprint" -> (fingerprint _))
 
@@ -157,6 +204,36 @@ object TextQueries {
          |SELECT doc_id, n_words, avg_word_len, stop_ratio,
          | round(least(1.0, n_words / 100.0) * (1.0 - stop_ratio), 4) AS quality_score
          |FROM d ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      s"""WITH wrd AS (SELECT doc_id, unnest($w) AS wd FROM documents),
+         |wc AS (SELECT doc_id, wd, count(*) AS n FROM wrd GROUP BY 1, 2),
+         |ws AS (SELECT doc_id, sum(n)::BIGINT AS n_words, max(n)::BIGINT AS top_word_n
+         |  FROM wc GROUP BY 1),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len($w)),
+         |   i -> $w[i] || ' ' || $w[i+1])) AS b FROM documents),
+         |bc AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY 1, 2),
+         |bs AS (SELECT doc_id, sum(n)::BIGINT AS n_bigrams,
+         |  sum(CASE WHEN n > 1 THEN n ELSE 0 END)::BIGINT AS dup_bigram_n
+         |  FROM bc GROUP BY 1),
+         |j AS (SELECT ws.doc_id, n_words, top_word_n, n_bigrams, dup_bigram_n,
+         |  round(top_word_n::DOUBLE / n_words, 4) AS top_word_frac,
+         |  round(dup_bigram_n::DOUBLE / n_bigrams, 4) AS dup_bigram_frac
+         | FROM ws JOIN bs ON ws.doc_id = bs.doc_id)
+         |SELECT doc_id, n_words, top_word_n, n_bigrams, dup_bigram_n,
+         | top_word_frac, dup_bigram_frac,
+         | (top_word_frac >= 0.12 OR dup_bigram_frac >= 0.20) AS repetitive
+         |FROM j ORDER BY doc_id""".stripMargin,
+    "text_keyterms" ->
+      s"""WITH t AS (SELECT doc_id, unnest($w) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+         |s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         |  (tf.tf * 1000000 // dfq.df)::BIGINT AS score
+         | FROM tf JOIN dfq ON tf.term = dfq.term)
+         |SELECT doc_id, rk, term, tf, df, score FROM (
+         | SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+         | FROM s) z
+         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "text_tokens" ->
       s"""SELECT doc_id,
          | len($w)::BIGINT AS ws_tokens,

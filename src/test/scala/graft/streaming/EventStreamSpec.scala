@@ -96,6 +96,48 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join emits matches and expires state by watermark") {
+    implicit val ctx = spark.sqlContext
+    val purchases = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = EventStream.intervalJoin(purchases.toDS(), clicks.toDS(), windowMinutes = 30)
+      .writeStream.format("memory").queryName("pc_join").outputMode("append").start()
+    try {
+      clicks.addData(
+        Event(10, ts(0), 1, "click", 1.0),   // 20 min before purchase → match
+        Event(11, ts(15), 1, "click", 1.0),  // 5 min before → match
+        Event(12, ts(0), 2, "click", 1.0))   // other user → no match
+      purchases.addData(Event(20, ts(20), 1, "purchase", 9.0))
+      q.processAllAvailable()
+      // a click 40 min before the purchase: outside the interval
+      clicks.addData(Event(13, ts(40), 1, "click", 1.0))
+      purchases.addData(Event(21, ts(80), 1, "purchase", 9.0))
+      q.processAllAvailable()
+      // advance both watermarks far past everything to flush appends
+      clicks.addData(Event(14, ts(600), 9, "click", 1.0))
+      purchases.addData(Event(22, ts(600), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("pc_join")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.contains((20L, 10L)) && got.contains((20L, 11L)))
+      assert(!got.exists(_._2 == 12L), "cross-user click must not match")
+      assert(!got.contains((21L, 13L)), "click outside the 30-min interval must not match")
+      assert(got.contains((22L, 14L)), "same-timestamp click within interval matches")
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join agrees with the batch twin on the driver data") {
+    val batch = StreamQueries.intervalJoin(spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = graft.Tables.events(spark, TestSpark.sf)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value").as[Event]
+    val streamShaped = EventStream.intervalJoin(
+        ev.filter(_.event_type == "purchase"), ev.filter(_.event_type == "click"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamShaped == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming windowed agg agrees with the batch twin on the same data") {
     implicit val ctx = spark.sqlContext
     val events = Seq(
