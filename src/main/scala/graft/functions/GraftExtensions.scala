@@ -47,8 +47,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => JaccardSim(exprs(0), exprs(1))))
     ext.injectFunction(fn("hyperplane_bands", classOf[HyperplaneBands],
       exprs => HyperplaneBands(exprs.head)))
-    ext.injectFunction(fn("top_cells", classOf[TopCells],
-      exprs => TopCells(exprs(0), exprs(1), exprs(2).eval(null).asInstanceOf[Int])))
+    ext.injectFunction(fn("top_cells", classOf[TopCells], HashExprs.buildTopCells))
     ext.injectFunction(fn("rep_stats", classOf[RepStats],
       exprs => RepStats(exprs.head)))
   }

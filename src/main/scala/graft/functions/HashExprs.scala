@@ -60,11 +60,24 @@ object HashExprs {
       exprs => JaccardSim(exprs(0), exprs(1)), "built-in")
     r.createOrReplaceTempFunction("hyperplane_bands",
       exprs => HyperplaneBands(exprs.head), "built-in")
-    r.createOrReplaceTempFunction("top_cells",
-      exprs => TopCells(exprs(0), exprs(1),
-        exprs(2).eval(null).asInstanceOf[Int]), "built-in")
+    r.createOrReplaceTempFunction("top_cells", buildTopCells, "built-in")
     r.createOrReplaceTempFunction("rep_stats",
       exprs => RepStats(exprs.head), "built-in")
+  }
+
+  /** Builder with numeric coercion (SQL decimal literals → double arrays). */
+  val buildTopCells: Seq[Expression] => Expression = { exprs =>
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    val embT = ArrayType(DoubleType, containsNull = false)
+    def arr(e: Expression) = e.dataType match {
+      case ArrayType(DoubleType, _) => e
+      case _ => Cast(e, embT)
+    }
+    val cents = exprs(1).dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => exprs(1)
+      case _ => Cast(exprs(1), ArrayType(embT, containsNull = false))
+    }
+    TopCells(arr(exprs(0)), cents, exprs(2).eval(null).asInstanceOf[Int])
   }
 
   def minhashSig(c: Column): Column = call_function("minhash_sig", c)

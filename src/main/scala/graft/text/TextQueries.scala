@@ -151,7 +151,35 @@ object TextQueries {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** #28e Sequence packing — the concat-and-chunk step that turns a
+    * document corpus into fixed-length training windows: documents are
+    * concatenated into a token stream and cut every SeqLen tokens; each
+    * document maps to its [first_chunk, last_chunk] span. The stream
+    * position is a running sum within deterministic shards (doc_id mod
+    * Shards), so there is no single-partition global window — each shard
+    * packs independently and in parallel, which is how a 100 TB corpus
+    * actually gets packed. All arithmetic is integer, so both engines
+    * agree exactly. */
+  def pack(s: SparkSession, dir: String): DataFrame = {
+    val SeqLen = 512
+    val Shards = 16
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_tokens"),
+        (col("doc_id") % Shards).as("shard"))
+      .withColumn("end_pos", sum(col("n_tokens")).over(w))
+      .withColumn("start_pos", col("end_pos") - col("n_tokens"))
+      .withColumn("first_chunk", expr(s"start_pos div $SeqLen"))
+      .withColumn("last_chunk", expr(s"(end_pos - 1) div $SeqLen"))
+      .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1L)
+      .select("doc_id", "shard", "n_tokens", "start_pos", "first_chunk", "last_chunk", "n_chunks")
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pack"         -> (pack _),
     "sample_stratified" -> (sampleStratified _),
     "text_ngram_freq"  -> (ngramFreq _),
     "text_langid"      -> (langid _),
@@ -165,6 +193,16 @@ object TextQueries {
   private val w = "regexp_split_to_array(text, '\\s+')"
 
   val oracles: Map[String, String] = Map(
+    "text_pack" ->
+      s"""WITH d AS (SELECT doc_id, len($w)::BIGINT AS n_tokens, doc_id % 16 AS shard
+         |  FROM documents),
+         |p AS (SELECT *, (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS end_pos FROM d)
+         |SELECT doc_id, shard, n_tokens, (end_pos - n_tokens) AS start_pos,
+         | ((end_pos - n_tokens) // 512)::BIGINT AS first_chunk,
+         | ((end_pos - 1) // 512)::BIGINT AS last_chunk,
+         | (((end_pos - 1) // 512) - ((end_pos - n_tokens) // 512) + 1)::BIGINT AS n_chunks
+         |FROM p ORDER BY doc_id""".stripMargin,
     "sample_stratified" ->
       """WITH b AS (SELECT doc_id, lang,
         |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT % 100 AS bucket,

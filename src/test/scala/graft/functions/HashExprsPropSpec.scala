@@ -61,6 +61,55 @@ class HashExprsPropSpec extends AnyFunSuite {
     }
   }
 
+  test("rep_stats counters match a naive recomputation") {
+    val docs = samples(doc, 20) ++ Seq("a a a a", "x y x y x y", "solo")
+    val rows = docs.toDF("t")
+      .selectExpr("t", "rep_stats(t) AS rs")
+      .select("t", "rs.n_words", "rs.top_word_n", "rs.n_bigrams", "rs.dup_bigram_n")
+      .collect()
+    rows.foreach { r =>
+      val words = r.getString(0).split("\\s+")
+      val wc = words.groupBy(identity).view.mapValues(_.length.toLong)
+      val bgs = words.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val bc = bgs.groupBy(identity).view.mapValues(_.length.toLong)
+      assert(r.getLong(1) == words.length.toLong)
+      assert(r.getLong(2) == wc.values.max)
+      assert(r.getLong(3) == bgs.length.toLong)
+      assert(r.getLong(4) == bc.values.filter(_ > 1).sum)
+    }
+  }
+
+  test("hyperplane_bands: deterministic, |bands| keys each within bandBits range") {
+    val vecs = samples(Gen.listOfN(64, Gen.choose(-1.0, 1.0)), 15)
+    val rows = vecs.toDF("v")
+      .selectExpr("hyperplane_bands(v) AS a", "hyperplane_bands(v) AS b").collect()
+    rows.foreach { r =>
+      val a = r.getSeq[Long](0); val b = r.getSeq[Long](1)
+      assert(a == b, "same vector must hash identically")
+      assert(a.length == 4)
+      assert(a.forall(k => k >= 0 && k < 16), "4-bit band keys")
+    }
+  }
+
+  test("top_cells agrees with a naive rounded-cosine argsort") {
+    val cents = samples(Gen.listOfN(8, Gen.choose(-1.0, 1.0)), 6)
+    val vecs = samples(Gen.listOfN(8, Gen.choose(-1.0, 1.0)), 12)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      BigDecimal(dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val centsSql = cents.map(_.mkString("array(", ",", ")")).mkString("array(", ",", ")")
+    val rows = vecs.toDF("v").selectExpr(s"v", s"top_cells(v, $centsSql, 3) AS tc").collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Double](0)
+      val expected = cents.zipWithIndex
+        .map { case (c, i) => (cos(v, c), i) }
+        .sortBy { case (s, i) => (-s, i) }.take(3).map(_._2.toLong)
+      assert(r.getSeq[Long](1) == expected, s"v=$v")
+    }
+  }
+
   test("haversine is symmetric, non-negative, zero on self") {
     val pt = for {
       lat <- Gen.choose(-85.0, 85.0); lng <- Gen.choose(-179.0, 179.0)
