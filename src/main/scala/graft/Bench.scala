@@ -24,11 +24,19 @@ object Bench {
       try { fn(spark, "/root/testdata/sf0.001").count(); () }
       catch { case _: Throwable => () }
     }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // Two temporally-separated timing passes, per-query minimum: the box
+    // shows multi-x co-tenant CPU bursts lasting seconds-to-minutes, and
+    // the min of two spaced samples is a far better estimate of the true
+    // plan cost than any single sample (a burst rarely covers the same
+    // query in both passes).
+    def timeAll(): Seq[(String, Double)] =
+      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    val (pass1, pass2) = (timeAll(), timeAll())
+    val results = pass1.zip(pass2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
