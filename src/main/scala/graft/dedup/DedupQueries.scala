@@ -85,6 +85,32 @@ object DedupQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** #23b Embedding near-dup at scale: hyperplane-LSH bucketed candidates
+    * (any of 4 bands matching), exact-cosine verified — the path that
+    * replaces #23's label-blocked all-pairs join on a 100 TB corpus where
+    * a block key like language is catastrophically low-cardinality. No
+    * blocks at all: candidates come from the banded signature equi-join
+    * (uniform keys), scored map-side before the pair dedup. Rows-only by
+    * design (probabilistic recall, measured vs the exact blocked pairs in
+    * EmbeddingLshSpec); emitted pairs are exact (cosine verified). */
+  def embeddingLsh(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
+    val banded = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .select(col("vec_id"), col("emb"),
+        posexplode(graft.functions.HashExprs.hyperplaneBands(col("emb"))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bkey"))
+    val a = banded.select(col("vec_id").as("a_id"), col("emb").as("a_emb"), col("band"), col("bkey"))
+    val b = banded.select(col("vec_id").as("b_id"), col("emb").as("b_emb"), col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cosine", round(cosine(col("a_emb"), col("b_emb")), 4))
+      .select("a_id", "b_id", "cosine")
+      .dropDuplicates("a_id", "b_id")
+      .filter(col("cosine") >= 0.35)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** #20c Benchmark decontamination: flag corpus documents whose 3-gram
     * shingles overlap a benchmark set (doc_id < 10 stands in for the eval
     * suite) above a containment threshold — the standard pre-training
@@ -109,7 +135,8 @@ object DedupQueries {
     "dedup_exact"            -> (exact _),
     "text_decontaminate"     -> (decontaminate _),
     "dedup_ngram_jaccard"    -> (ngramJaccard _),
-    "dedup_embedding_cosine" -> (embeddingCosine _))
+    "dedup_embedding_cosine" -> (embeddingCosine _),
+    "dedup_embedding_lsh"    -> (embeddingLsh _))
 
   private val w = "regexp_split_to_array(text, '\\s+')"
   /** DuckDB distinct 3-shingle list (1-indexed lists). */
