@@ -9,29 +9,39 @@ import graft.dedup.{DedupClusters, DedupQueries}
 /** Training-corpus builder: the LLM-data-pipeline operators composed into
   * one job, the way CrashPipeline composes the reference ETL surface.
   *
-  *   quality gate → exact dedup → near-dup cluster canonicalization →
-  *   benchmark decontamination → deterministic stratified sampling
+  *   quality gate (incl. repetition metrics) → exact dedup → near-dup
+  *   cluster canonicalization → benchmark decontamination → deterministic
+  *   stratified sampling → sequence packing
   *
   * Each stage is the same logic as its standalone oracle-checked operator;
   * the composition stays declarative except the (iterative) cluster step.
   * Scale shape: the corpus is filtered map-side first (cheapest cut), the
-  * only shuffles are the dedup groupBy and the sparse near-dup machinery,
-  * and the benchmark set rides along as a broadcast.
+  * only shuffles are the dedup groupBy, the sparse near-dup machinery and
+  * the per-shard packing window; the benchmark set rides along as a
+  * broadcast.
   */
 object CorpusPipeline {
 
   def build(s: SparkSession, dir: String,
       minWords: Long = 10, maxStopRatio: Double = 0.6,
+      maxTopWordFrac: Double = 0.5, maxDupBigramFrac: Double = 0.9,
       benchmarkMaxOverlap: Long = 20, sampleBucketOf100: Long = 80): DataFrame = {
     graft.functions.HashExprs.register(s)
 
-    // 1. quality gate (map-side only)
+    // 1. quality gate (map-side only): length/stopword shape + Gopher-style
+    // repetition cut via the compiled RepStats expression
     val ws = split(col("text"), "\\s+")
     val stop = size(filter(ws, w => w.isin("the", "a", "of", "and", "in"))).cast("double")
+    val rs = graft.functions.HashExprs.repStats(col("text"))
     val quality = Tables.documents(s, dir)
       .withColumn("n_words", size(ws).cast("long"))
+      .withColumn("rs", rs)
       .filter(col("n_words") >= minWords &&
-        stop / col("n_words") <= maxStopRatio)
+        stop / col("n_words") <= maxStopRatio &&
+        col("rs.top_word_n").cast("double") / col("rs.n_words") <= maxTopWordFrac &&
+        (col("rs.n_bigrams") === 0 ||
+          col("rs.dup_bigram_n").cast("double") / col("rs.n_bigrams") <= maxDupBigramFrac))
+      .drop("rs")
 
     // 2. exact dedup: keep the min doc_id per content hash
     val keepers = quality
@@ -61,8 +71,22 @@ object CorpusPipeline {
     // 5. deterministic sample (content-stable hash bucket)
     val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
       .cast("long") % 100
-    clean.filter(bucket < sampleBucketOf100)
+    val sampled = clean.filter(bucket < sampleBucketOf100)
       .select("doc_id", "text", "lang", "source", "n_chars", "n_words")
+
+    // 6. sequence packing: map each surviving doc to its chunk span in the
+    // fixed-window token stream (per-shard running sum — parallel packing)
+    val SeqLen = 512
+    val Shards = 16
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+    sampled
+      .withColumn("shard", col("doc_id") % Shards)
+      .withColumn("end_pos", sum(col("n_words")).over(w))
+      .withColumn("start_pos", col("end_pos") - col("n_words"))
+      .withColumn("first_chunk", expr(s"start_pos div $SeqLen"))
+      .withColumn("last_chunk", expr(s"(end_pos - 1) div $SeqLen"))
+      .drop("end_pos")
       .orderBy("doc_id")
   }
 }

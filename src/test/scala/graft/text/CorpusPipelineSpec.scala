@@ -35,6 +35,21 @@ class CorpusPipelineSpec extends AnyFunSuite {
 
       // quality gate holds
       assert(corpus.filter(col("n_words") < 10).count() == 0)
+
+      // packing: chunk spans are contiguous per shard — each doc starts
+      // where the previous one in its shard ended
+      val rows = corpus.select("shard", "doc_id", "n_words", "start_pos")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      rows.groupBy(_._1).foreach { case (_, rs) =>
+        val sorted = rs.sortBy(_._2)
+        sorted.zipWithIndex.foreach { case ((_, _, nw, start), i) =>
+          val expected = sorted.take(i).map(_._3).sum
+          assert(start == expected, s"doc ${sorted(i)._2}: start=$start expected=$expected")
+          val _ = nw
+        }
+      }
+      // chunk ids are consistent with positions
+      assert(corpus.filter(col("first_chunk") =!= expr("start_pos div 512")).count() == 0)
     } finally { corpus.unpersist(); () }
   }
 }
