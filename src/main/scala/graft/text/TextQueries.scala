@@ -140,7 +140,9 @@ object TextQueries {
     val terms = Tables.documents(s, dir)
       .select(col("doc_id"), explode(ws).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = terms.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // document frequency derives from tf (one row per (doc, term) already),
+    // so the tf exchange is reused instead of a second explode + distinct
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
     tf.join(broadcast(df), "term")
@@ -178,7 +180,29 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** #27d Corpus length-distribution statistics per language — the
+    * sizing/report pass of a corpus build (token budget planning, outlier
+    * detection). Exact interpolated percentiles: at driver-test scale both
+    * engines compute the same order statistics; at 100 TB the same plan
+    * swaps `percentile` for `percentile_approx` with a documented error
+    * bound (sketch-mergeable, one pass). Map-side partial aggregation,
+    * one shuffle on the 2-value lang key. */
+  def lengthStats(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("lang"), size(words(col("text"))).cast("long").as("n_words"),
+        col("n_chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_words")).as("min_words"), max(col("n_words")).as("max_words"),
+        round(avg(col("n_words")), 4).as("avg_words"),
+        round(expr("percentile(n_words, 0.5)"), 4).as("p50_words"),
+        round(expr("percentile(n_words, 0.9)"), 4).as("p90_words"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_length_stats" -> (lengthStats _),
     "text_pack"         -> (pack _),
     "sample_stratified" -> (sampleStratified _),
     "text_ngram_freq"  -> (ngramFreq _),
@@ -193,6 +217,14 @@ object TextQueries {
   private val w = "regexp_split_to_array(text, '\\s+')"
 
   val oracles: Map[String, String] = Map(
+    "text_length_stats" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         | min(len($w))::BIGINT AS min_words, max(len($w))::BIGINT AS max_words,
+         | round(avg(len($w)), 4) AS avg_words,
+         | round(quantile_cont(len($w), 0.5), 4) AS p50_words,
+         | round(quantile_cont(len($w), 0.9), 4) AS p90_words,
+         | sum(n_chars)::BIGINT AS total_chars
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "text_pack" ->
       s"""WITH d AS (SELECT doc_id, len($w)::BIGINT AS n_tokens, doc_id % 16 AS shard
          |  FROM documents),
