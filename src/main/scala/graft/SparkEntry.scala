@@ -17,7 +17,7 @@ object SparkEntry {
       dedup.MinHashLsh.queries ++ dedup.SimHash.queries ++
       dedup.DedupClusters.queries ++
       sim.SimQueries.queries ++ sim.AnnLsh.queries ++ sim.AnnIvf.queries ++
-      sim.VectorOps.queries ++
+      sim.VectorOps.queries ++ sim.Kmeans.queries ++
       multimodal.MultimodalQueries.queries ++ streaming.StreamQueries.queries ++
       streaming.StreamDedup.queries
 
@@ -27,7 +27,7 @@ object SparkEntry {
     relational.CoreQueries.oracles ++ etl.EtlQueries.oracles ++
       text.TextQueries.oracles ++ text.PiiScrub.oracles ++ dedup.DedupQueries.oracles ++
       dedup.DedupClusters.oracles ++
-      sim.SimQueries.oracles ++ sim.AnnIvf.oracles ++
+      sim.SimQueries.oracles ++ sim.AnnIvf.oracles ++ sim.Kmeans.oracles ++
       multimodal.MultimodalQueries.oracles ++
       sim.VectorOps.oracles ++ streaming.StreamQueries.oracles ++
       streaming.StreamDedup.oracles

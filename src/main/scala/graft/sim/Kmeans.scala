@@ -1,0 +1,108 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.DedupQueries.{cosine, cosineSql}
+
+/** Distributed spherical k-means over the embedding corpus (SURVEY.md §2
+  * #25c) — the clustering primitive behind SemDeDup-style semantic curation
+  * and IVF centroid training (the offline step `AnnIvf` assumes).
+  *
+  * Determinism contract (the DuckDB oracle must replay every iteration):
+  * centroids initialize from the first K vectors; each Lloyd iteration
+  * assigns by cosine (scores rounded to 6, lowest cell wins ties — the
+  * `TopCells` comparator) and recomputes centroids as per-dimension means
+  * rounded to 6 decimals. Rounding the means is what makes the two engines
+  * agree: raw double sums differ by ~1e-15 with summation order, rounded
+  * means are identical, so every subsequent assignment is identical.
+  *
+  * Scale: per iteration, assignment is one compiled map-side pass against a
+  * broadcast K×Dim literal (no join, no shuffle), and the recompute is one
+  * K-key hash aggregation with map-side partial averages — K×Dim doubles
+  * ever reach the driver, same as MLlib KMeans ships its model. Iteration
+  * count is fixed and small; nothing grows with corpus size except the one
+  * scan per iteration.
+  */
+object Kmeans {
+
+  val K = 8
+  val Iters = 2
+  val Dim = 64
+
+  private def assign(cents: Array[Array[Double]]) = {
+    val centsLit = typedlit(cents.map(_.toSeq).toSeq)
+    element_at(graft.functions.HashExprs.topCells(col("emb"), centsLit, 1), 1)
+  }
+
+  def embKmeans(s: SparkSession, dir: String): DataFrame = run(s, dir, Iters)
+
+  private[sim] def run(s: SparkSession, dir: String, iters: Int): DataFrame = {
+    graft.functions.HashExprs.register(s)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+
+    val init = e.filter(col("vec_id") < K)
+      .select(col("vec_id"), col("emb")).collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    require(init.length == K, s"expected $K init vectors with vec_id < $K")
+
+    var cents = init
+    for (_ <- 1 to iters) {
+      val dims = (1 to Dim).map(i => round(avg(element_at(col("emb"), i)), 6))
+      val rows = e.select(assign(cents).as("cell"), col("emb"))
+        .groupBy(col("cell")).agg(dims.head, dims.tail: _*)
+        .collect()
+      // empty cells keep their previous centroid (mirrored by the oracle's
+      // COALESCE over a LEFT JOIN)
+      val next = cents.map(_.clone())
+      rows.foreach { r =>
+        next(r.getLong(0).toInt) = Array.tabulate(Dim)(i => r.getDouble(i + 1))
+      }
+      cents = next
+    }
+
+    val centsLit = typedlit(cents.map(_.toSeq).toSeq)
+    e.select(col("vec_id"), assign(cents).as("cluster"), col("emb"))
+      .withColumn("cos_center",
+        round(cosine(col("emb"), element_at(centsLit, (col("cluster") + 1).cast("int"))), 4))
+      .select(col("vec_id"), col("cluster"), col("cos_center"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** One Lloyd iteration in SQL: assign against `prev`, average per dim,
+    * carry empty cells forward. */
+  private def iterSql(n: Int, prev: String): String = {
+    val dims = (1 to Dim).map(i => s"round(avg(emb[$i]), 6)").mkString(", ")
+    s"""a$n AS (
+       | SELECT vec_id, emb, c_id AS cell FROM (
+       |  SELECT e.vec_id, e.emb, $prev.c_id,
+       |   row_number() OVER (PARTITION BY e.vec_id
+       |     ORDER BY round(${cosineSql("e.emb", s"$prev.c_emb")}, 6) DESC, $prev.c_id) AS r
+       |  FROM e CROSS JOIN $prev) t
+       | WHERE r = 1),
+       |m$n AS (SELECT cell AS c_id, [$dims] AS c_emb FROM a$n GROUP BY cell),
+       |c$n AS (SELECT $prev.c_id AS c_id, COALESCE(m$n.c_emb, $prev.c_emb) AS c_emb
+       | FROM $prev LEFT JOIN m$n ON m$n.c_id = $prev.c_id)""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_kmeans" -> (embKmeans _))
+
+  val oracles: Map[String, String] = Map(
+    "emb_kmeans" -> {
+      val iters = (1 to Iters).map(n => iterSql(n, s"c${n - 1}")).mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |c0 AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < $K),
+         |$iters
+         |SELECT vec_id, cell AS cluster,
+         | round(${cosineSql("emb", "c_emb")}, 4) AS cos_center
+         |FROM (
+         | SELECT e.vec_id, fc.c_id AS cell, e.emb, fc.c_emb,
+         |  row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY round(${cosineSql("e.emb", "fc.c_emb")}, 6) DESC, fc.c_id) AS r
+         | FROM e CROSS JOIN c$Iters fc) t
+         |WHERE r = 1 ORDER BY vec_id""".stripMargin
+    })
+}
