@@ -36,8 +36,12 @@ object Kmeans {
     element_at(graft.functions.HashExprs.topCells(col("emb"), centsLit, 1), 1)
   }
 
-  def embKmeans(s: SparkSession, dir: String): DataFrame = run(s, dir, Iters)
+  def embKmeans(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, Iters).select(col("vec_id"), col("cluster"), col("cos_center"))
+      .orderBy(col("vec_id"))
 
+  /** Assignment after `iters` Lloyd rounds, keeping the embedding column so
+    * downstream consumers (SemDeDup) can join within clusters. */
   private[sim] def run(s: SparkSession, dir: String, iters: Int): DataFrame = {
     graft.functions.HashExprs.register(s)
     val e = Tables.embeddings(s, dir)
@@ -67,8 +71,7 @@ object Kmeans {
     e.select(col("vec_id"), assign(cents).as("cluster"), col("emb"))
       .withColumn("cos_center",
         round(cosine(col("emb"), element_at(centsLit, (col("cluster") + 1).cast("int"))), 4))
-      .select(col("vec_id"), col("cluster"), col("cos_center"))
-      .orderBy(col("vec_id"))
+      .select(col("vec_id"), col("cluster"), col("cos_center"), col("emb"))
   }
 
   /** One Lloyd iteration in SQL: assign against `prev`, average per dim,
@@ -87,22 +90,62 @@ object Kmeans {
        | FROM $prev LEFT JOIN m$n ON m$n.c_id = $prev.c_id)""".stripMargin
   }
 
+  /** The WITH-body both oracles share: every Lloyd iteration plus the final
+    * assignment (`asgn`: vec_id, cluster, emb, c_emb). */
+  private def chainSql: String = {
+    val iters = (1 to Iters).map(n => iterSql(n, s"c${n - 1}")).mkString(",\n")
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |c0 AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < $K),
+       |$iters,
+       |asgn AS (
+       | SELECT vec_id, c_id AS cluster, emb, c_emb FROM (
+       |  SELECT e.vec_id, fc.c_id, e.emb, fc.c_emb,
+       |   row_number() OVER (PARTITION BY e.vec_id
+       |     ORDER BY round(${cosineSql("e.emb", "fc.c_emb")}, 6) DESC, fc.c_id) AS r
+       |  FROM e CROSS JOIN c$Iters fc) t
+       | WHERE r = 1)""".stripMargin
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) semantic dedup: the
+    * trained clusters are the blocks; within a cluster a vector is dropped
+    * when a lower-id vector sits above the cosine threshold. Pairwise work
+    * is confined to clusters — K grows with the corpus, so the per-cluster
+    * quadratic term stays bounded; this is the published algorithm's shape,
+    * not a shortcut. The within-cluster join shuffles on the cluster key
+    * once; the keep decision is a left-anti join on vec_id. */
+  val SemTau = 0.35
+
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val asgn = run(s, dir, Iters).select(col("vec_id"), col("cluster"), col("emb"))
+    val a = asgn.select(col("vec_id").as("a_id"), col("cluster"), col("emb").as("a_emb"))
+    val b = asgn.select(col("vec_id").as("b_id"), col("cluster"), col("emb").as("b_emb"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(round(cosine(col("a_emb"), col("b_emb")), 4) >= SemTau)
+      .select(col("b_id").as("vec_id")).distinct()
+    asgn.join(dropped.withColumn("d", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("d").isNull.as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "emb_kmeans" -> (embKmeans _))
+    "emb_kmeans" -> (embKmeans _),
+    "dedup_semantic" -> (semanticDedup _))
 
   val oracles: Map[String, String] = Map(
-    "emb_kmeans" -> {
-      val iters = (1 to Iters).map(n => iterSql(n, s"c${n - 1}")).mkString(",\n")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |c0 AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < $K),
-         |$iters
-         |SELECT vec_id, cell AS cluster,
+    "emb_kmeans" ->
+      s"""WITH $chainSql
+         |SELECT vec_id, cluster,
          | round(${cosineSql("emb", "c_emb")}, 4) AS cos_center
-         |FROM (
-         | SELECT e.vec_id, fc.c_id AS cell, e.emb, fc.c_emb,
-         |  row_number() OVER (PARTITION BY e.vec_id
-         |    ORDER BY round(${cosineSql("e.emb", "fc.c_emb")}, 6) DESC, fc.c_id) AS r
-         | FROM e CROSS JOIN c$Iters fc) t
-         |WHERE r = 1 ORDER BY vec_id""".stripMargin
-    })
+         |FROM asgn ORDER BY vec_id""".stripMargin,
+    "dedup_semantic" ->
+      s"""WITH $chainSql,
+         |dropped AS (
+         | SELECT DISTINCT b.vec_id FROM asgn a JOIN asgn b
+         |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  AND round(${cosineSql("a.emb", "b.emb")}, 4) >= $SemTau)
+         |SELECT asgn.vec_id, asgn.cluster,
+         | (dropped.vec_id IS NULL) AS kept
+         |FROM asgn LEFT JOIN dropped ON asgn.vec_id = dropped.vec_id
+         |ORDER BY asgn.vec_id""".stripMargin)
 }

@@ -29,6 +29,14 @@ class KmeansSpec extends AnyFunSuite {
     assert(trained > init, s"mean cos after ${Kmeans.Iters} iters ($trained) must beat init ($init)")
   }
 
+  test("semantic dedup covers every vector and actually drops near-dups") {
+    val rows = Kmeans.semanticDedup(spark, sf).collect()
+    assert(rows.length == graft.Tables.embeddings(spark, sf).count())
+    val dropped = rows.count(!_.getBoolean(2))
+    assert(dropped > 0, "the corpus has planted near-dups; some must be dropped")
+    assert(dropped < rows.length / 2, "dropping half the corpus would mean a broken threshold")
+  }
+
   test("assignment is map-side: no join anywhere in the final plan") {
     val p = Kmeans.embKmeans(spark, sf).queryExecution.executedPlan.toString
     assert(!p.toLowerCase.contains("join"), "assignment must be a broadcast-literal projection")
