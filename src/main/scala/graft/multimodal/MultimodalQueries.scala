@@ -35,8 +35,36 @@ object MultimodalQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** #30b Frame sampling: one row per sampled frame of each "video" payload.
+    * The payload is chunked into `n_frames` equal character ranges and every
+    * `Stride`-th frame is materialized with its range and content digest —
+    * the exact row shape a real ffmpeg-backed `mapPartitions` decode would
+    * emit (BinaryPipeline holds the batched plumbing). Explode is the only
+    * row-multiplier; everything else is map-side arithmetic, so the plan is
+    * scan → project → generate with no shuffle. */
+  val Stride = 4L
+
+  def frameSample(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("chars"),
+        (lit(8L) + col("doc_id") % 25).as("n_frames"))
+    base
+      .select(col("doc_id"), col("text"), col("chars"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(Stride))).as("frame_idx"))
+      .withColumn("start_pos", expr("1 + (frame_idx * chars) div n_frames"))
+      .withColumn("end_pos", expr("((frame_idx + 1) * chars) div n_frames"))
+      .withColumn("frame_digest",
+        md5(expr("substring(text, int(start_pos), int(greatest(0, end_pos - start_pos + 1)))")))
+      .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+        col("start_pos"), col("end_pos"), col("frame_digest"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_binary_meta" -> (binaryMeta _))
+    "mm_binary_meta" -> (binaryMeta _),
+    "mm_frame_sample" -> (frameSample _))
 
   val oracles: Map[String, String] = Map(
     "mm_binary_meta" ->
@@ -45,5 +73,20 @@ object MultimodalQueries {
         | 32 + doc_id % 48 AS height,
         | 1 + doc_id % 3 AS n_frames,
         | CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      s"""WITH v AS (
+         | SELECT doc_id, text, length(text)::BIGINT AS chars, 8 + doc_id % 25 AS n_frames
+         | FROM documents WHERE doc_id % 3 = 2),
+         |f AS (
+         | SELECT doc_id, text, chars, n_frames, unnest(range(0, n_frames, $Stride)) AS frame_idx
+         | FROM v),
+         |g AS (
+         | SELECT doc_id, frame_idx, n_frames, text,
+         |  1 + (frame_idx * chars) // n_frames AS start_pos,
+         |  ((frame_idx + 1) * chars) // n_frames AS end_pos
+         | FROM f)
+         |SELECT doc_id, frame_idx, n_frames, start_pos, end_pos,
+         | md5(substr(text, start_pos::INT, greatest(0, end_pos - start_pos + 1)::INT)) AS frame_digest
+         |FROM g ORDER BY doc_id, frame_idx""".stripMargin)
 }

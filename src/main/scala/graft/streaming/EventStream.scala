@@ -37,6 +37,21 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-static enrichment: each event joins a broadcast dimension
+    * table, then aggregates per window × dim attribute. The static side is
+    * re-read per micro-batch by Spark but never shuffles the stream; state
+    * is bounded by the watermark exactly as in windowedAgg. Batch twin with
+    * identical semantics: StreamQueries.enrich (oracle-checked). */
+  def enrichedWindowAgg(events: Dataset[Event], dim: DataFrame,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .join(broadcast(dim), col("user_id") % 25 === col("nk"))
+      .groupBy(window(col("ts"), "1 hour"), col("n_name"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("n_name"),
+        col("n_events"), col("sum_value"))
+
   /** Stream-stream interval join: purchases joined to the same user's
     * clicks in the preceding `windowMinutes`. Both sides are watermarked,
     * and the join condition bounds the click's event time relative to the

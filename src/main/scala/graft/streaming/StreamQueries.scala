@@ -62,10 +62,28 @@ object StreamQueries {
       .orderBy(col("purchase_id"), col("click_id"))
   }
 
+  /** #32c Stream-static enrichment, batch twin of
+    * EventStream.enrichedWindowAgg: each event joins a broadcast dimension
+    * (user's nation via modulo key — the stand-in for a user-profile dim)
+    * and the stream aggregates per window × nation. The static side is
+    * broadcast, so the streaming plan keeps one shuffle (the windowed agg)
+    * and no stream-side repartition for the join. */
+  def enrich(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.nation(s, dir)
+      .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))
+    Tables.events(s, dir)
+      .join(broadcast(dim), col("user_id") % 25 === col("nk"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("n_name"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("n_name"), col("n_events"), col("sum_value"))
+      .orderBy(col("window_start"), col("n_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> (windowAgg _),
     "stream_sessionize" -> (sessionize _),
-    "stream_interval_join" -> (intervalJoin _))
+    "stream_interval_join" -> (intervalJoin _),
+    "stream_enrich" -> (enrich _))
 
   val oracles: Map[String, String] = Map(
     "stream_interval_join" ->
@@ -75,6 +93,11 @@ object StreamQueries {
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
         |ORDER BY purchase_id, click_id""".stripMargin,
+    "stream_enrich" ->
+      """SELECT time_bucket(INTERVAL '1 hour', e.ts) AS window_start, n.n_name,
+        | count(*) AS n_events, round(sum(e.value), 2) AS sum_value
+        |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+        |GROUP BY 1, 2 ORDER BY window_start, n_name""".stripMargin,
     "stream_window_agg" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
         | count(*) AS n_events, round(sum(value), 2) AS sum_value

@@ -160,4 +160,28 @@ class EventStreamSpec extends AnyFunSuite {
       assert(streamed == batchRows)
     } finally q.stop()
   }
+
+  test("stream-static enrichment joins the broadcast dim and agrees with batch") {
+    implicit val ctx = spark.sqlContext
+    val dim = Seq((0L, "ALPHA"), (1L, "BETA"), (2L, "GAMMA")).toDF("nk", "n_name")
+    val events = Seq(
+      Event(1, ts(0), 25, "click", 1.0),  // user 25 % 25 = 0 -> ALPHA
+      Event(2, ts(10), 25, "click", 2.0),
+      Event(3, ts(20), 26, "view", 3.0))  // 26 % 25 = 1 -> BETA
+    val input = MemoryStream[Event]
+    val q = EventStream.enrichedWindowAgg(input.toDS(), dim, watermark = "1 minute")
+      .writeStream.format("memory").queryName("enrich_stream").outputMode("append").start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      input.addData(Event(99, ts(10000), 25, "x", 0.0)) // close everything
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_stream")
+        .filter($"window_start" < ts(9000))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == Set(
+        (ts(0), "ALPHA", 2L, 3.0),
+        (ts(0), "BETA", 1L, 3.0)))
+    } finally q.stop()
+  }
 }
