@@ -106,6 +106,34 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** #28f Temperature-based mixture sampling (the XLM/mT5 α-sampling rule,
+    * arXiv:1901.07291 §3.1): per-language weights ∝ n^α with α=0.5, so
+    * low-resource languages are upsampled relative to their share. The
+    * per-language keep rate is `target · w_l / n_l`, snapped to an integer
+    * threshold in a 2^20 bucket space (16^6 / 2^20 is exact, so the md5
+    * bucket is unbiased), and applied via the same content-stable hash as
+    * `sample_stratified` — reproducible on any cluster size. α is realized
+    * as sqrt(), which is correctly rounded in both engines (general pow is
+    * not); the rate snap to integer micros absorbs the ~1e-16 summation-
+    * order difference in the weight denominator. One 5-key count agg, one
+    * broadcast join back — nothing else touches the corpus twice. */
+  def sampleTemperature(s: SparkSession, dir: String): DataFrame = {
+    val Buckets = 1048576L // 2^20
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).cast("double").as("n"))
+    val tot = counts.agg(sum(col("n")).as("tot"), sum(sqrt(col("n"))).as("s"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col("lang"),
+        least(lit(1.0), lit(0.4) * col("tot") * sqrt(col("n")) / col("s") / col("n")).as("kr"))
+      .select(col("lang"), round(col("kr") * Buckets, 0).cast("long").as("keep_threshold"))
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+      .cast("long") % Buckets
+    docs.join(broadcast(rates), Seq("lang"))
+      .filter(bucket < col("keep_threshold"))
+      .select(col("doc_id"), col("lang"), col("keep_threshold"))
+      .orderBy(col("doc_id"))
+  }
+
   /** #27c Repetition metrics — the counters behind Gopher-style repetition
     * quality filters: fraction of tokens that are the single most repeated
     * word, and the mass of duplicated bigrams. One compiled RepStats call
@@ -205,6 +233,7 @@ object TextQueries {
     "text_length_stats" -> (lengthStats _),
     "text_pack"         -> (pack _),
     "sample_stratified" -> (sampleStratified _),
+    "sample_temperature" -> (sampleTemperature _),
     "text_ngram_freq"  -> (ngramFreq _),
     "text_langid"      -> (langid _),
     "text_quality"     -> (quality _),
@@ -235,6 +264,17 @@ object TextQueries {
          | ((end_pos - 1) // 512)::BIGINT AS last_chunk,
          | (((end_pos - 1) // 512) - ((end_pos - n_tokens) // 512) + 1)::BIGINT AS n_chunks
          |FROM p ORDER BY doc_id""".stripMargin,
+    "sample_temperature" ->
+      """WITH c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang),
+        |t AS (SELECT sum(n) AS tot, sum(sqrt(n)) AS s FROM c),
+        |r AS (SELECT lang,
+        |  round(least(1.0::DOUBLE, 0.4::DOUBLE * tot * sqrt(n) / s / n) * 1048576, 0)::BIGINT
+        |    AS keep_threshold
+        | FROM c, t)
+        |SELECT d.doc_id, d.lang, r.keep_threshold
+        |FROM documents d JOIN r USING (lang)
+        |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 6))::BIGINT % 1048576 < r.keep_threshold
+        |ORDER BY d.doc_id""".stripMargin,
     "sample_stratified" ->
       """WITH b AS (SELECT doc_id, lang,
         |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT % 100 AS bucket,
