@@ -77,7 +77,18 @@ object HashExprs {
       case ArrayType(ArrayType(DoubleType, _), _) => exprs(1)
       case _ => Cast(exprs(1), ArrayType(embT, containsNull = false))
     }
-    TopCells(arr(exprs(0)), cents, exprs(2).eval(null).asInstanceOf[Int])
+    val k = exprs(2) match {
+      case e if e.foldable => e.eval(null) match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long => l.intValue
+        case s: java.lang.Short => s.intValue
+        case b: java.lang.Byte => b.intValue
+        case other => throw new IllegalArgumentException(
+          s"top_cells k must be an integer literal, got $other")
+      }
+      case _ => throw new IllegalArgumentException("top_cells k must be a literal")
+    }
+    TopCells(arr(exprs(0)), cents, k)
   }
 
   def minhashSig(c: Column): Column = call_function("minhash_sig", c)
@@ -112,7 +123,7 @@ case class RepStats(child: Expression) extends UnaryExpression with CodegenFallb
   }
 
   override def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[UTF8String].toString.split("\\s+")
+    val words = input.asInstanceOf[UTF8String].toString.split("\\s+", -1)
     val wc = new java.util.HashMap[String, Long](words.length * 2)
     var i = 0
     while (i < words.length) {
@@ -239,7 +250,7 @@ case class Shingles(child: Expression, k: Int, distinct: Boolean = true)
   }
 
   override def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[UTF8String].toString.split("\\s+")
+    val words = input.asInstanceOf[UTF8String].toString.split("\\s+", -1)
     val n = math.max(0, words.length - k + 1)
     val acc = new java.util.LinkedHashSet[String](math.max(4, n * 2))
     val all = if (distinct) null else new Array[Any](n)
@@ -387,8 +398,12 @@ case class TopCells(left: Expression, right: Expression, k: Int)
     var i = 0
     while (i < n) {
       val raw = cosine(emb, cents.getArray(i).toDoubleArray())
-      scores(i) = java.math.BigDecimal.valueOf(raw)
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      // zero-norm vector or centroid → NaN cosine: rank it last
+      // deterministically (BigDecimal.valueOf(NaN) would throw)
+      scores(i) =
+        if (java.lang.Double.isNaN(raw)) Double.NegativeInfinity
+        else java.math.BigDecimal.valueOf(raw)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
       i += 1
     }
     val kk = math.min(k, n)

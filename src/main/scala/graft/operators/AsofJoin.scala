@@ -36,29 +36,36 @@ object AsofJoin {
     val leftCols = left.columns.filterNot(on.contains)
     val payload = rightId +: rightVals
 
-    val lTagged = payload.foldLeft(
-      left.withColumn("_at", col(leftTime)).withColumn("_tag", lit(1))) {
-      (df, c) => df.withColumn(c, lit(null).cast(right.schema(c).dataType))
-    }
+    // The whole right payload travels as ONE struct: last(ignoreNulls) over
+    // the struct picks the entire matched row atomically. Filling each
+    // payload column independently would stitch together attributes of
+    // different right rows whenever the matched row holds a NULL field
+    // (an older row's value would leak through for just that column).
+    val pType = org.apache.spark.sql.types.StructType(payload.map(c => right.schema(c)))
+    val lTagged = left.withColumn("_at", col(leftTime)).withColumn("_tag", lit(1))
+      .withColumn("_p", lit(null).cast(pType))
     val rTagged = leftCols.foldLeft(
-      right.select((on ++ payload).map(col) :+ col(rightTime).as("_at"): _*)
+      right.select(on.map(col) :+ struct(payload.map(col): _*).as("_p")
+          :+ col(rightTime).as("_at"): _*)
         .withColumn("_tag", lit(0))) {
       (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
 
-    val unioned = lTagged.select((on ++ leftCols ++ payload ++ Seq("_at", "_tag")).map(col): _*)
-      .unionByName(rTagged.select((on ++ leftCols ++ payload ++ Seq("_at", "_tag")).map(col): _*))
+    val cols = on ++ leftCols ++ Seq("_p", "_at", "_tag")
+    val unioned = lTagged.select(cols.map(col): _*)
+      .unionByName(rTagged.select(cols.map(col): _*))
 
     val w = Window.partitionBy(on.map(col): _*)
-      .orderBy(col("_at").asc, col("_tag").asc, col(rightId).asc_nulls_first)
+      .orderBy(col("_at").asc, col("_tag").asc,
+        col("_p").getField(rightId).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("_tag") === 1).drop("_at", "_tag")
+    val filled = unioned.withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))
+    payload.foldLeft(filled.filter(col("_tag") === 1)) { (df, c) =>
+      df.withColumn(c, col("_p").getField(c))
+    }.drop("_at", "_tag", "_p")
   }
 
   /** Column helper: the window ordering used above, exposed for specs. */
   def orderingOf(rightId: String): Seq[Column] =
-    Seq(col("_at").asc, col("_tag").asc, col(rightId).asc_nulls_first)
+    Seq(col("_at").asc, col("_tag").asc, col("_p").getField(rightId).asc_nulls_first)
 }

@@ -30,11 +30,16 @@ object RangeJoin {
     def cellOf(l: Column, b: Column): Column =
       floor(l / cellDeg).cast("long") * 100000L + floor(b / cellDeg).cast("long")
 
-    val cellRange = (lo: String, hi: String) =>
-      sequence(floor(col(lo) / cellDeg).cast("long"),
-        // upper bound is exclusive; a box ending exactly on a cell edge
-        // still covers the cell below the edge only
-        floor((col(hi) - lit(1e-12)) / cellDeg).cast("long"))
+    val cellRange = (lo: String, hi: String) => {
+      val start = floor(col(lo) / cellDeg).cast("long")
+      // upper bound is exclusive; a box ending exactly on a cell edge
+      // still covers the cell below the edge only. A sliver box narrower
+      // than the 1e-12 nudge that straddles a cell edge would make
+      // stop < start — clamp: any non-degenerate box covers at least
+      // the cell containing its lower corner.
+      val stop = floor((col(hi) - lit(1e-12)) / cellDeg).cast("long")
+      sequence(start, greatest(start, stop))
+    }
 
     val boxCells = boxes
       // degenerate boxes (hi <= lo) match nothing under the exact half-open

@@ -45,14 +45,19 @@ object PagedSource {
   }
 
   private def fetchWithRetry[A](r: PageReader[A], p: Page, maxAttempts: Int): Seq[A] = {
-    var attempt = 1
+    var attempt = 0
     var out: Seq[A] = null
-    while (out == null) {
+    while (out == null && attempt < maxAttempts) {
+      attempt += 1
       try out = r.fetch(p.offset, p.limit)
       catch {
-        case e: Exception if attempt < maxAttempts => attempt += 1; val _ = e
+        case e: Exception if attempt < maxAttempts => val _ = e
       }
     }
+    // a reader returning null (rather than Nil or throwing) is a broken
+    // connector — fail the task instead of spinning forever
+    if (out == null) throw new IllegalStateException(
+      s"page ${p.index}: fetch returned null after $attempt attempts")
     out
   }
 

@@ -90,32 +90,30 @@ object EventStream {
             state.remove()
             Iterator.single(Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.sum))
           } else {
+            // Sweep-merge the open session and every batch event as time
+            // intervals: adjacent intervals within the gap coalesce, so
+            // several late events within gap of each other form ONE past
+            // session (per-event special-casing fragmented them), and a
+            // late event inside the open session's gap extends it backwards.
+            // Everything but the latest interval is closed immediately —
+            // with event-time timeout only the open session can wait.
             val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var closed = List.empty[Session]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                // late cross-batch event more than gap BEFORE the open
-                // session: a separate, already-elapsed session of its own
-                case Some(s) if t + gapMs < s.start =>
-                  closed ::= Session(userId, new Timestamp(t), new Timestamp(t), 1L, e.value)
-                // within gap of the open session on either side: merge,
-                // tracking start as a min so a late event extends backwards
-                case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(SessionState(math.min(s.start, t), math.max(s.end, t), s.n + 1, s.sum + e.value))
-                case Some(s) =>
-                  closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.sum)
-                  cur = Some(SessionState(t, t, 1L, e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1L, e.value))
-              }
+            val items = (state.getOption.toList ++
+              sorted.map(e => SessionState(e.ts.getTime, e.ts.getTime, 1L, e.value)))
+              .sortBy(iv => (iv.start, iv.end))
+            val merged = items.foldLeft(List.empty[SessionState]) {
+              case (h :: t, iv) if iv.start - h.end <= gapMs =>
+                SessionState(h.start, math.max(h.end, iv.end), h.n + iv.n, h.sum + iv.sum) :: t
+              case (acc, iv) => iv :: acc
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
+            merged match {
+              case open :: closed =>
+                state.update(open)
+                state.setTimeoutTimestamp(open.end + gapMs)
+                closed.reverseIterator.map(s =>
+                  Session(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.sum))
+              case Nil => Iterator.empty
             }
-            closed.reverseIterator
           }
       }
   }

@@ -75,17 +75,9 @@ object CorpusPipeline {
       .select("doc_id", "text", "lang", "source", "n_chars", "n_words")
 
     // 6. sequence packing: map each surviving doc to its chunk span in the
-    // fixed-window token stream (per-shard running sum — parallel packing)
-    val SeqLen = 512
-    val Shards = 16
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shard")).orderBy(col("doc_id"))
-    sampled
-      .withColumn("shard", col("doc_id") % Shards)
-      .withColumn("end_pos", sum(col("n_words")).over(w))
-      .withColumn("start_pos", col("end_pos") - col("n_words"))
-      .withColumn("first_chunk", expr(s"start_pos div $SeqLen"))
-      .withColumn("last_chunk", expr(s"(end_pos - 1) div $SeqLen"))
+    // fixed-window token stream (TextQueries.packSpans — one shared
+    // definition of the packing contract)
+    TextQueries.packSpans(sampled, "n_words")
       .drop("end_pos")
       .orderBy("doc_id")
   }

@@ -190,19 +190,27 @@ object TextQueries {
     * packs independently and in parallel, which is how a 100 TB corpus
     * actually gets packed. All arithmetic is integer, so both engines
     * agree exactly. */
-  def pack(s: SparkSession, dir: String): DataFrame = {
-    val SeqLen = 512
-    val Shards = 16
+  /** The packing contract, shared with CorpusPipeline stage 6 so the two
+    * cannot drift: sharded running token sum → chunk span per doc in a
+    * fixed `PackSeqLen` token-window stream. */
+  val PackSeqLen = 512
+  val PackShards = 16
+
+  private[text] def packSpans(df: DataFrame, tokenCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id"))
-    Tables.documents(s, dir)
-      .select(col("doc_id"),
-        size(words(col("text"))).cast("long").as("n_tokens"),
-        (col("doc_id") % Shards).as("shard"))
-      .withColumn("end_pos", sum(col("n_tokens")).over(w))
-      .withColumn("start_pos", col("end_pos") - col("n_tokens"))
-      .withColumn("first_chunk", expr(s"start_pos div $SeqLen"))
-      .withColumn("last_chunk", expr(s"(end_pos - 1) div $SeqLen"))
+    df.withColumn("shard", col("doc_id") % PackShards)
+      .withColumn("end_pos", sum(col(tokenCol)).over(w))
+      .withColumn("start_pos", col("end_pos") - col(tokenCol))
+      .withColumn("first_chunk", expr(s"start_pos div $PackSeqLen"))
+      .withColumn("last_chunk", expr(s"(end_pos - 1) div $PackSeqLen"))
+  }
+
+  def pack(s: SparkSession, dir: String): DataFrame = {
+    packSpans(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), size(words(col("text"))).cast("long").as("n_tokens")),
+      "n_tokens")
       .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1L)
       .select("doc_id", "shard", "n_tokens", "start_pos", "first_chunk", "last_chunk", "n_chunks")
       .orderBy(col("doc_id"))

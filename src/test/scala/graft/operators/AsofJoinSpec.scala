@@ -53,6 +53,20 @@ class AsofJoinSpec extends AnyFunSuite {
       (2L, 5L, -1L, "-")))    // nothing precedes → null
   }
 
+  test("a NULL field in the matched right row stays NULL (no stale-column stitching)") {
+    val left = Seq((1L, 3L)).toDF("k", "t")
+    val right = Seq(
+      (1L, 1L, 100L, Option("x")),
+      (1L, 2L, 101L, Option.empty[String])) // the as-of match, with a NULL payload
+      .toDF("k", "rt", "rid", "payload")
+    val got = AsofJoin.asofBackward(left, right, Seq("k"), "t", "rt", "rid", Seq("payload"))
+      .collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(2) == 101L, "match must be the latest right row")
+    assert(got.head.isNullAt(3),
+      "payload must come from the matched row (NULL), not leak from an older row")
+  }
+
   test("as-of plans as a single window pass, not a range join") {
     val ev = Tables.events(spark, TestSpark.sf).select(col("event_id"), col("user_id"), col("ts"))
     val sign = Tables.events(spark, TestSpark.sf)

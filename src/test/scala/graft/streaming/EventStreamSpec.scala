@@ -96,6 +96,27 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("several late events within gap of each other merge into one past session") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionize(input.toDS(), gapSeconds = 600, watermark = "2 hours")
+      .writeStream.format("memory").queryName("late_merge").outputMode("append").start()
+    try {
+      // open a session far ahead at t=50min
+      input.addData(Event(1, ts(50), 1, "click", 1.0))
+      q.processAllAvailable()
+      // one batch delivers two late events at t=0 and t=5 (within gap of
+      // each other, both more than gap before the open session): they must
+      // form ONE past session [0, 5] with n=2, not two singletons
+      input.addData(Event(2, ts(0), 1, "view", 2.0), Event(3, ts(5), 1, "view", 3.0))
+      q.processAllAvailable()
+      val past = spark.table("late_merge").as[Session].collect().filter(_.user_id == 1)
+      assert(past.length == 1, s"expected one merged past session, got ${past.toSeq}")
+      assert(past.head.session_start == ts(0) && past.head.session_end == ts(5))
+      assert(past.head.n_events == 2 && past.head.sum_value == 5.0)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join emits matches and expires state by watermark") {
     implicit val ctx = spark.sqlContext
     val purchases = MemoryStream[Event]
