@@ -51,4 +51,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Exchange hashpartitioning(doc_id"),
       "repartition barrier must separate signature computation from band explode")
   }
+
+  test("temperature sampling broadcasts the per-language rate table") {
+    val p = plan("sample_temperature")
+    assert(p.contains("BroadcastHashJoin"), "rate table must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("stream enrichment broadcasts the dim; the only hash shuffle is the agg") {
+    val p = plan("stream_enrich")
+    assert(p.contains("BroadcastHashJoin"), "nation dim must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      "one shuffle: the windowed aggregation")
+  }
+
+  test("frame sampling is scan → project → generate with no hash shuffle") {
+    val p = plan("mm_frame_sample")
+    assert(p.contains("Generate explode"), "frame fan-out must be a Generate")
+    assert(!p.contains("Exchange hashpartitioning"), "no shuffle before the final sort")
+    assert(!p.contains("join"), "no join of any kind")
+  }
+
+  test("semantic dedup broadcasts the within-cluster pair join, no cartesian") {
+    val p = plan("dedup_semantic")
+    assert(!p.contains("CartesianProduct"))
+    // the O(n²)-risk join (pairs within a cluster) must be broadcast-built;
+    // the final keep-flag attach on vec_id may stay a shuffle join — both
+    // sides are key-partitioned and AQE broadcasts it when small
+    assert(p.contains("BroadcastHashJoin"), "pair join must be broadcast")
+  }
 }
