@@ -134,6 +134,31 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** #28g Overlapping-window document chunking — the retrieval-side twin of
+    * sequence packing: each doc splits into `ChunkWords`-word windows every
+    * `ChunkStride` words (25% overlap), the unit a RAG/embedding pipeline
+    * indexes. Explode over window starts is the only row multiplier;
+    * slicing and digesting are map-side codegen'd builtins, so the plan is
+    * scan → project → generate with no shuffle at any corpus size. */
+  val ChunkWords = 64L
+  val ChunkStride = 48L
+
+  def chunk(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .withColumn("nw", size(col("w")).cast("long"))
+      .withColumn("start_word",
+        explode(sequence(lit(0L), col("nw") - 1L, lit(ChunkStride))))
+      .withColumn("cw",
+        slice(col("w"), (col("start_word") + 1L).cast("int"), lit(ChunkWords.toInt)))
+      .select(col("doc_id"),
+        expr(s"start_word div $ChunkStride").as("chunk_idx"),
+        col("start_word"),
+        size(col("cw")).cast("long").as("n_chunk_words"),
+        md5(array_join(col("cw"), " ")).as("chunk_digest"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** #27c Repetition metrics — the counters behind Gopher-style repetition
     * quality filters: fraction of tokens that are the single most repeated
     * word, and the mass of duplicated bigrams. One compiled RepStats call
@@ -240,6 +265,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_length_stats" -> (lengthStats _),
     "text_pack"         -> (pack _),
+    "text_chunk"        -> (chunk _),
     "sample_stratified" -> (sampleStratified _),
     "sample_temperature" -> (sampleTemperature _),
     "text_ngram_freq"  -> (ngramFreq _),
@@ -272,6 +298,15 @@ object TextQueries {
          | ((end_pos - 1) // 512)::BIGINT AS last_chunk,
          | (((end_pos - 1) // 512) - ((end_pos - n_tokens) // 512) + 1)::BIGINT AS n_chunks
          |FROM p ORDER BY doc_id""".stripMargin,
+    "text_chunk" ->
+      s"""WITH d AS (
+         | SELECT doc_id, $w AS w, len($w)::BIGINT AS nw FROM documents),
+         |s AS (SELECT doc_id, w, unnest(range(0, nw, $ChunkStride)) AS start_word FROM d)
+         |SELECT doc_id, start_word // $ChunkStride AS chunk_idx, start_word,
+         | len(list_slice(w, start_word + 1, start_word + $ChunkWords))::BIGINT AS n_chunk_words,
+         | md5(array_to_string(list_slice(w, start_word + 1, start_word + $ChunkWords), ' '))
+         |   AS chunk_digest
+         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
     "sample_temperature" ->
       """WITH c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang),
         |t AS (SELECT sum(n) AS tot, sum(sqrt(n)) AS s FROM c),
