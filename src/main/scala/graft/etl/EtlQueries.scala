@@ -429,7 +429,48 @@ object EtlQueries {
       .orderBy(col("dow"), col("hr"))
   }
 
+  /** #17c Pivot: event-type × day-of-week counts as wide columns — the
+    * reshape the crashmapper frontend's weekly chart needs. The pivot value
+    * list is explicit, so Spark skips the distinct-values discovery job and
+    * the plan is a single partial-aggregable groupBy; at 100 TB an implicit
+    * pivot would add a full extra scan just to learn the 7 column names. */
+  def pivotDow(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .select(col("event_type"), (dayofweek(col("ts")) - 1).cast("long").as("dow"))
+      .groupBy(col("event_type"))
+      .pivot("dow", (0 to 6).map(Integer.valueOf))
+      .agg(count(lit(1)))
+      .select(col("event_type") +: (0 to 6).map(d => coalesce(col(d.toString), lit(0L)).as(s"d$d")): _*)
+      .orderBy(col("event_type"))
+  }
+
+  /** #18b SCD type-2 history build: per user, compress the event_type
+    * timeline into validity intervals [valid_from, valid_to) with change
+    * detection (lag → change flag → cumulative group id → interval bounds
+    * via lead). The shape every warehouse dimension-history job needs and
+    * the reference approximates with its CDC update scans (main.py:817-965).
+    * All three window passes share one hash partitioning on user_id, so the
+    * fact table shuffles exactly once. */
+  def scd2History(s: SparkSession, dir: String): DataFrame = {
+    val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val byFrom = Window.partitionBy(col("user_id")).orderBy(col("valid_from"), col("grp"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(byTs).isNull ||
+          lag(col("event_type"), 1).over(byTs) =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("grp", sum(col("chg")).over(byTs.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("grp"), col("event_type"))
+      .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byFrom))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select("user_id", "grp", "event_type", "valid_from", "valid_to", "is_current", "n_events")
+      .orderBy(col("user_id"), col("grp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_pivot"                   -> (pivotDow _),
+    "etl_scd2"                    -> (scd2History _),
     "etl_crosswalk_audit"         -> (crosswalkAudit _),
     "etl_dow_heatmap"             -> (dowHourHeatmap _),
     "etl_ingest_dedup"            -> (ingestDedup _),
@@ -474,6 +515,37 @@ object EtlQueries {
       .mkString(",\n  ")
 
   val oracles: Map[String, String] = Map(
+    "etl_pivot" ->
+      """SELECT event_type,
+        | sum(CASE WHEN dayofweek(ts) = 0 THEN 1 ELSE 0 END)::BIGINT AS d0,
+        | sum(CASE WHEN dayofweek(ts) = 1 THEN 1 ELSE 0 END)::BIGINT AS d1,
+        | sum(CASE WHEN dayofweek(ts) = 2 THEN 1 ELSE 0 END)::BIGINT AS d2,
+        | sum(CASE WHEN dayofweek(ts) = 3 THEN 1 ELSE 0 END)::BIGINT AS d3,
+        | sum(CASE WHEN dayofweek(ts) = 4 THEN 1 ELSE 0 END)::BIGINT AS d4,
+        | sum(CASE WHEN dayofweek(ts) = 5 THEN 1 ELSE 0 END)::BIGINT AS d5,
+        | sum(CASE WHEN dayofweek(ts) = 6 THEN 1 ELSE 0 END)::BIGINT AS d6
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "etl_scd2" ->
+      """WITH o AS (
+        | SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN lag(event_type) OVER w IS NULL
+        |        OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (
+        | SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM o),
+        |iv AS (
+        | SELECT user_id, grp::BIGINT AS grp, event_type,
+        |  min(ts) AS valid_from, count(*) AS n_events
+        | FROM g GROUP BY user_id, grp, event_type)
+        |SELECT user_id, grp, event_type, valid_from,
+        | lead(valid_from) OVER wf AS valid_to,
+        | (lead(valid_from) OVER wf IS NULL) AS is_current,
+        | n_events
+        |FROM iv
+        |WINDOW wf AS (PARTITION BY user_id ORDER BY valid_from, grp)
+        |ORDER BY user_id, grp""".stripMargin,
     "etl_dow_heatmap" ->
       s"""SELECT dayofweek(ts)::BIGINT AS dow, hour(ts)::BIGINT AS hr,
          | count(*) AS n_crashes,

@@ -140,6 +140,22 @@ object CoreQueries {
         count(lit(1)).as("n_rows"))
   }
 
+  /** CUBE aggregation (q10): all four grouping sets over status × priority
+    * in one pass — Spark expands the sets map-side and shares a single
+    * shuffle, same as ROLLUP (q4) but with the full lattice. Grouping nulls
+    * coalesce to 'ALL' so null ordering never enters the oracle compare. */
+  def q10Cube(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(avg(col("o_totalprice")), 4).as("avg_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("avg_price"))
+      .orderBy(col("status"), col("priority"))
+  }
+
   /** As-of join (q9): each event attributed to the user's most recent
     * signup at-or-before it — the backward as-of join Spark lacks natively,
     * via the union + single-window decomposition (operators/AsofJoin). */
@@ -157,6 +173,7 @@ object CoreQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q8_small_qty"       -> (q8SmallQty _),
     "q9_asof"            -> (q9Asof _),
+    "q10_cube"           -> (q10Cube _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_revenue_topn"    -> (q2RevenueTopN _),
     "q3_window_running"  -> (q3WindowRunning _),
@@ -166,6 +183,12 @@ object CoreQueries {
     "q7_promo_ratio"     -> (q7PromoRatio _))
 
   val oracles: Map[String, String] = Map(
+    "q10_cube" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS status,
+        | coalesce(o_orderpriority,'ALL') AS priority,
+        | count(*) AS n_orders, round(avg(o_totalprice),4) AS avg_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
     // the same union + window decomposition, stated in SQL — right rows at
     // an equal timestamp sort before left rows (tag), right-row ties
     // resolve to the highest signup_id (last_value over id-asc order)
