@@ -19,7 +19,7 @@ object SparkEntry {
       sim.SimQueries.queries ++ sim.AnnLsh.queries ++ sim.AnnIvf.queries ++
       sim.VectorOps.queries ++ sim.Kmeans.queries ++
       multimodal.MultimodalQueries.queries ++ streaming.StreamQueries.queries ++
-      streaming.StreamDedup.queries
+      streaming.StreamDedup.queries ++ timeseries.TsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +30,5 @@ object SparkEntry {
       sim.SimQueries.oracles ++ sim.AnnIvf.oracles ++ sim.Kmeans.oracles ++
       multimodal.MultimodalQueries.oracles ++
       sim.VectorOps.oracles ++ streaming.StreamQueries.oracles ++
-      streaming.StreamDedup.oracles
+      streaming.StreamDedup.oracles ++ timeseries.TsQueries.oracles
 }

@@ -1,0 +1,111 @@
+package graft.timeseries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Time-series operators over the `events` fact stream: calendar
+  * densification (resample + gap fill) and range-frame moving statistics.
+  * The reference works on daily crash batches (main.py:79-132) and its
+  * frontend charts need dense daily series; these are the operators that
+  * turn an irregular event stream into one.
+  *
+  * Scale posture: the fact table is touched exactly once, by a map-side
+  * combinable groupBy onto (event_type, day) — everything downstream
+  * (calendar explode, forward-fill window, range frame) runs on the
+  * aggregated |types × days| rows, thousands of rows at 100 TB, not
+  * billions. The explode multiplies a per-type min/max row, never facts.
+  */
+object TsQueries {
+
+  /** Per-type daily aggregate — the single pass over the fact table that
+    * both operators share. */
+  private def daily(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("raw_value"))
+
+  /** The sparse signal resample densifies: days where a type saw at least
+    * one high-value event. The raw daily stream is fully dense in the test
+    * data, so gap-fill semantics would go unexercised without thinning. */
+  private def sparseDaily(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("value") >= 200.0)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("raw_value"))
+
+  /** Daily resample with gap fill: densify each type's calendar from its
+    * first to its last active day, mark gap days, and carry the last
+    * observed daily value forward (last_value IGNORE NULLS). */
+  def resampleDaily(s: SparkSession, dir: String): DataFrame = {
+    val d = sparseDaily(s, dir)
+    val calendar = d.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    calendar.join(d, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("raw_value").isNull.as("is_gap"),
+        round(last(col("raw_value"), ignoreNulls = true).over(w), 2).as("value_filled"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Trailing 7-day moving average per type via an integer RANGE frame on
+    * epoch-day — the frame is day-distance-based, so it is correct across
+    * gap days without densification. */
+  def movingAvg(s: SparkSession, dir: String): DataFrame = {
+    val d = daily(s, dir)
+      .withColumn("epoch_day", datediff(col("day"), lit("1970-01-01")).cast("long"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("epoch_day"))
+      .rangeBetween(-6, 0)
+    d.select(col("event_type"), col("day"), col("epoch_day"),
+        round(avg(col("raw_value")).over(w), 4).as("mavg7"),
+        count(lit(1)).over(w).as("days_present"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_resample"   -> (resampleDaily _),
+    "ts_moving_avg" -> (movingAvg _))
+
+  private val dailySql =
+    """SELECT event_type, ts::DATE AS day, count(*) AS n_events,
+      | sum(value) AS raw_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  private val sparseDailySql =
+    """SELECT event_type, ts::DATE AS day, count(*) AS n_events,
+      | sum(value) AS raw_value
+      |FROM events WHERE value >= 200.0 GROUP BY 1, 2""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "ts_resample" ->
+      s"""WITH d AS ($sparseDailySql),
+         |cal AS (
+         | SELECT event_type, unnest(generate_series(min(day), max(day), INTERVAL 1 DAY))::DATE AS day
+         | FROM d GROUP BY event_type)
+         |SELECT cal.event_type, cal.day,
+         | coalesce(d.n_events, 0) AS n_events,
+         | d.raw_value IS NULL AS is_gap,
+         | round(last_value(d.raw_value IGNORE NULLS) OVER (
+         |   PARTITION BY cal.event_type ORDER BY cal.day
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS value_filled
+         |FROM cal LEFT JOIN d ON cal.event_type = d.event_type AND cal.day = d.day
+         |ORDER BY cal.event_type, cal.day""".stripMargin,
+    "ts_moving_avg" ->
+      s"""WITH d AS ($dailySql)
+         |SELECT event_type, day, (day - DATE '1970-01-01')::BIGINT AS epoch_day,
+         | round(avg(raw_value) OVER w, 4) AS mavg7,
+         | count(*) OVER w AS days_present
+         |FROM d
+         |WINDOW w AS (PARTITION BY event_type ORDER BY (day - DATE '1970-01-01')
+         |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+         |ORDER BY event_type, day""".stripMargin)
+}

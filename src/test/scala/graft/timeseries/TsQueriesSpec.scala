@@ -1,0 +1,76 @@
+package graft.timeseries
+
+import java.time.LocalDate
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TsQueriesSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def resampled =
+    TsQueries.resampleDaily(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate,
+        r.getLong(2), r.getBoolean(3), r.getDouble(4)))
+
+  test("resample produces a dense calendar per type with real gap days") {
+    val rows = resampled
+    assert(rows.exists(_._4), "test signal must contain gap days")
+    rows.groupBy(_._1).foreach { case (tpe, days) =>
+      val sorted = days.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._2 == a._2.plusDays(1), s"$tpe: calendar must be dense at ${a._2}")
+        case _ =>
+      }
+      // boundary days carry data by construction (span is min..max active day)
+      assert(!sorted.head._4 && !sorted.last._4)
+    }
+  }
+
+  test("gap days carry the last observed value forward and count zero events") {
+    val rows = resampled
+    rows.groupBy(_._1).values.foreach { days =>
+      val sorted = days.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(prev, cur) if cur._4 =>
+          assert(cur._3 == 0L, "gap day must have n_events = 0")
+          assert(cur._5 == prev._5, s"gap at ${cur._2} must carry ${prev._5}, got ${cur._5}")
+        case _ =>
+      }
+    }
+  }
+
+  test("moving average over a 7-day range frame matches a recomputed window") {
+    val byKey = TsQueries.movingAvg(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getLong(2)), (r.getDouble(3), r.getLong(4))))
+    val days = byKey.map { case ((tpe, ed), _) => (tpe, ed) }
+    // recompute each frame brute-force from the daily aggregate
+    val daily = graft.Tables.events(spark, sf)
+      .selectExpr("event_type", "cast(to_date(ts) as string) AS day", "value")
+      .collect()
+      .map(r => (r.getString(0), LocalDate.parse(r.getString(1)).toEpochDay, r.getDouble(2)))
+      .groupBy(t => (t._1, t._2)).map { case (k, vs) => k -> vs.map(_._3).sum }
+    byKey.foreach { case ((tpe, ed), (mavg, present)) =>
+      val frame = daily.collect { case ((t, d), v) if t == tpe && d >= ed - 6 && d <= ed => v }
+      assert(frame.nonEmpty)
+      assert(present == frame.size.toLong, s"$tpe@$ed: days_present")
+      val expected = BigDecimal(frame.sum / frame.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(mavg - expected) < 1e-9, s"$tpe@$ed: $mavg vs $expected")
+    }
+    assert(days.nonEmpty)
+  }
+
+  test("resample touches the fact table once: explode runs on aggregated rows") {
+    val p = TsQueries.resampleDaily(spark, sf).queryExecution.executedPlan.toString
+    // the calendar explode must sit above the per-type min/max aggregate,
+    // never against the raw scan — one Generate, fed by an aggregate
+    assert(p.linesIterator.count(_.contains("Generate explode")) == 1)
+    val genIdx = p.linesIterator.indexWhere(_.contains("Generate explode"))
+    val aggBelow = p.linesIterator.drop(genIdx).exists(_.contains("HashAggregate"))
+    assert(aggBelow, "explode must consume the min/max aggregate, not raw facts")
+  }
+}
