@@ -19,7 +19,8 @@ object SparkEntry {
       sim.SimQueries.queries ++ sim.AnnLsh.queries ++ sim.AnnIvf.queries ++
       sim.VectorOps.queries ++ sim.Kmeans.queries ++
       multimodal.MultimodalQueries.queries ++ streaming.StreamQueries.queries ++
-      streaming.StreamDedup.queries ++ timeseries.TsQueries.queries
+      streaming.StreamDedup.queries ++ timeseries.TsQueries.queries ++
+      stats.SketchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -54,6 +54,32 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** #27e Gopher-style document filter (arXiv:2112.11446 §A1.1): word-stat
+    * thresholds composed into a keep/drop verdict with the failed-rule list —
+    * the operator a cleaning pipeline logs so drops are auditable. Map-side
+    * only; each higher-order function feeds exactly one projection (the §6
+    * re-inlining trap). Bounds adapted to the synthetic corpus where the
+    * published ones cannot fire (no document here has 50+ chars/word). */
+  def gopherFilter(s: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(ws).cast("long").as("n_words"),
+        aggregate(transform(ws, w => length(w).cast("long")), lit(0L), (acc, x) => acc + x).as("sum_len"),
+        size(array_distinct(ws)).cast("long").as("n_uniq"))
+      .withColumn("mean_word_len", round(col("sum_len").cast("double") / col("n_words"), 4))
+      .withColumn("uniq_ratio", round(col("n_uniq").cast("double") / col("n_words"), 4))
+      .withColumn("reasons", concat_ws("|",
+        when(col("n_words") < 25, lit("too_few_words")),
+        when(col("n_words") > 10000, lit("too_many_words")),
+        when(col("mean_word_len") < 3.0 || col("mean_word_len") > 10.0,
+          lit("word_len_out_of_range")),
+        when(col("uniq_ratio") < 0.35, lit("low_uniqueness"))))
+      .withColumn("keep", col("reasons") === "")
+      .select("doc_id", "n_words", "mean_word_len", "uniq_ratio", "keep", "reasons")
+      .orderBy(col("doc_id"))
+  }
+
   /** #28 Token counting: whitespace tokens and a BPE-ish regex tokenizer. */
   def tokens(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir)
@@ -266,6 +292,7 @@ object TextQueries {
     "text_length_stats" -> (lengthStats _),
     "text_pack"         -> (pack _),
     "text_chunk"        -> (chunk _),
+    "text_gopher_filter" -> (gopherFilter _),
     "sample_stratified" -> (sampleStratified _),
     "sample_temperature" -> (sampleTemperature _),
     "text_ngram_freq"  -> (ngramFreq _),
@@ -298,6 +325,21 @@ object TextQueries {
          | ((end_pos - 1) // 512)::BIGINT AS last_chunk,
          | (((end_pos - 1) // 512) - ((end_pos - n_tokens) // 512) + 1)::BIGINT AS n_chunks
          |FROM p ORDER BY doc_id""".stripMargin,
+    "text_gopher_filter" ->
+      s"""WITH ww AS (SELECT doc_id, $w AS ws FROM documents),
+         |st AS (SELECT doc_id, len(ws)::BIGINT AS n_words,
+         |  round(list_sum(list_transform(ws, x -> len(x)::BIGINT))::DOUBLE / len(ws), 4) AS mean_word_len,
+         |  round(len(list_distinct(ws))::DOUBLE / len(ws), 4) AS uniq_ratio
+         | FROM ww),
+         |r AS (SELECT *, concat_ws('|',
+         |  CASE WHEN n_words < 25 THEN 'too_few_words' END,
+         |  CASE WHEN n_words > 10000 THEN 'too_many_words' END,
+         |  CASE WHEN mean_word_len < 3.0 OR mean_word_len > 10.0 THEN 'word_len_out_of_range' END,
+         |  CASE WHEN uniq_ratio < 0.35 THEN 'low_uniqueness' END) AS reasons
+         | FROM st)
+         |SELECT doc_id, n_words, mean_word_len, uniq_ratio,
+         | (reasons = '') AS keep, reasons
+         |FROM r ORDER BY doc_id""".stripMargin,
     "text_chunk" ->
       s"""WITH d AS (
          | SELECT doc_id, $w AS w, len($w)::BIGINT AS nw FROM documents),
