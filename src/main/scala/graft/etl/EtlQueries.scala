@@ -468,7 +468,69 @@ object EtlQueries {
       .orderBy(col("user_id"), col("grp"))
   }
 
+  /** #12b CDC reconciliation report: full-outer compare of the refreshed
+    * source window vs the warehouse copy, classifying every key — new,
+    * deleted-upstream (SODA does retract collisions), changed, unchanged —
+    * with counts and sample-id bounds per class. The summary the reference's
+    * CDC scripts print before applying fixes (main.py:817-965, backlog/).
+    * Retraction stand-in: source drops window rows with id % 37 == 5.
+    * Scale: both sides are pruned to the refresh window before the join, so
+    * the full-outer join is window×window; the report is 4 rows. */
+  def reconcile(s: SparkSession, dir: String): DataFrame = {
+    val id = col("event_id")
+    val soda = Tables.eventsSince(s, dir, TallyCutoff)
+      .filter(id % 37 =!= 5)
+      .select(id.as("s_id"),
+        sodaTk(id).as("s_tk"), sodaTi(id).as("s_ti"), sodaLat(id).as("s_lat"))
+    val carto = Tables.eventsSince(s, dir, TallyCutoff)
+      .filter(inCarto(id))
+      .select(id.as("c_id"), tk(id).as("c_tk"), ti(id).as("c_ti"), cartoLat(id).as("c_lat"))
+    soda.join(carto, col("s_id") === col("c_id"), "full_outer")
+      .select(coalesce(col("s_id"), col("c_id")).as("event_id"),
+        when(col("c_id").isNull, lit("new"))
+          .when(col("s_id").isNull, lit("deleted_upstream"))
+          .when(col("s_tk") =!= col("c_tk") || col("s_ti") =!= col("c_ti") ||
+            (col("s_lat").isNotNull && col("c_lat").isNotNull && col("s_lat") =!= col("c_lat")) ||
+            (col("s_lat").isNotNull && col("c_lat").isNull), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .orderBy(col("status"))
+  }
+
+  /** #12c Incremental aggregate maintenance: roll the CDC delta into the
+    * stored per-month tallies instead of recomputing from history. The
+    * changed-row set is tiny (the updated_at window in the reference), so
+    * at 100 TB the delta aggregation scans only changed partitions and the
+    * merge is a broadcast join against the stored state — history is never
+    * rescanned. Verified here by deriving old state, delta, and new state
+    * in one plan; new_injured must equal a from-scratch recompute. */
+  def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val id = col("event_id")
+    val old = Tables.events(s, dir).filter(inCarto(id))
+      .groupBy(year(col("ts")).cast("long").as("yr"), month(col("ts")).cast("long").as("mon"),
+        col("event_type"))
+      .agg(sum(ti(id)).as("old_injured"))
+    // the delta: rows whose refreshed tallies differ from the warehouse copy
+    // (tally bumps on %13/%29) plus late-arriving rows (%10==3)
+    val delta = Tables.events(s, dir)
+      .filter((id % 13 === 0) || (id % 29 === 0) || !inCarto(id))
+      .select(year(col("ts")).cast("long").as("yr"), month(col("ts")).cast("long").as("mon"),
+        col("event_type"),
+        (sodaTi(id) - when(inCarto(id), ti(id)).otherwise(lit(0L))).as("d"))
+      .groupBy(col("yr"), col("mon"), col("event_type"))
+      .agg(sum(col("d")).as("delta_injured"))
+    old.join(delta, Seq("yr", "mon", "event_type"), "full_outer")
+      .select(col("yr"), col("mon"), col("event_type"),
+        coalesce(col("old_injured"), lit(0L)).as("old_injured"),
+        coalesce(col("delta_injured"), lit(0L)).as("delta_injured"),
+        (coalesce(col("old_injured"), lit(0L)) + coalesce(col("delta_injured"), lit(0L))).as("new_injured"))
+      .orderBy(col("yr"), col("mon"), col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_reconcile"               -> (reconcile _),
+    "etl_incr_agg"                -> (incrementalAgg _),
     "etl_pivot"                   -> (pivotDow _),
     "etl_scd2"                    -> (scd2History _),
     "etl_crosswalk_audit"         -> (crosswalkAudit _),
@@ -515,6 +577,45 @@ object EtlQueries {
       .mkString(",\n  ")
 
   val oracles: Map[String, String] = Map(
+    "etl_reconcile" ->
+      s"""WITH soda AS (
+         | SELECT event_id AS s_id, ${sodaTkSql(e)} AS s_tk, ${sodaTiSql(e)} AS s_ti,
+         |  ${sodaLatSql(e)} AS s_lat
+         | FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND event_id % 37 != 5),
+         |carto AS (
+         | SELECT event_id AS c_id, ${tkSql(e)} AS c_tk, ${tiSql(e)} AS c_ti,
+         |  ${cartoLatSql(e)} AS c_lat
+         | FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND event_id % 10 != 3),
+         |j AS (
+         | SELECT coalesce(s_id, c_id) AS event_id,
+         |  CASE WHEN c_id IS NULL THEN 'new'
+         |       WHEN s_id IS NULL THEN 'deleted_upstream'
+         |       WHEN s_tk != c_tk OR s_ti != c_ti
+         |            OR (s_lat IS NOT NULL AND c_lat IS NOT NULL AND s_lat != c_lat)
+         |            OR (s_lat IS NOT NULL AND c_lat IS NULL) THEN 'changed'
+         |       ELSE 'unchanged' END AS status
+         | FROM soda FULL OUTER JOIN carto ON s_id = c_id)
+         |SELECT status, count(*) AS n, min(event_id) AS min_id, max(event_id) AS max_id
+         |FROM j GROUP BY status ORDER BY status""".stripMargin,
+    "etl_incr_agg" ->
+      s"""WITH old AS (
+         | SELECT year(ts)::BIGINT AS yr, month(ts)::BIGINT AS mon, event_type,
+         |  sum(${tiSql(e)})::BIGINT AS old_injured
+         | FROM events WHERE event_id % 10 != 3 GROUP BY 1, 2, 3),
+         |delta AS (
+         | SELECT year(ts)::BIGINT AS yr, month(ts)::BIGINT AS mon, event_type,
+         |  sum(${sodaTiSql(e)} - CASE WHEN event_id % 10 != 3 THEN ${tiSql(e)} ELSE 0 END)::BIGINT
+         |    AS delta_injured
+         | FROM events WHERE event_id % 13 = 0 OR event_id % 29 = 0 OR event_id % 10 = 3
+         | GROUP BY 1, 2, 3)
+         |SELECT coalesce(old.yr, delta.yr) AS yr, coalesce(old.mon, delta.mon) AS mon,
+         | coalesce(old.event_type, delta.event_type) AS event_type,
+         | coalesce(old_injured, 0) AS old_injured,
+         | coalesce(delta_injured, 0) AS delta_injured,
+         | coalesce(old_injured, 0) + coalesce(delta_injured, 0) AS new_injured
+         |FROM old FULL OUTER JOIN delta ON old.yr = delta.yr AND old.mon = delta.mon
+         |  AND old.event_type = delta.event_type
+         |ORDER BY yr, mon, event_type""".stripMargin,
     "etl_pivot" ->
       """SELECT event_type,
         | sum(CASE WHEN dayofweek(ts) = 0 THEN 1 ELSE 0 END)::BIGINT AS d0,
