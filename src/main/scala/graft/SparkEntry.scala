@@ -31,5 +31,6 @@ object SparkEntry {
       sim.SimQueries.oracles ++ sim.AnnIvf.oracles ++ sim.Kmeans.oracles ++
       multimodal.MultimodalQueries.oracles ++
       sim.VectorOps.oracles ++ streaming.StreamQueries.oracles ++
-      streaming.StreamDedup.oracles ++ timeseries.TsQueries.oracles
+      streaming.StreamDedup.oracles ++ timeseries.TsQueries.oracles ++
+      stats.SketchQueries.oracles
 }

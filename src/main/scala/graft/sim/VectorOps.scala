@@ -36,10 +36,56 @@ object VectorOps {
       .orderBy(col("vec_id"))
   }
 
+  /** #24c Random-projection dimensionality reduction (Johnson-
+    * Lindenstrauss): 64-dim embeddings × a deterministic 8×64 matrix —
+    * the cheap pre-ANN compression step. The matrix entries are derived
+    * from a hash recurrence and constant-folded into the expression tree,
+    * so the whole projection is one map-side whole-stage-codegen pass
+    * (512 fused multiply-adds per row, no HOF, no shuffle). At 100 TB the
+    * matrix rides the closure as 2 KB of literals — nothing is joined.
+    * Both engines evaluate the identical left-associated sum, so doubles
+    * match bit-for-bit before rounding. */
+  private val ProjDims = 8
+  private val EmbDims = 64
+  /** splitmix64-style finalizer — a structured LCG here makes the 8 rows
+    * shifted copies of one lattice (near-degenerate projection); full bit
+    * mixing keeps them effectively independent. The double round-trips
+    * exactly into the oracle SQL via shortest-representation printing. */
+  private def weight(k: Int, j: Int): Double = {
+    var x = k.toLong * EmbDims + j + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^= (x >>> 31)
+    (x & 0xFFFFFL).toDouble / 0x80000L.toDouble - 1.0
+  }
+
+  /** Test seam: EmbProjectSpec recomputes the projection independently. */
+  private[sim] def testWeight(k: Int, j: Int): Double = weight(k, j)
+
+  def embProject(s: SparkSession, dir: String): DataFrame = {
+    val projections = (0 until ProjDims).map { k =>
+      round((0 until EmbDims)
+        .map(j => col("embedding").getItem(j).cast("double") * lit(weight(k, j)))
+        .reduce(_ + _), 6).as(s"p$k")
+    }
+    Tables.embeddings(s, dir)
+      .select(col("vec_id") +: projections: _*)
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "emb_normalize" -> (embNormalize _))
+    "emb_normalize" -> (embNormalize _),
+    "emb_project"   -> (embProject _))
+
+  private def projSql(k: Int): String =
+    "round(" + (0 until EmbDims)
+      .map(j => s"embedding[${j + 1}]::DOUBLE * (${weight(k, j)})")
+      .mkString(" + ") + s", 6) AS p$k"
 
   val oracles: Map[String, String] = Map(
+    "emb_project" ->
+      s"""SELECT vec_id, ${(0 until ProjDims).map(projSql).mkString(",\n ")}
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "emb_normalize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |n AS (SELECT vec_id, emb,

@@ -47,6 +47,27 @@ object SketchQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Fixed-width histogram per type: bin = floor(value / width), the exact
+    * distribution report behind dashboards and skew diagnostics. Pure
+    * integer bin arithmetic (no quantile estimation), one map-side
+    * combinable groupBy — the 100 TB plan is identical. */
+  def histogram(s: SparkSession, dir: String): DataFrame = {
+    graft.Tables.events(s, dir)
+      .select(col("event_type"), floor(col("value") / 50.0).cast("long").as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", (col("bin") * 50.0))
+      .select("event_type", "bin", "bin_lo", "n")
+      .orderBy(col("event_type"), col("bin"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stats_approx" -> (approxReport _))
+    "stats_approx"    -> (approxReport _),
+    "stats_histogram" -> (histogram _))
+
+  val oracles: Map[String, String] = Map(
+    "stats_histogram" ->
+      """SELECT event_type, floor(value / 50.0)::BIGINT AS bin,
+        | (floor(value / 50.0) * 50.0) AS bin_lo, count(*) AS n
+        |FROM events GROUP BY 1, 2, 3 ORDER BY event_type, bin""".stripMargin)
 }
