@@ -528,7 +528,22 @@ object EtlQueries {
       .orderBy(col("yr"), col("mon"), col("event_type"))
   }
 
+  /** #10c Z-order curve values for the crash grid — the layout key
+    * `operators/ZOrder.writeClustered` clusters by so box queries prune to
+    * few files (ZOrderSpec measures the locality win). 10-bit cells over
+    * the NYC extent; the interleave is codegen bit arithmetic. */
+  def zorder(s: SparkSession, dir: String): DataFrame = {
+    val id = col("event_id")
+    val cellx = floor((baseLng(id) + lit(74.25)) / lit(0.5) * lit(1024.0)).cast("long")
+    val celly = floor((baseLat(id) - lit(40.50)) / lit(0.4) * lit(1024.0)).cast("long")
+    Tables.events(s, dir)
+      .select(id, cellx.as("cellx"), celly.as("celly"))
+      .withColumn("zval", graft.operators.ZOrder.zValue(col("cellx"), col("celly"), 10))
+      .orderBy(id)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_zorder"                  -> (zorder _),
     "etl_reconcile"               -> (reconcile _),
     "etl_incr_agg"                -> (incrementalAgg _),
     "etl_pivot"                   -> (pivotDow _),
@@ -577,6 +592,15 @@ object EtlQueries {
       .mkString(",\n  ")
 
   val oracles: Map[String, String] = Map(
+    "etl_zorder" ->
+      s"""WITH c AS (
+         | SELECT event_id,
+         |  floor((${baseLngSql(e)} + 74.25) / 0.5 * 1024.0)::BIGINT AS cellx,
+         |  floor((${baseLatSql(e)} - 40.50) / 0.4 * 1024.0)::BIGINT AS celly
+         | FROM events)
+         |SELECT event_id, cellx, celly,
+         | ${graft.operators.ZOrder.zValueSql("cellx", "celly", 10)} AS zval
+         |FROM c ORDER BY event_id""".stripMargin,
     "etl_reconcile" ->
       s"""WITH soda AS (
          | SELECT event_id AS s_id, ${sodaTkSql(e)} AS s_tk, ${sodaTiSql(e)} AS s_ti,
