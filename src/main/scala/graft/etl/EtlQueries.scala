@@ -542,7 +542,24 @@ object EtlQueries {
       .orderBy(id)
   }
 
+  /** #7b Schema'd JSON flattening of the raw payload column — the
+    * reference receives each record as SODA JSON (main.py:135-183) and
+    * plucks typed fields; here `props` is parsed with an explicit schema
+    * via from_json (codegen'd Jackson path, no regexp, no UDF) and
+    * flattened into typed columns plus derived buckets. Map-side only. */
+  def jsonFlatten(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k").as("k"))
+      .select(col("event_id"), col("k"),
+        (col("k") % 2 === 0).as("k_even"),
+        expr("k div 10").as("k_bucket"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_json_flatten"            -> (jsonFlatten _),
     "etl_zorder"                  -> (zorder _),
     "etl_reconcile"               -> (reconcile _),
     "etl_incr_agg"                -> (incrementalAgg _),
@@ -592,6 +609,11 @@ object EtlQueries {
       .mkString(",\n  ")
 
   val oracles: Map[String, String] = Map(
+    "etl_json_flatten" ->
+      """SELECT event_id, json_extract(props, '$.k')::BIGINT AS k,
+        | (json_extract(props, '$.k')::BIGINT % 2 = 0) AS k_even,
+        | json_extract(props, '$.k')::BIGINT // 10 AS k_bucket
+        |FROM events ORDER BY event_id""".stripMargin,
     "etl_zorder" ->
       s"""WITH c AS (
          | SELECT event_id,
