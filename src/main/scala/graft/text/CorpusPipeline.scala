@@ -81,4 +81,16 @@ object CorpusPipeline {
       .drop("end_pos")
       .orderBy("doc_id")
   }
+
+  /** The retrieval-side consumer of the same cleaned corpus: instead of
+    * packing survivors into training windows, split each into overlapping
+    * `TextQueries.chunk`-style windows for a RAG/embedding index. Stages
+    * 1-5 are shared verbatim; only the terminal reshape differs — one
+    * pipeline, two products. */
+  def buildRetrievalIndex(s: SparkSession, dir: String): DataFrame = {
+    val survivors = build(s, dir).select("doc_id")
+    TextQueries.chunk(s, dir)
+      .join(survivors, "doc_id")
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
 }

@@ -10,6 +10,22 @@ class CorpusPipelineSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   private val sf = TestSpark.sf
 
+  test("retrieval index chunks exactly the surviving docs with full coverage") {
+    val survivors = CorpusPipeline.build(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val idx = CorpusPipeline.buildRetrievalIndex(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(idx.map(_._1).toSet == survivors, "index must cover exactly the cleaned corpus")
+    // chunk counts per doc follow the stride contract
+    val nWords = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), "\\s+", -1)).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    idx.groupBy(_._1).foreach { case (doc, cs) =>
+      val expected = (nWords(doc) + TextQueries.ChunkStride - 1) / TextQueries.ChunkStride
+      assert(cs.length == expected, s"doc $doc: ${cs.length} chunks, expected $expected")
+    }
+  }
+
   test("corpus build composes the verified stages with the expected cuts") {
     val corpus = CorpusPipeline.build(spark, sf).cache()
     try {
