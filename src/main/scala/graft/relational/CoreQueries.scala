@@ -156,6 +156,32 @@ object CoreQueries {
       .orderBy(col("status"), col("priority"))
   }
 
+  /** TPC-H Q21 shape (q13): suppliers who were the SOLE late shipper in a
+    * multi-supplier order ("late" = shipped >90 days after order date).
+    * Expressed as the aggregation-based rewrite — per-(order, supplier)
+    * lateness, then per-order counts, then one join back — instead of the
+    * textbook correlated EXISTS + NOT EXISTS pair, which would plan as two
+    * extra joins against the full fact table. The oracle states the
+    * correlated form to prove equivalence. */
+  def q13SoleLateSupplier(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late", col("l_shipdate") > col("o_orderdate") + expr("interval 90 days"))
+    val perSupp = li.groupBy(col("l_orderkey").as("ps_orderkey"), col("l_suppkey").as("ps_suppkey"))
+      .agg(max(col("late")).as("supp_late"))
+    val perOrder = perSupp.groupBy(col("ps_orderkey").as("po_orderkey"))
+      .agg(count(lit(1)).as("n_supps"),
+        sum(when(col("supp_late"), 1L).otherwise(0L)).as("n_late_supps"))
+      .filter(col("n_supps") > 1 && col("n_late_supps") === 1)
+    li.filter(col("late"))
+      .join(perOrder, col("l_orderkey") === col("po_orderkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("l_suppkey"))
+      .limit(20)
+  }
+
   /** As-of join (q9): each event attributed to the user's most recent
     * signup at-or-before it — the backward as-of join Spark lacks natively,
     * via the union + single-window decomposition (operators/AsofJoin). */
@@ -174,6 +200,7 @@ object CoreQueries {
     "q8_small_qty"       -> (q8SmallQty _),
     "q9_asof"            -> (q9Asof _),
     "q10_cube"           -> (q10Cube _),
+    "q13_sole_late_supplier" -> (q13SoleLateSupplier _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_revenue_topn"    -> (q2RevenueTopN _),
     "q3_window_running"  -> (q3WindowRunning _),
@@ -183,6 +210,16 @@ object CoreQueries {
     "q7_promo_ratio"     -> (q7PromoRatio _))
 
   val oracles: Map[String, String] = Map(
+    "q13_sole_late_supplier" ->
+      """SELECT l1.l_suppkey, count(*) AS numwait
+        |FROM lineitem l1 JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+        |AND EXISTS (SELECT 1 FROM lineitem l2
+        |  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |    AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1 ORDER BY numwait DESC, l1.l_suppkey LIMIT 20""".stripMargin,
     "q10_cube" ->
       """SELECT coalesce(o_orderstatus,'ALL') AS status,
         | coalesce(o_orderpriority,'ALL') AS priority,

@@ -19,6 +19,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("l_orderkey"), "untouched columns must be pruned from the scan")
   }
 
+  test("q13 avoids correlated-subquery nested loops (aggregation rewrite)") {
+    val p = plan("q13_sole_late_supplier")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "EXISTS/NOT EXISTS must be rewritten to aggregations, not NLJs")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q2 broadcasts dimension tables") {
     val p = plan("q2_revenue_topn")
     assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
