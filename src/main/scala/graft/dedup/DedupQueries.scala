@@ -131,7 +131,34 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** #20d Duplicated-passage detection (the span-level exact dedup of
+    * arXiv:2107.06499 "Deduplicating Training Data Makes Language Models
+    * Better", re-expressed set-wise instead of via suffix arrays): slide a
+    * 16-word window every 8 words, digest each span, and report digests
+    * that recur in more than one document. The aggregation is the scalable
+    * two-level rewrite — (digest, doc) partial then digest final — so no
+    * distinct-expand of the exploded span stream; the explode is the only
+    * row multiplier and shuffle keys (digests) are uniform. */
+  def spans(s: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), "\\s+")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), ws.as("w"))
+      .withColumn("nw", size(col("w")).cast("long"))
+      .filter(col("nw") >= 16L)
+      .withColumn("st", explode(sequence(lit(0L), col("nw") - 16L, lit(8L))))
+      .select(col("doc_id"),
+        md5(array_join(slice(col("w"), (col("st") + 1L).cast("int"), lit(16)), " ")).as("span_digest"))
+      .groupBy(col("span_digest"), col("doc_id"))
+      .agg(count(lit(1)).as("occ"))
+      .groupBy(col("span_digest"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("occ")).as("n_occurrences"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("span_digest"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_spans"            -> (spans _),
     "dedup_exact"            -> (exact _),
     "text_decontaminate"     -> (decontaminate _),
     "dedup_ngram_jaccard"    -> (ngramJaccard _),
@@ -147,6 +174,18 @@ object DedupQueries {
     s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
 
   val oracles: Map[String, String] = Map(
+    "dedup_spans" ->
+      s"""WITH ww AS (SELECT doc_id, $w AS ws FROM documents WHERE len($w) >= 16),
+         |sp AS (SELECT doc_id, unnest(range(0, len(ws) - 15, 8)) AS st, ws FROM ww),
+         |d AS (SELECT doc_id,
+         |  md5(array_to_string(list_slice(ws, st + 1, st + 16), ' ')) AS span_digest
+         | FROM sp),
+         |pd AS (SELECT span_digest, doc_id, count(*) AS occ
+         | FROM d GROUP BY 1, 2)
+         |SELECT span_digest, count(*) AS n_docs, sum(occ)::BIGINT AS n_occurrences,
+         | min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM pd GROUP BY span_digest HAVING count(*) > 1
+         |ORDER BY span_digest""".stripMargin,
     "text_decontaminate" ->
       s"""WITH d AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
          |bench AS (SELECT list_distinct(flatten(list(sh))) AS bench_sh FROM d WHERE doc_id < 10)

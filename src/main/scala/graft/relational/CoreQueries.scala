@@ -182,6 +182,20 @@ object CoreQueries {
       .limit(20)
   }
 
+  /** Skew-resilient aggregation (q14): half the fact stream lands on one
+    * hot key (the synthetic skew below); `SkewTools.saltedSum` spreads the
+    * partial aggregation over (key, salt) before the final per-key
+    * collapse, so no single reducer owns the hot key. Results are provably
+    * identical to the plain groupBy — the oracle IS the plain groupBy. */
+  def q14SkewAgg(s: SparkSession, dir: String): DataFrame = {
+    val id = col("event_id")
+    val skewKey = when(id % 2 === 0, lit(0L)).otherwise(id % 97)
+    graft.operators.SkewTools
+      .saltedSum(Tables.events(s, dir), skewKey, col("value"), buckets = 16)
+      .select(col("k"), round(col("sum_v"), 2).as("sum_v"), col("n"))
+      .orderBy(col("k"))
+  }
+
   /** As-of join (q9): each event attributed to the user's most recent
     * signup at-or-before it — the backward as-of join Spark lacks natively,
     * via the union + single-window decomposition (operators/AsofJoin). */
@@ -201,6 +215,7 @@ object CoreQueries {
     "q9_asof"            -> (q9Asof _),
     "q10_cube"           -> (q10Cube _),
     "q13_sole_late_supplier" -> (q13SoleLateSupplier _),
+    "q14_skew_agg"       -> (q14SkewAgg _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_revenue_topn"    -> (q2RevenueTopN _),
     "q3_window_running"  -> (q3WindowRunning _),
@@ -220,6 +235,10 @@ object CoreQueries {
         |  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
         |    AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
         |GROUP BY 1 ORDER BY numwait DESC, l1.l_suppkey LIMIT 20""".stripMargin,
+    "q14_skew_agg" ->
+      """SELECT (CASE WHEN event_id % 2 = 0 THEN 0 ELSE event_id % 97 END)::BIGINT AS k,
+        | round(sum(value), 2) AS sum_v, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
     "q10_cube" ->
       """SELECT coalesce(o_orderstatus,'ALL') AS status,
         | coalesce(o_orderpriority,'ALL') AS priority,

@@ -26,6 +26,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q14 salted aggregation spreads the hot key over a salt stage") {
+    val p = plan("q14_skew_agg")
+    assert(p.contains("_salt"), "partial aggregate must be keyed by (k, salt)")
+    assert(!p.contains("Expand"), "no distinct-expand in the salted plan")
+  }
+
+  test("dedup_spans uses the two-level aggregate, not a distinct expand") {
+    val p = plan("dedup_spans")
+    assert(!p.contains("Expand"), "count(distinct doc) must be the (digest, doc) pre-aggregate")
+    assert(p.contains("Generate explode"), "span starts explode map-side")
+  }
+
   test("q2 broadcasts dimension tables") {
     val p = plan("q2_revenue_topn")
     assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
