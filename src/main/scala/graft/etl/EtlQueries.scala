@@ -481,17 +481,25 @@ object EtlQueries {
     val soda = Tables.eventsSince(s, dir, TallyCutoff)
       .filter(id % 37 =!= 5)
       .select(id.as("s_id"),
-        sodaTk(id).as("s_tk"), sodaTi(id).as("s_ti"), sodaLat(id).as("s_lat"))
+        sodaTk(id).as("s_tk"), sodaTi(id).as("s_ti"),
+        sodaLng(id).as("s_lng"), sodaLat(id).as("s_lat"))
     val carto = Tables.eventsSince(s, dir, TallyCutoff)
       .filter(inCarto(id))
-      .select(id.as("c_id"), tk(id).as("c_tk"), ti(id).as("c_ti"), cartoLat(id).as("c_lat"))
+      .select(id.as("c_id"), tk(id).as("c_tk"), ti(id).as("c_ti"),
+        cartoLng(id).as("c_lng"), cartoLat(id).as("c_lat"))
+    // geometry differs if presence flips either way, or either coordinate
+    // moved — the symmetric test (a lat-only check misses the reference's
+    // bad-longitude geocodes, main.py:378-405)
+    val geomChanged =
+      (col("s_lat").isNull =!= col("c_lat").isNull) ||
+        (col("s_lat").isNotNull && col("c_lat").isNotNull &&
+          (col("s_lat") =!= col("c_lat") || col("s_lng") =!= col("c_lng")))
     soda.join(carto, col("s_id") === col("c_id"), "full_outer")
       .select(coalesce(col("s_id"), col("c_id")).as("event_id"),
         when(col("c_id").isNull, lit("new"))
           .when(col("s_id").isNull, lit("deleted_upstream"))
           .when(col("s_tk") =!= col("c_tk") || col("s_ti") =!= col("c_ti") ||
-            (col("s_lat").isNotNull && col("c_lat").isNotNull && col("s_lat") =!= col("c_lat")) ||
-            (col("s_lat").isNotNull && col("c_lat").isNull), lit("changed"))
+            geomChanged, lit("changed"))
           .otherwise(lit("unchanged")).as("status"))
       .groupBy(col("status"))
       .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
@@ -626,19 +634,20 @@ object EtlQueries {
     "etl_reconcile" ->
       s"""WITH soda AS (
          | SELECT event_id AS s_id, ${sodaTkSql(e)} AS s_tk, ${sodaTiSql(e)} AS s_ti,
-         |  ${sodaLatSql(e)} AS s_lat
+         |  ${sodaLngSql(e)} AS s_lng, ${sodaLatSql(e)} AS s_lat
          | FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND event_id % 37 != 5),
          |carto AS (
          | SELECT event_id AS c_id, ${tkSql(e)} AS c_tk, ${tiSql(e)} AS c_ti,
-         |  ${cartoLatSql(e)} AS c_lat
+         |  ${cartoLngSql(e)} AS c_lng, ${cartoLatSql(e)} AS c_lat
          | FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND event_id % 10 != 3),
          |j AS (
          | SELECT coalesce(s_id, c_id) AS event_id,
          |  CASE WHEN c_id IS NULL THEN 'new'
          |       WHEN s_id IS NULL THEN 'deleted_upstream'
          |       WHEN s_tk != c_tk OR s_ti != c_ti
-         |            OR (s_lat IS NOT NULL AND c_lat IS NOT NULL AND s_lat != c_lat)
-         |            OR (s_lat IS NOT NULL AND c_lat IS NULL) THEN 'changed'
+         |            OR ((s_lat IS NULL) != (c_lat IS NULL))
+         |            OR (s_lat IS NOT NULL AND c_lat IS NOT NULL
+         |                AND (s_lat != c_lat OR s_lng != c_lng)) THEN 'changed'
          |       ELSE 'unchanged' END AS status
          | FROM soda FULL OUTER JOIN carto ON s_id = c_id)
          |SELECT status, count(*) AS n, min(event_id) AS min_id, max(event_id) AS max_id

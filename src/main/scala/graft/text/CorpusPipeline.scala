@@ -22,7 +22,10 @@ import graft.dedup.{DedupClusters, DedupQueries}
   */
 object CorpusPipeline {
 
-  def build(s: SparkSession, dir: String,
+  /** Stages 1-5 (quality gate → exact dedup → near-dup canonicalization →
+    * decontamination → deterministic sample): the cleaned corpus both
+    * products consume. */
+  def cleaned(s: SparkSession, dir: String,
       minWords: Long = 10, maxStopRatio: Double = 0.6,
       maxTopWordFrac: Double = 0.5, maxDupBigramFrac: Double = 0.9,
       benchmarkMaxOverlap: Long = 20, sampleBucketOf100: Long = 80): DataFrame = {
@@ -71,24 +74,23 @@ object CorpusPipeline {
     // 5. deterministic sample (content-stable hash bucket)
     val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
       .cast("long") % 100
-    val sampled = clean.filter(bucket < sampleBucketOf100)
+    clean.filter(bucket < sampleBucketOf100)
       .select("doc_id", "text", "lang", "source", "n_chars", "n_words")
-
-    // 6. sequence packing: map each surviving doc to its chunk span in the
-    // fixed-window token stream (TextQueries.packSpans — one shared
-    // definition of the packing contract)
-    TextQueries.packSpans(sampled, "n_words")
-      .drop("end_pos")
-      .orderBy("doc_id")
   }
 
-  /** The retrieval-side consumer of the same cleaned corpus: instead of
-    * packing survivors into training windows, split each into overlapping
-    * `TextQueries.chunk`-style windows for a RAG/embedding index. Stages
-    * 1-5 are shared verbatim; only the terminal reshape differs — one
-    * pipeline, two products. */
+  /** Training product: stage 6, sequence packing — map each surviving doc
+    * to its chunk span in the fixed-window token stream
+    * (TextQueries.packSpans — one shared definition of the contract). */
+  def build(s: SparkSession, dir: String): DataFrame =
+    TextQueries.packSpans(cleaned(s, dir), "n_words")
+      .drop("end_pos")
+      .orderBy("doc_id")
+
+  /** Retrieval product: the same cleaned corpus split into overlapping
+    * `TextQueries.chunk` windows for a RAG/embedding index — stages 1-5
+    * shared, no packing pass or training sort paid. */
   def buildRetrievalIndex(s: SparkSession, dir: String): DataFrame = {
-    val survivors = build(s, dir).select("doc_id")
+    val survivors = cleaned(s, dir).select("doc_id")
     TextQueries.chunk(s, dir)
       .join(survivors, "doc_id")
       .orderBy(col("doc_id"), col("chunk_idx"))

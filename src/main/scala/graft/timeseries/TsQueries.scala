@@ -21,28 +21,22 @@ import graft.Tables
 object TsQueries {
 
   /** Per-type daily aggregate — the single pass over the fact table that
-    * both operators share. */
-  private def daily(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
+    * both operators share. `minValue` thins to a sparse signal: the raw
+    * daily stream is fully dense in the test data, so gap-fill semantics
+    * would go unexercised without it. */
+  private def daily(s: SparkSession, dir: String, minValue: Option[Double] = None): DataFrame = {
+    val ev = Tables.events(s, dir)
+    minValue.fold(ev)(v => ev.filter(col("value") >= v))
       .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("raw_value"))
-
-  /** The sparse signal resample densifies: days where a type saw at least
-    * one high-value event. The raw daily stream is fully dense in the test
-    * data, so gap-fill semantics would go unexercised without thinning. */
-  private def sparseDaily(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .filter(col("value") >= 200.0)
-      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
-      .groupBy(col("event_type"), col("day"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("raw_value"))
+  }
 
   /** Daily resample with gap fill: densify each type's calendar from its
     * first to its last active day, mark gap days, and carry the last
     * observed daily value forward (last_value IGNORE NULLS). */
   def resampleDaily(s: SparkSession, dir: String): DataFrame = {
-    val d = sparseDaily(s, dir)
+    val d = daily(s, dir, minValue = Some(200.0))
     val calendar = d.groupBy(col("event_type"))
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       .select(col("event_type"),
@@ -75,15 +69,13 @@ object TsQueries {
     "ts_resample"   -> (resampleDaily _),
     "ts_moving_avg" -> (movingAvg _))
 
-  private val dailySql =
-    """SELECT event_type, ts::DATE AS day, count(*) AS n_events,
-      | sum(value) AS raw_value
-      |FROM events GROUP BY 1, 2""".stripMargin
+  private def dailySqlWhere(where: String = "") =
+    s"""SELECT event_type, ts::DATE AS day, count(*) AS n_events,
+       | sum(value) AS raw_value
+       |FROM events $where GROUP BY 1, 2""".stripMargin
+  private val dailySql = dailySqlWhere()
 
-  private val sparseDailySql =
-    """SELECT event_type, ts::DATE AS day, count(*) AS n_events,
-      | sum(value) AS raw_value
-      |FROM events WHERE value >= 200.0 GROUP BY 1, 2""".stripMargin
+  private val sparseDailySql = dailySqlWhere("WHERE value >= 200.0")
 
   val oracles: Map[String, String] = Map(
     "ts_resample" ->

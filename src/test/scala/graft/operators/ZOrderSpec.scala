@@ -33,14 +33,15 @@ class ZOrderSpec extends AnyFunSuite {
     val zBoxes = fileBoxes(s"$dir/z")
     val linBoxes = fileBoxes(s"$dir/linear")
 
-    // simulate min/max pruning for a grid of 16×16-cell box queries: count
-    // the files whose stats-range intersects each query box
-    val queries = for (qx <- 0 until 128 by 32; qy <- 0 until 128 by 32)
-      yield (qx.toLong, qx + 15L, qy.toLong, qy + 15L)
-    def touched(boxes: Array[(Long, Long, Long, Long)]) = queries.map { case (x0, x1, y0, y1) =>
+    // simulate min/max pruning for a grid of square box queries: count the
+    // files whose stats-range intersects each query box
+    def touched(boxes: Array[(Long, Long, Long, Long)],
+        queries: Seq[(Long, Long, Long, Long)]) = queries.map { case (x0, x1, y0, y1) =>
       boxes.count { case (mnx, mxx, mny, mxy) => mxx >= x0 && mnx <= x1 && mxy >= y0 && mny <= y1 }
     }.sum.toDouble / queries.size
-    val (zTouched, linTouched) = (touched(zBoxes), touched(linBoxes))
+    val queries = for (qx <- 0 until 128 by 32; qy <- 0 until 128 by 32)
+      yield (qx.toLong, qx + 15L, qy.toLong, qy + 15L)
+    val (zTouched, linTouched) = (touched(zBoxes, queries), touched(linBoxes, queries))
     assert(zTouched < linTouched * 0.6,
       s"z-order touches $zTouched files/query, linear $linTouched — no locality win")
     // and the real crash-grid layout also wins, even if sparsity mutes it
@@ -50,10 +51,8 @@ class ZOrderSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$dir/linev")
     val evQueries = for (qx <- 0 until 1024 by 128; qy <- 0 until 1024 by 128)
       yield (qx.toLong, qx + 63L, qy.toLong, qy + 63L)
-    def touchedEv(boxes: Array[(Long, Long, Long, Long)]) = evQueries.map { case (x0, x1, y0, y1) =>
-      boxes.count { case (mnx, mxx, mny, mxy) => mxx >= x0 && mnx <= x1 && mxy >= y0 && mny <= y1 }
-    }.sum.toDouble / evQueries.size
-    assert(touchedEv(fileBoxes(s"$dir/zev")) < touchedEv(fileBoxes(s"$dir/linev")))
+    assert(touched(fileBoxes(s"$dir/zev"), evQueries) <
+      touched(fileBoxes(s"$dir/linev"), evQueries))
   }
 
   test("z-values are curve-consistent: interleave round-trips the cell ids") {
