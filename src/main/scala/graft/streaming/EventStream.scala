@@ -71,6 +71,36 @@ object EventStream {
         col("p.user_id").as("user_id"))
   }
 
+  /** One micro-batch of the CDC apply: collapse the batch to its latest
+    * change per key (latest ts wins — a batch can carry several updates for
+    * one record), derive the sink's partition columns, and run the
+    * idempotent keyed merge. Factored out of the stream so the replay
+    * property is directly testable. */
+  def applyCdcBatch(batch: Dataset[Event], path: String): Unit = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_id")).orderBy(col("ts").desc)
+    val latest = batch.toDF()
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+      .withColumn("year", year(col("ts")))
+      .withColumn("month", month(col("ts")))
+    graft.sources.WarehouseSink.merge(batch.sparkSession, latest, path, "event_id")
+  }
+
+  /** CDC apply sink: the change stream merged into the warehouse via
+    * foreachBatch. Structured Streaming re-delivers the last uncommitted
+    * micro-batch on failure recovery, so the sink sees at-least-once — but
+    * WarehouseSink.merge is idempotent (batch wins per key, partitions
+    * rewritten whole), so replays converge to the same table: exactly-once
+    * TABLE STATE without a transactional sink. The reference reaches the
+    * same property through its NOT-IN guard (main.py:368-371). */
+  def cdcApply(changes: Dataset[Event], path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: Dataset[Event], _: Long) => applyCdcBatch(b, path))
+      .start()
+
   /** Gap-based sessionization with event-time timeout: a session closes when
     * the watermark passes its end + gap, at which point it is emitted.
     * State per user is one open session — O(active users), not O(events). */
