@@ -13,7 +13,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational.CoreQueries.queries ++ etl.EtlQueries.queries ++
-      text.TextQueries.queries ++ text.PiiScrub.queries ++ dedup.DedupQueries.queries ++
+      text.TextQueries.queries ++ text.PiiScrub.queries ++ text.BpeTrain.queries ++
+      dedup.DedupQueries.queries ++
       dedup.MinHashLsh.queries ++ dedup.SimHash.queries ++
       dedup.DedupClusters.queries ++
       sim.SimQueries.queries ++ sim.AnnLsh.queries ++ sim.AnnIvf.queries ++
