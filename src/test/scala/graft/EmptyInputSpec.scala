@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Degenerate-input hardening: every window/sequence/explode-heavy operator
+  * must return an empty result on an empty (but schema-complete) table, not
+  * throw — the round-1 advice theme (illegal sequence bounds on degenerate
+  * boxes) generalized. An empty fixture is written once per table by
+  * truncating the sf0.001 data to 0 rows, preserving schema exactly. */
+class EmptyInputSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private lazy val emptyDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    // events.ts is TIMESTAMP(NANOS); read it the way Tables.events does.
+    // The truncated copy stores ts as plain INT64, which the same conf
+    // reads back identically.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Seq("events", "documents", "embeddings", "region", "nation", "customer",
+      "supplier", "part", "orders", "lineitem").foreach { t =>
+      spark.read.parquet(s"${TestSpark.sf}/$t.parquet")
+        .limit(0).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  // the operators whose plans lean on sequence()/explode/windows/collects —
+  // the shapes that historically break on empty or degenerate input
+  private val risky = Seq(
+    "text_chunk", "dedup_spans", "etl_scd2", "q11_funnel", "q12_retention",
+    "ts_resample", "ts_moving_avg", "etl_pivot", "etl_backlog_check",
+    "text_pack", "text_ngram_freq", "etl_zorder", "stats_histogram",
+    "q14_skew_agg", "emb_project", "emb_normalize", "q10_cube")
+
+  risky.foreach { name =>
+    test(s"$name returns cleanly on empty input") {
+      val rows = SparkEntry.queries(name)(spark, emptyDir).collect()
+      val _ = rows // any row count is fine (cube/backlog emit totals); no throw is the contract
+    }
+  }
+}
