@@ -164,20 +164,26 @@ object CoreQueries {
     * extra joins against the full fact table. The oracle states the
     * correlated form to prove equivalence. */
   def q13SoleLateSupplier(s: SparkSession, dir: String): DataFrame = {
+    // orders is dim-sized here (and a date-pruned side at warehouse scale):
+    // broadcast it so the fact table never shuffles for the late flag
     val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_shipdate")
       .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
       .withColumn("late", col("l_shipdate") > col("o_orderdate") + expr("interval 90 days"))
-    val perSupp = li.groupBy(col("l_orderkey").as("ps_orderkey"), col("l_suppkey").as("ps_suppkey"))
-      .agg(max(col("late")).as("supp_late"))
-    val perOrder = perSupp.groupBy(col("ps_orderkey").as("po_orderkey"))
-      .agg(count(lit(1)).as("n_supps"),
-        sum(when(col("supp_late"), 1L).otherwise(0L)).as("n_late_supps"))
-      .filter(col("n_supps") > 1 && col("n_late_supps") === 1)
-    li.filter(col("late"))
-      .join(perOrder, col("l_orderkey") === col("po_orderkey"))
+    // one scan total: pre-aggregate per (order, supplier) — map-side
+    // combinable, carries the late-lineitem count forward — then derive the
+    // per-order qualification with windows over the SAME rows instead of
+    // re-scanning the fact table for a join-back
+    val perSupp = li.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("late")).as("supp_late"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late_items"))
+    val byOrder = Window.partitionBy(col("l_orderkey"))
+    perSupp
+      .withColumn("n_supps", count(lit(1)).over(byOrder))
+      .withColumn("n_late_supps", sum(when(col("supp_late"), 1L).otherwise(0L)).over(byOrder))
+      .filter(col("supp_late") && col("n_supps") > 1 && col("n_late_supps") === 1)
       .groupBy(col("l_suppkey"))
-      .agg(count(lit(1)).as("numwait"))
+      .agg(sum(col("n_late_items")).as("numwait"))
       .orderBy(col("numwait").desc, col("l_suppkey"))
       .limit(20)
   }
