@@ -164,8 +164,10 @@ object CoreQueries {
     * extra joins against the full fact table. The oracle states the
     * correlated form to prove equivalence. */
   def q13SoleLateSupplier(s: SparkSession, dir: String): DataFrame = {
-    // orders is dim-sized here (and a date-pruned side at warehouse scale):
-    // broadcast it so the fact table never shuffles for the late flag
+    // no broadcast hint on orders: it is dim-sized here (auto-broadcast
+    // picks it up) but NOT at warehouse scale, where the planner must be
+    // free to choose the shuffle join — the scale win of this query is the
+    // single fact scan below, not the join strategy
     val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_shipdate")
       .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))

@@ -30,8 +30,15 @@ object WarehouseSink {
 
   /** Merge an incremental batch into the warehouse by (year, month)
     * partition overwrite. `key` identifies records (socrata_id/event_id).
-    * Only partitions present in `batch` are rewritten. */
-  def merge(spark: SparkSession, batch: DataFrame, path: String, key: String): Unit = {
+    * Only partitions present in `batch` are rewritten.
+    *
+    * `relocateKeys = true` additionally rewrites partitions that hold an
+    * OLD version of a batch key — required when an update can change the
+    * partition columns themselves (a corrected crash_date moves the row
+    * to another month): without it the old partition keeps a stale
+    * duplicate, because the partition-scoped delete never looks there. */
+  def merge(spark: SparkSession, batch: DataFrame, path: String, key: String,
+      relocateKeys: Boolean = false): Unit = {
     val existing =
       // Only a genuinely-absent warehouse means "first load". Any other
       // failure (transient IO, corrupt footer) must abort the merge —
@@ -42,12 +49,17 @@ object WarehouseSink {
         case e: org.apache.spark.sql.AnalysisException
             if e.getCondition == "PATH_NOT_FOUND" => None
       }
-    val merged =
+    val (merged, emptiedParts) =
       existing match {
-        case None => batch
+        case None => (batch, Array.empty[(Any, Any)])
         case Some(existing) =>
         // months touched by this batch (small driver list — months, not rows)
-        val touched = batch.select("year", "month").distinct()
+        val batchMonths = batch.select("year", "month").distinct()
+        val touched =
+          if (!relocateKeys) batchMonths
+          else batchMonths.unionByName(
+            existing.join(batch.select(key), Seq(key), "left_semi")
+              .select("year", "month").distinct()).distinct()
         val existingTouched = existing.join(broadcast(touched), Seq("year", "month"), "left_semi")
         // batch wins on key collision (changed tallies / moved geometries)
         val kept = existingTouched.join(batch.select(key), Seq(key), "left_anti")
@@ -55,7 +67,17 @@ object WarehouseSink {
         // reads. At production scale this sink would be a table format with
         // real MERGE (Delta/Iceberg); checkpointing the delta keeps the
         // parquet variant correct and still partition-local.
-        kept.unionByName(batch).localCheckpoint(true)
+        val merged = kept.unionByName(batch).localCheckpoint(true)
+        // dynamic overwrite only rewrites partitions PRESENT in `merged`; a
+        // relocation that empties a partition would leave its old file (and
+        // the stale key) behind. Collect the emptied set NOW — post-write,
+        // `existing`'s file listing is stale. A table format does this
+        // deletion transactionally; this is the parquet-path equivalent.
+        val emptied =
+          if (!relocateKeys) Array.empty[(Any, Any)]
+          else touched.exceptAll(merged.select("year", "month").distinct())
+            .distinct().collect().map(r => (r.get(0), r.get(1)))
+        (merged, emptied)
       }
     // dynamic overwrite scoped to THIS write only — setting it on the shared
     // session would silently change later full-snapshot Overwrite semantics
@@ -64,5 +86,12 @@ object WarehouseSink {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("year", "month")
       .parquet(path)
+    if (emptiedParts.nonEmpty) {
+      val base = new org.apache.hadoop.fs.Path(path)
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptiedParts.foreach { case (y, m) =>
+        fs.delete(new org.apache.hadoop.fs.Path(base, s"year=$y/month=$m"), true)
+      }
+    }
   }
 }

@@ -77,14 +77,22 @@ object EventStream {
     * idempotent keyed merge. Factored out of the stream so the replay
     * property is directly testable. */
   def applyCdcBatch(batch: Dataset[Event], path: String): Unit = {
+    // tie-break beyond ts: a change feed at second granularity can carry
+    // two same-ts changes for one key, and a replayed batch must pick the
+    // SAME winner (a real feed would order by its change sequence number;
+    // content columns stand in for one here)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("event_id")).orderBy(col("ts").desc)
+      .partitionBy(col("event_id"))
+      .orderBy(col("ts").desc, col("value").desc, col("event_type").desc)
     val latest = batch.toDF()
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
       .withColumn("year", year(col("ts")))
       .withColumn("month", month(col("ts")))
-    graft.sources.WarehouseSink.merge(batch.sparkSession, latest, path, "event_id")
+    // relocateKeys: an update may carry a corrected ts that moves the row
+    // to another month partition — the old partition must be rewritten too
+    graft.sources.WarehouseSink.merge(batch.sparkSession, latest, path, "event_id",
+      relocateKeys = true)
   }
 
   /** CDC apply sink: the change stream merged into the warehouse via

@@ -25,15 +25,18 @@ object BpeTrain {
 
   val NumMerges = 10
 
-  /** The learned merge list, most-frequent first. */
-  def trainMerges(s: SparkSession, dir: String): Seq[(String, String)] = {
-    val wordCounts = Tables.documents(s, dir)
+  /** The distributed dictionary pass both training and tokenization share —
+    * the only thing that touches the corpus. */
+  def wordCounts(s: SparkSession, dir: String): Array[(String, Long)] =
+    Tables.documents(s, dir)
       .select(explode(split(col("text"), "\\s+")).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
-    learn(wordCounts, NumMerges)
-  }
+
+  /** The learned merge list, most-frequent first. */
+  def trainMerges(s: SparkSession, dir: String): Seq[(String, String)] =
+    learn(wordCounts(s, dir), NumMerges)
 
   /** Pure merge loop over the (word, count) dictionary. */
   def learn(wordCounts: Array[(String, Long)], rounds: Int): Seq[(String, String)] = {
@@ -79,14 +82,14 @@ object BpeTrain {
     * so corpus tokenization is a zero-shuffle map-side pass (with a large
     * real-world vocab the same table rides a broadcast join instead). */
   def bpeVocab(s: SparkSession, dir: String): DataFrame = {
-    val wordCounts = Tables.documents(s, dir)
-      .select(explode(split(col("text"), "\\s+")).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy(col("word")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-    val merges = learn(wordCounts, NumMerges)
-    val tokenMap = map(wordCounts.flatMap { case (w, _) =>
-      Seq(lit(w), lit(tokensOf(w, merges))) }.toSeq: _*)
+    val dict = wordCounts(s, dir)
+    val merges = learn(dict, NumMerges)
+    // typedLit handles the empty-corpus case (map() with zero args has no
+    // usable type); element_at misses coalesce to 0 below
+    val tokenMap =
+      if (dict.isEmpty) typedLit(Map.empty[String, Long])
+      else map(dict.flatMap { case (w, _) =>
+        Seq(lit(w), lit(tokensOf(w, merges))) }.toSeq: _*)
     val ws = split(col("text"), "\\s+")
     Tables.documents(s, dir)
       .select(col("doc_id"), ws.as("w"))
@@ -95,8 +98,11 @@ object BpeTrain {
           .as("n_char_tokens"),
         aggregate(transform(col("w"), x => coalesce(element_at(tokenMap, x), lit(0L))),
           lit(0L), (acc, x) => acc + x).as("n_bpe_tokens"))
+      // greatest() guards the whitespace-only/empty-doc case (0 tokens):
+      // compression degrades to 0.0 instead of a null that poisons the
+      // driver's hash compare
       .withColumn("compression",
-        round(col("n_char_tokens").cast("double") / col("n_bpe_tokens"), 4))
+        round(col("n_char_tokens").cast("double") / greatest(col("n_bpe_tokens"), lit(1L)), 4))
       .orderBy(col("doc_id"))
   }
 

@@ -30,7 +30,7 @@ class EmptyInputSpec extends AnyFunSuite {
     "text_chunk", "dedup_spans", "etl_scd2", "q11_funnel", "q12_retention",
     "ts_resample", "ts_moving_avg", "etl_pivot", "etl_backlog_check",
     "text_pack", "text_ngram_freq", "etl_zorder", "stats_histogram",
-    "q14_skew_agg", "emb_project", "emb_normalize", "q10_cube")
+    "q14_skew_agg", "emb_project", "emb_normalize", "q10_cube", "text_bpe_vocab")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {

@@ -38,6 +38,27 @@ class CdcApplySpec extends AnyFunSuite {
     assert(tableState(dir) == after, "replayed batch must converge to the same table")
   }
 
+  test("an update that moves a key across month partitions leaves no stale duplicate") {
+    val dir = java.nio.file.Files.createTempDirectory("cdcmove").toString + "/wh"
+    EventStream.applyCdcBatch(Seq(ev(1, "2024-01-05 10:00:00", 1.0)).toDS(), dir)
+    // corrected timestamp relocates the row from 2024/01 to 2024/02
+    EventStream.applyCdcBatch(Seq(ev(1, "2024-02-03 10:00:00", 7.0)).toDS(), dir)
+    val rows = spark.read.parquet(dir)
+      .select("event_id", "value", "year", "month").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getInt(3)))
+    assert(rows.toSeq == Seq((1L, 7.0, 2024, 2)),
+      s"old-partition duplicate must be removed: ${rows.toSeq}")
+  }
+
+  test("same-ts changes in one batch pick a deterministic winner, replays included") {
+    val dir = java.nio.file.Files.createTempDirectory("cdctie").toString + "/wh"
+    val tied = Seq(ev(5, "2024-01-05 10:00:00", 3.0), ev(5, "2024-01-05 10:00:00", 9.0)).toDS()
+    EventStream.applyCdcBatch(tied, dir)
+    assert(tableState(dir) == Seq(5L -> 9.0), "higher value must win the ts tie")
+    EventStream.applyCdcBatch(tied, dir)
+    assert(tableState(dir) == Seq(5L -> 9.0))
+  }
+
   test("streaming end-to-end: the change stream maintains the warehouse exactly-once") {
     implicit val ctx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("cdcstream").toString
