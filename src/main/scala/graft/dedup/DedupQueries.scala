@@ -70,18 +70,23 @@ object DedupQueries {
   def cosine(a: Column, b: Column): Column =
     graft.functions.HashExprs.cosineSim(a.cast("array<double>"), b.cast("array<double>"))
 
-  /** #23 Embedding near-dup pairs: cosine ≥ 0.35 within label blocks (the
-    * label stands in for an IVF cell assignment at scale). */
+  /** #23 Embedding near-dup pairs: cosine ≥ 0.35 within COMPUTED cells —
+    * the trained `emb_kmeans` cluster assignment, not a data column. A
+    * low-cardinality data block (language, label) is block-quadratic on a
+    * monolingual 100 TB corpus; k-means cells grow with K, so the
+    * per-cell pair count stays bounded and the cell id is derived from
+    * content, available on any corpus. The oracle replays the identical
+    * Lloyd chain (`Kmeans.chainSql`) so both engines block identically. */
   def embeddingCosine(s: SparkSession, dir: String): DataFrame = {
     graft.functions.HashExprs.register(s)
-    val e = Tables.embeddings(s, dir)
-    val a = e.select(col("vec_id").as("a_id"), col("label"), col("embedding").as("a_emb"))
-    val b = e.select(col("vec_id").as("b_id"), col("label"), col("embedding").as("b_emb"))
-    a.join(b, Seq("label"))
+    val asgn = graft.sim.Kmeans.assignments(s, dir)
+    val a = asgn.select(col("vec_id").as("a_id"), col("cluster"), col("emb").as("a_emb"))
+    val b = asgn.select(col("vec_id").as("b_id"), col("cluster"), col("emb").as("b_emb"))
+    a.join(b, Seq("cluster"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("cosine", round(cosine(col("a_emb"), col("b_emb")), 4))
       .filter(col("cosine") >= 0.35)
-      .select("a_id", "b_id", "label", "cosine")
+      .select("a_id", "b_id", "cluster", "cosine")
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -206,10 +211,10 @@ object DedupQueries {
          |WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.10
          |ORDER BY a_id, b_id""".stripMargin,
     "dedup_embedding_cosine" ->
-      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings)
-         |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label,
+      s"""WITH ${graft.sim.Kmeans.chainSql}
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.cluster,
          | round(${cosineSql("a.emb", "b.emb")}, 4) AS cosine
-         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |FROM asgn a JOIN asgn b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
          |WHERE round(${cosineSql("a.emb", "b.emb")}, 4) >= 0.35
          |ORDER BY a_id, b_id""".stripMargin)
 }

@@ -40,6 +40,12 @@ object Kmeans {
     run(s, dir, Iters).select(col("vec_id"), col("cluster"), col("cos_center"))
       .orderBy(col("vec_id"))
 
+  /** Final cluster assignments with embeddings — the computed blocking cell
+    * that within-cluster consumers (`dedup_semantic` here,
+    * `dedup_embedding_cosine` in DedupQueries) join inside. */
+  def assignments(s: SparkSession, dir: String): DataFrame =
+    run(s, dir, Iters).select(col("vec_id"), col("cluster"), col("emb"))
+
   /** Assignment after `iters` Lloyd rounds, keeping the embedding column so
     * downstream consumers (SemDeDup) can join within clusters. */
   private[sim] def run(s: SparkSession, dir: String, iters: Int): DataFrame = {
@@ -90,9 +96,10 @@ object Kmeans {
        | FROM $prev LEFT JOIN m$n ON m$n.c_id = $prev.c_id)""".stripMargin
   }
 
-  /** The WITH-body both oracles share: every Lloyd iteration plus the final
-    * assignment (`asgn`: vec_id, cluster, emb, c_emb). */
-  private def chainSql: String = {
+  /** The WITH-body the cluster-blocked oracles share (also
+    * `dedup_embedding_cosine` in DedupQueries): every Lloyd iteration plus
+    * the final assignment (`asgn`: vec_id, cluster, emb, c_emb). */
+  private[graft] def chainSql: String = {
     val iters = (1 to Iters).map(n => iterSql(n, s"c${n - 1}")).mkString(",\n")
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
        |c0 AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < $K),

@@ -25,13 +25,33 @@ object BpeTrain {
 
   val NumMerges = 10
 
+  /** Default dictionary bounds. On a web corpus the distinct-token table is
+    * billions of rows (URLs, typos, hashes); an unbounded collect is a
+    * driver OOM. Real trainers prune: a min-frequency floor (singleton junk
+    * never influences merges materially) and a hard top-N cap so driver
+    * memory is bounded no matter the corpus. At driver-test scale the
+    * defaults are non-pruning (floor 1, cap far above the test vocab), so
+    * results are identical to the unbounded pass — BpeSpec pins that. */
+  val MinWordFreq = 1L
+  val MaxDictWords = 1 << 20
+  /** Above this many dictionary entries, tokenization rides a broadcast
+    * join instead of a constant-folded map literal (an expression tree with
+    * millions of leaves breaks codegen and the driver alike). */
+  val MapLiteralMax = 4096
+
   /** The distributed dictionary pass both training and tokenization share —
-    * the only thing that touches the corpus. */
-  def wordCounts(s: SparkSession, dir: String): Array[(String, Long)] =
+    * the only thing that touches the corpus. Bounded on the driver side:
+    * frequency floor first, then a deterministic top-N cap ((n desc, word)
+    * order → a TakeOrderedAndProject, so at most `maxWords` rows are ever
+    * collected). */
+  def wordCounts(s: SparkSession, dir: String, minFreq: Long = MinWordFreq,
+                 maxWords: Int = MaxDictWords): Array[(String, Long)] =
     Tables.documents(s, dir)
       .select(explode(split(col("text"), "\\s+")).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minFreq)
+      .orderBy(col("n").desc, col("word")).limit(maxWords)
       .collect().map(r => r.getString(0) -> r.getLong(1))
 
   /** The learned merge list, most-frequent first. */
@@ -78,32 +98,54 @@ object BpeTrain {
   /** `text_bpe_vocab`: per-document token counts under the learned
     * tokenizer — character count, post-merge BPE count, compression.
     * The word→token-count table is computed on the driver from the same
-    * dictionary the merges were learned on and shipped as a constant map,
-    * so corpus tokenization is a zero-shuffle map-side pass (with a large
-    * real-world vocab the same table rides a broadcast join instead). */
-  def bpeVocab(s: SparkSession, dir: String): DataFrame = {
+    * dictionary the merges were learned on. Small dictionaries ship as a
+    * constant-folded map literal (zero-shuffle map-side pass); past
+    * `MapLiteralMax` entries the same table rides a broadcast join instead
+    * — an expression tree with millions of leaves is its own scale bug. */
+  def bpeVocab(s: SparkSession, dir: String): DataFrame =
+    bpeVocabImpl(s, dir, MapLiteralMax)
+
+  private[text] def bpeVocabImpl(s: SparkSession, dir: String, mapLiteralMax: Int): DataFrame = {
     val dict = wordCounts(s, dir)
     val merges = learn(dict, NumMerges)
-    // typedLit handles the empty-corpus case (map() with zero args has no
-    // usable type); element_at misses coalesce to 0 below
-    val tokenMap =
-      if (dict.isEmpty) typedLit(Map.empty[String, Long])
-      else map(dict.flatMap { case (w, _) =>
-        Seq(lit(w), lit(tokensOf(w, merges))) }.toSeq: _*)
     val ws = split(col("text"), "\\s+")
-    Tables.documents(s, dir)
-      .select(col("doc_id"), ws.as("w"))
-      .select(col("doc_id"),
-        aggregate(transform(col("w"), x => length(x).cast("long")), lit(0L), (acc, x) => acc + x)
-          .as("n_char_tokens"),
-        aggregate(transform(col("w"), x => coalesce(element_at(tokenMap, x), lit(0L))),
-          lit(0L), (acc, x) => acc + x).as("n_bpe_tokens"))
+    val docs = Tables.documents(s, dir).select(col("doc_id"), ws.as("w"))
+    val compression =
       // greatest() guards the whitespace-only/empty-doc case (0 tokens):
       // compression degrades to 0.0 instead of a null that poisons the
       // driver's hash compare
-      .withColumn("compression",
-        round(col("n_char_tokens").cast("double") / greatest(col("n_bpe_tokens"), lit(1L)), 4))
-      .orderBy(col("doc_id"))
+      round(col("n_char_tokens").cast("double") / greatest(col("n_bpe_tokens"), lit(1L)), 4)
+    if (dict.length <= mapLiteralMax) {
+      // typedLit handles the empty-corpus case (map() with zero args has no
+      // usable type); element_at misses coalesce to 0 below
+      val tokenMap =
+        if (dict.isEmpty) typedLit(Map.empty[String, Long])
+        else map(dict.flatMap { case (w, _) =>
+          Seq(lit(w), lit(tokensOf(w, merges))) }.toSeq: _*)
+      docs
+        .select(col("doc_id"),
+          aggregate(transform(col("w"), x => length(x).cast("long")), lit(0L), (acc, x) => acc + x)
+            .as("n_char_tokens"),
+          aggregate(transform(col("w"), x => coalesce(element_at(tokenMap, x), lit(0L))),
+            lit(0L), (acc, x) => acc + x).as("n_bpe_tokens"))
+        .withColumn("compression", compression)
+        .orderBy(col("doc_id"))
+    } else {
+      // broadcast-join tokenization: explode words (explode_outer keeps
+      // empty docs in the output), left-join the vocab (pruned words count
+      // 0 tokens, matching the literal path's element_at miss), map-side
+      // combinable per-doc sum
+      val tokTable = s.createDataFrame(
+        dict.toSeq.map { case (wd, _) => (wd, tokensOf(wd, merges)) })
+        .toDF("word", "n_tok")
+      docs.select(col("doc_id"), explode_outer(col("w")).as("word"))
+        .join(broadcast(tokTable), Seq("word"), "left")
+        .groupBy(col("doc_id"))
+        .agg(sum(coalesce(length(col("word")).cast("long"), lit(0L))).as("n_char_tokens"),
+          sum(coalesce(col("n_tok"), lit(0L))).as("n_bpe_tokens"))
+        .withColumn("compression", compression)
+        .orderBy(col("doc_id"))
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -211,22 +211,22 @@ object TextQueries {
   /** #28d Key-term extraction: top-3 terms per document scored by
     * tf · corpusSize/df — the tf-idf family with an integer score
     * (tf·1e6 div df) so both engines rank identically with no
-    * transcendental functions. The document-frequency table is a
-    * vocabulary-sized aggregate, broadcast back against per-doc term
-    * counts. */
+    * transcendental functions. Document frequency is a term-partitioned
+    * window COUNT over the tf rows (tf already holds exactly one row per
+    * (doc, term)), so the corpus is scanned and exploded exactly ONCE —
+    * a second aggregation tree over `terms` would re-scan documents
+    * because the differing partial aggregates defeat ReusedExchange. */
   def keyterms(s: SparkSession, dir: String): DataFrame = {
     val ws = words(col("text"))
-    val terms = Tables.documents(s, dir)
+    val tf = Tables.documents(s, dir)
       .select(col("doc_id"), explode(ws).as("term"))
-    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    // document frequency derives from tf (one row per (doc, term) already),
-    // so the tf exchange is reused instead of a second explode + distinct
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
-    tf.join(broadcast(df), "term")
+    tf.withColumn("df", count(lit(1)).over(wTerm))
       .withColumn("score", expr("tf * 1000000 div df"))
-      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("rk", row_number().over(wDoc).cast("long"))
       .filter(col("rk") <= 3)
       .select("doc_id", "rk", "term", "tf", "df", "score")
       .orderBy(col("doc_id"), col("rk"))

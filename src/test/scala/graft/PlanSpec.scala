@@ -19,11 +19,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("l_orderkey"), "untouched columns must be pruned from the scan")
   }
 
+  private def scanCount(p: String, table: String): Int =
+    p.linesIterator.count(l => l.contains("FileScan") && l.contains(s"$table.parquet"))
+
   test("q13 avoids correlated-subquery nested loops (aggregation rewrite)") {
     val p = plan("q13_sole_late_supplier")
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "EXISTS/NOT EXISTS must be rewritten to aggregations, not NLJs")
     assert(!p.contains("CartesianProduct"))
+    assert(scanCount(p, "lineitem") == 1,
+      "single-scan rewrite: exactly one lineitem FileScan, no join-back")
+  }
+
+  test("keyterms scans and explodes the corpus exactly once (df via window)") {
+    val p = plan("text_keyterms")
+    assert(scanCount(p, "documents") == 1,
+      "df must derive from the tf aggregate, not a second corpus explode")
+    assert(p.linesIterator.count(_.contains("Generate explode")) == 1,
+      "exactly one explode of the corpus")
   }
 
   test("q14 salted aggregation spreads the hot key over a salt stage") {

@@ -34,6 +34,34 @@ class BpeSpec extends AnyFunSuite {
     assert(BpeTrain.tokensOf("aab", merges) == 2)  // [aa, b]
   }
 
+  test("frequency floor and top-N cap bound the dictionary deterministically") {
+    val full = BpeTrain.wordCounts(spark, sf)
+    assert(full.nonEmpty)
+    // floor=1 is the non-pruning default: identical dictionary set
+    assert(BpeTrain.wordCounts(spark, sf, minFreq = 1L).toSet == full.toSet)
+    // floor=2 drops exactly the singletons, nothing else
+    val floored = BpeTrain.wordCounts(spark, sf, minFreq = 2L)
+    assert(floored.toSet == full.filter(_._2 >= 2L).toSet)
+    // cap keeps the top-N by (n desc, word) — a deterministic prefix
+    val capped = BpeTrain.wordCounts(spark, sf, maxWords = 10)
+    assert(capped.length == 10)
+    assert(capped.toSeq == full.sortBy { case (w, n) => (-n, w) }.take(10).toSeq)
+    // merges learned under the non-pruning defaults match the unbounded pass
+    assert(BpeTrain.learn(full, BpeTrain.NumMerges) ==
+      BpeTrain.learn(BpeTrain.wordCounts(spark, sf, minFreq = 1L, maxWords = Int.MaxValue),
+        BpeTrain.NumMerges))
+  }
+
+  test("broadcast-join tokenization path matches the map-literal path") {
+    // force the join path by setting the literal threshold below the dict size
+    val viaJoin = BpeTrain.bpeVocabImpl(spark, sf, mapLiteralMax = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val viaLiteral = BpeTrain.bpeVocab(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(viaJoin.nonEmpty)
+    assert(viaJoin.toSeq == viaLiteral.toSeq)
+  }
+
   test("BPE token counts compress and are bounded by character counts") {
     val rows = BpeTrain.bpeVocab(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
