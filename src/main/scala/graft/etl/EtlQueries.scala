@@ -146,6 +146,58 @@ object EtlQueries {
       .orderBy(id)
   }
 
+  /** The reference's 8 parallel zone dimensions, in main.py:408-533 order. */
+  val ZoneTypes: Seq[String] = Seq("borough", "city_council", "senate", "assembly",
+    "businessdistrict", "community_board", "neighborhood", "nypd_precinct")
+
+  /** Per-type y offset as a decimal literal string, so the Spark lit() and
+    * the oracle's ::DOUBLE literal parse to the identical double. */
+  private[etl] val ZoneYOff: Seq[String] =
+    Seq("0.0", "0.01", "0.02", "0.03", "0.04", "0.05", "0.06", "0.07")
+
+  private def zoneDim(s: SparkSession, dir: String, toff: String): DataFrame = {
+    val r = col("r_regionkey").cast("double")
+    Tables.region(s, dir).select(
+      col("r_name").as("zone"),
+      (lit(-74.25) + r * lit(0.1) + lit(0.05)).as("cx"),
+      (lit(40.55) + r * lit(0.04) + lit(toff.toDouble)).as("cy"),
+      (lit(0.03) + r * lit(0.004)).as("rx"),
+      (lit(0.05) + r * lit(0.008)).as("ry"))
+  }
+
+  /** #10d Multipolygon 8-zone single-pass assignment — the reference's
+    * actual daily workload shape: ONE pass over the fact table assigns all
+    * 8 zone dims (borough … nypd_precinct, main.py:408-533) instead of 8
+    * separate UPDATE joins, and each zone is a MULTIPOLYGON (main hexagon +
+    * disjoint satellite ring — boroughs have islands), tested with the
+    * multi-ring ray cast. Every dim is broadcast; the fact side is scanned
+    * once and never hash-exchanged — at 100 TB this is 8 broadcast NLJs
+    * riding one scan, zero fact shuffles (plan-asserted in PlanSpec). */
+  def zoneMulti(s: SparkSession, dir: String): DataFrame = {
+    GeoFunctions.register(s)
+    val id = col("event_id")
+    val ev = Tables.events(s, dir)
+      .select(id, cartoLng(id).as("lng"), cartoLat(id).as("lat"))
+    val joined = ZoneTypes.zip(ZoneYOff).foldLeft(ev) { case (acc, (zt, toff)) =>
+      val cx = col("cx"); val cy = col("cy"); val rx = col("rx"); val ry = col("ry")
+      val sy = cy - ry - lit(0.03)
+      // ring 1: the zonePolygon hexagon; ring 2: a satellite diamond below
+      // it (same x band, so zones within a type stay disjoint)
+      val ring1 = array(
+        cx + rx, cy, cx + rx / 2, cy + ry, cx - rx / 2, cy + ry,
+        cx - rx, cy, cx - rx / 2, cy - ry, cx + rx / 2, cy - ry)
+      val ring2 = array(
+        cx + rx / 2, sy, cx, sy + lit(0.015), cx - rx / 2, sy, cx, sy - lit(0.015))
+      acc.join(broadcast(zoneDim(s, dir, toff).withColumnRenamed("zone", zt)),
+          col("lng") >= cx - rx && col("lng") <= cx + rx &&
+          col("lat") >= cy - ry - lit(0.045) && col("lat") <= cy + ry &&
+          GeoFunctions.pointInMultiPoly(col("lng"), col("lat"), array(ring1, ring2)),
+          "left")
+        .drop("cx", "cy", "rx", "ry")
+    }
+    joined.select(id +: ZoneTypes.map(col): _*).orderBy(id)
+  }
+
   /** #11 Intersection crash counts (main.py:613-647): per intersection,
     * crashes within 600 m in the window having any injury/fatality. The
     * intersections dim (from `part`) is broadcast; distance is the fused
@@ -161,7 +213,11 @@ object EtlQueries {
       .select(id, cartoLng(id).as("lng"), cartoLat(id).as("lat"),
         tk(id).as("tk"), ti(id).as("ti"))
       .filter(col("lng").isNotNull && (col("tk") > 0 || col("ti") > 0))
+    // cheap bbox pre-check before the 4-trig haversine: 0.01° ≈ 1113 m lat
+    // / ≥ 841 m lng at these latitudes, a strict superset of the 600 m
+    // circle — so results are identical but the trig runs ~100× less often
     crashes.join(broadcast(ix),
+        abs(col("lat") - col("ilat")) <= 0.01 && abs(col("lng") - col("ilng")) <= 0.01 &&
         GeoFunctions.haversineM(col("ilat"), col("ilng"), col("lat"), col("lng")) <= 600.0)
       .groupBy(col("intersection_id"))
       .agg(count(lit(1)).as("crashcount"))
@@ -581,6 +637,7 @@ object EtlQueries {
     "etl_geo_bbox"                -> (geoBbox _),
     "etl_zone_assign"             -> (zoneAssign _),
     "etl_zone_polygon"            -> (zonePolygon _),
+    "etl_zone_multi"              -> (zoneMulti _),
     "etl_intersection_crashcount" -> (intersectionCrashcount _),
     "etl_cdc_tallies"             -> (cdcTallies _),
     "etl_cdc_geom"                -> (cdcGeom _),
@@ -773,6 +830,43 @@ object EtlQueries {
          | ON g.lng >= z.cx - z.rx AND g.lng <= z.cx + z.rx
          |  AND g.lat >= z.cy - z.ry AND g.lat <= z.cy + z.ry
          |  AND ${GeoFunctions.rayCastSql("g.lng", "g.lat", verts)}
+         |ORDER BY g.event_id""".stripMargin
+    },
+    "etl_zone_multi" -> {
+      def ring1(a: String) = Seq(
+        (s"($a.cx + $a.rx)", s"$a.cy"),
+        (s"($a.cx + $a.rx / 2)", s"($a.cy + $a.ry)"),
+        (s"($a.cx - $a.rx / 2)", s"($a.cy + $a.ry)"),
+        (s"($a.cx - $a.rx)", s"$a.cy"),
+        (s"($a.cx - $a.rx / 2)", s"($a.cy - $a.ry)"),
+        (s"($a.cx + $a.rx / 2)", s"($a.cy - $a.ry)"))
+      def ring2(a: String) = {
+        val sy = s"($a.cy - $a.ry - 0.03)"
+        Seq(
+          (s"($a.cx + $a.rx / 2)", sy),
+          (s"$a.cx", s"($a.cy - $a.ry - 0.03 + 0.015)"),
+          (s"($a.cx - $a.rx / 2)", sy),
+          (s"$a.cx", s"($a.cy - $a.ry - 0.03 - 0.015)"))
+      }
+      val ctes = ZoneTypes.zip(ZoneYOff).zipWithIndex.map { case ((zt, toff), i) =>
+        s"""z$i AS (SELECT r_name AS $zt,
+           |  -74.25::DOUBLE + r_regionkey * 0.1::DOUBLE + 0.05::DOUBLE AS cx,
+           |  40.55::DOUBLE + r_regionkey * 0.04::DOUBLE + $toff::DOUBLE AS cy,
+           |  0.03::DOUBLE + r_regionkey * 0.004::DOUBLE AS rx,
+           |  0.05::DOUBLE + r_regionkey * 0.008::DOUBLE AS ry
+           | FROM region)""".stripMargin
+      }
+      val joins = ZoneTypes.indices.map { i =>
+        val a = s"z$i"
+        s"""LEFT JOIN $a ON g.lng >= $a.cx - $a.rx AND g.lng <= $a.cx + $a.rx
+           | AND g.lat >= $a.cy - $a.ry - 0.045 AND g.lat <= $a.cy + $a.ry
+           | AND ${GeoFunctions.rayCastMultiSql("g.lng", "g.lat", Seq(ring1(a), ring2(a)))}""".stripMargin
+      }
+      s"""WITH g AS (SELECT event_id, ${cartoLngSql(e)} AS lng, ${cartoLatSql(e)} AS lat FROM events),
+         |${ctes.mkString(",\n")}
+         |SELECT g.event_id, ${ZoneTypes.zipWithIndex.map { case (zt, i) => s"z$i.$zt" }.mkString(", ")}
+         |FROM g
+         |${joins.mkString("\n")}
          |ORDER BY g.event_id""".stripMargin
     },
     "etl_intersection_crashcount" ->

@@ -51,8 +51,23 @@ object GeoFunctions {
     inside
   }
 
+  /** Multipolygon containment: even-odd ray cast OR'd over rings — the
+    * actual geometry PostGIS ST_Within evaluates for the reference's zone
+    * dims (boroughs are multipolygons: islands). `rings` is an
+    * array<array<double>> of flat vertex arrays. */
+  def pointInMultiPolygon(x: Double, y: Double, rings: org.apache.spark.sql.catalyst.util.ArrayData): Boolean = {
+    val n = rings.numElements()
+    var i = 0
+    while (i < n) {
+      if (pointInPolygon(x, y, rings.getArray(i))) return true
+      i += 1
+    }
+    false
+  }
+
   private val fnName = "haversine_m"
   private val pipName = "point_in_polygon"
+  private val pimpName = "point_in_multipolygon"
 
   /** Idempotently register custom expressions with a session so they can be
     * used via call_function / SQL. */
@@ -67,7 +82,31 @@ object GeoFunctions {
       },
       "built-in")
     registry.createOrReplaceTempFunction(pipName, buildPointInPolygon, "built-in")
+    registry.createOrReplaceTempFunction(pimpName, buildPointInMultiPolygon, "built-in")
   }
+
+  /** Builder for the multipolygon variant (x, y, array<array<double>>). */
+  val buildPointInMultiPolygon: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 3, s"$pimpName(x, y, rings)")
+    def d(e: Expression) = if (e.dataType == DoubleType) e else Cast(e, DoubleType)
+    val ringsT = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false), containsNull = false)
+    val p = exprs(2).dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ArrayType(DoubleType, _), _) => exprs(2)
+      case _ => Cast(exprs(2), ringsT)
+    }
+    PointInMultiPolygon(d(exprs(0)), d(exprs(1)), p)
+  }
+
+  /** Column API for multipolygon containment (requires register(spark)).
+    * `rings` is array<array<double>> of flat [x0,y0,...] vertex arrays. */
+  def pointInMultiPoly(x: Column, y: Column, rings: Column): Column =
+    call_function(pimpName, x, y, rings)
+
+  /** DuckDB SQL fragment for the multipolygon test: the per-ring even-odd
+    * ray cast OR'd, generated from the same vertex lists as the plan. */
+  def rayCastMultiSql(x: String, y: String, rings: Seq[Seq[(String, String)]]): String =
+    rings.map(rayCastSql(x, y, _)).mkString("(", " OR ", ")")
 
   /** Builder with numeric coercion (SQL integer/decimal literals → double). */
   val buildPointInPolygon: Seq[Expression] => Expression = { exprs =>
@@ -144,6 +183,37 @@ case class HaversineMeters(first: Expression, second: Expression, third: Express
       newFirst: Expression, newSecond: Expression,
       newThird: Expression, newFourth: Expression): Expression =
     copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
+}
+
+/** Multipolygon (multi-ring) containment: the even-odd ray cast OR'd over
+  * an array<array<double>> of flat vertex rings — ST_Within against the
+  * reference's multipolygon zone dims (main.py:408-533; NYC boroughs have
+  * island rings). Same static-scalar codegen pattern as PointInPolygon. */
+case class PointInMultiPolygon(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "point_in_multipolygon"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (DoubleType, DoubleType,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs (double, double, array<array<double>>), got $t")
+    }
+
+  override protected def nullSafeEval(x: Any, y: Any, rings: Any): Any =
+    GeoFunctions.pointInMultiPolygon(
+      x.asInstanceOf[Double], y.asInstanceOf[Double],
+      rings.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y, p) => s"graft.geo.GeoFunctions.pointInMultiPolygon($x, $y, $p)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** Even-odd ray-cast containment of point (x, y) in a polygon given as a

@@ -70,6 +70,15 @@ class PlanSpec extends AnyFunSuite {
       "fact scan should read only event_id (coords are derived)")
   }
 
+  test("zone_multi assigns all 8 zone dims on one fact scan, zero fact shuffles") {
+    val p = plan("etl_zone_multi")
+    assert(scanCount(p, "events") == 1, "one fact scan feeds all 8 zone joins")
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 8,
+      "8 broadcast containment joins, one per zone dim")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "the fact side must never hash-shuffle")
+  }
+
   test("intersection crash counts broadcast the intersections dim") {
     val p = plan("etl_intersection_crashcount")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))

@@ -63,6 +63,40 @@ class GeoFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("multipolygon containment: OR over rings, scalar and expression agree") {
+    GeoFunctions.register(spark)
+    def mk(xs: Seq[Double]) = new org.apache.spark.sql.catalyst.util.GenericArrayData(xs.toArray)
+    def mkRings(rs: Seq[Seq[Double]]) =
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(rs.map(mk).toArray[Any])
+    // two disjoint unit squares: (0,0)-(1,1) and (2,0)-(3,1)
+    val r1 = Seq(1.0, 0.0, 1.0, 1.0, 0.0, 1.0, 0.0, 0.0)
+    val r2 = Seq(3.0, 0.0, 3.0, 1.0, 2.0, 1.0, 2.0, 0.0)
+    val rings = mkRings(Seq(r1, r2))
+    assert(GeoFunctions.pointInMultiPolygon(0.5, 0.5, rings), "main ring hit")
+    assert(GeoFunctions.pointInMultiPolygon(2.5, 0.5, rings), "satellite ring hit")
+    assert(!GeoFunctions.pointInMultiPolygon(1.5, 0.5, rings), "gap between rings")
+    assert(!GeoFunctions.pointInMultiPolygon(3.5, 0.5, rings))
+    assert(!GeoFunctions.pointInMultiPolygon(0.5, 0.5, mkRings(Nil)), "empty multipolygon")
+    // expression path (codegen) agrees with the static scalar on a grid
+    val ringsCol = array(array(r1.map(lit): _*), array(r2.map(lit): _*))
+    val pts = (0 until 400).map(i => (i % 20 * 0.21 - 0.2, i / 20 * 0.11 - 0.2))
+    pts.toDF("x", "y")
+      .select(col("x"), col("y"), GeoFunctions.pointInMultiPoly(col("x"), col("y"), ringsCol))
+      .collect().foreach { r =>
+        assert(r.getBoolean(2) ==
+          GeoFunctions.pointInMultiPolygon(r.getDouble(0), r.getDouble(1), rings),
+          s"(${r.getDouble(0)}, ${r.getDouble(1)})")
+      }
+  }
+
+  test("zone_multi assigns via satellite rings too (multipolygon semantics live)") {
+    val df = graft.etl.EtlQueries.zoneMulti(spark, graft.TestSpark.sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // at least one event must land in some zone across the 8 dims
+    assert(rows.exists(r => (1 to 8).exists(!r.isNullAt(_))))
+  }
+
   test("zone-polygon query: broadcast + ray-cast, fact side never shuffles") {
     val p = graft.etl.EtlQueries.zonePolygon(spark, graft.TestSpark.sf)
       .queryExecution.executedPlan.toString
