@@ -18,11 +18,21 @@ object Bench {
     // window/broadcast machinery) by running every selected query once on
     // the smallest sf, so per-query numbers reflect steady-state engine
     // throughput — the quantity that actually scales to 100 TB — not
-    // first-use JVM compilation costs.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    selected.foreach { case (_, fn) =>
-      try { fn(spark, "/root/testdata/sf0.001").count(); () }
-      catch { case _: Throwable => () }
+    // first-use JVM compilation costs. The warmup dir is the sf0.001
+    // SIBLING of the configured data dir (not a hardcoded path), and
+    // warmup failures are logged, not swallowed — a silently no-op'd
+    // warmup would regress every timing to cold-plan numbers.
+    val warmDir = {
+      val sib = Option(java.nio.file.Paths.get(sfDir).toAbsolutePath.getParent)
+        .map(_.resolve("sf0.001"))
+      sib.filter(p => java.nio.file.Files.isDirectory(p)).map(_.toString).getOrElse(sfDir)
+    }
+    try SparkEntry.entry(spark).count() catch {
+      case e: Throwable => System.err.println(s"[bench] entry warmup failed: $e")
+    }
+    selected.foreach { case (name, fn) =>
+      try { fn(spark, warmDir).count(); () }
+      catch { case e: Throwable => System.err.println(s"[bench] warmup $name failed: $e") }
     }
     // Two temporally-separated timing passes, per-query minimum: the box
     // shows multi-x co-tenant CPU bursts lasting seconds-to-minutes, and

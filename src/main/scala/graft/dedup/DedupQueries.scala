@@ -54,8 +54,14 @@ object DedupQueries {
     val candidates = a.join(b, Seq("lang", "lb", "band", "hval"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    val shA = d.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
-    val shB = d.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    // broadcast-semi prune: only candidate docs' shingle sets are fetched
+    // into the verify joins — the corpus-wide shingle table never shuffles
+    val candIds = candidates.select(col("a_id").as("doc_id"))
+      .union(candidates.select(col("b_id").as("doc_id"))).distinct()
+    val pruned = d.select(col("doc_id"), col("sh"))
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    val shA = pruned.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val shB = pruned.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
     candidates.join(shA, "a_id").join(shB, "b_id")
       .withColumn("jaccard",
         round(graft.functions.HashExprs.jaccardSim(col("a_sh"), col("b_sh")), 4))

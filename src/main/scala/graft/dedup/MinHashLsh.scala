@@ -46,8 +46,16 @@ object MinHashLsh {
     val candidates = a.join(b, Seq("band", "bkey"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    val shA = docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
-    val shB = docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    // verify-side prune: broadcast the candidate id set and semi-join it
+    // against the shingle table BEFORE the pair joins, so non-candidate
+    // docs' shingle sets never shuffle (ids are 8 bytes — broadcastable
+    // even when the pair list is large; past that, drop the hint and it
+    // degrades to an id-only shuffle semi-join, still never the sets)
+    val candIds = candidates.select(col("a_id").as("doc_id"))
+      .union(candidates.select(col("b_id").as("doc_id"))).distinct()
+    val pruned = docs.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    val shA = pruned.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val shB = pruned.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
     candidates.join(shA, "a_id").join(shB, "b_id")
       .withColumn("jaccard",
         round(graft.functions.HashExprs.jaccardSim(col("a_sh"), col("b_sh")), 4))

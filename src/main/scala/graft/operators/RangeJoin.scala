@@ -32,12 +32,16 @@ object RangeJoin {
 
     val cellRange = (lo: String, hi: String) => {
       val start = floor(col(lo) / cellDeg).cast("long")
-      // upper bound is exclusive; a box ending exactly on a cell edge
-      // still covers the cell below the edge only. A sliver box narrower
-      // than the 1e-12 nudge that straddles a cell edge would make
-      // stop < start — clamp: any non-degenerate box covers at least
-      // the cell containing its lower corner.
-      val stop = floor((col(hi) - lit(1e-12)) / cellDeg).cast("long")
+      // Emit cells [floor(lo/c), floor(hi/c)] — a PROVABLE superset of the
+      // cells any matching point can occupy: p < hi ⇒ floor(p/c) ≤
+      // floor(hi/c) (IEEE division is monotone), and p ≥ lo ⇒ floor(p/c) ≥
+      // floor(lo/c). A box ending exactly on a cell edge emits one cell
+      // whose candidates all fail the exact `< hi` recheck — one empty
+      // candidate bucket per box axis, never a miss. (An earlier 1e-12
+      // nudge tried to skip that cell but silently MISSED points whose
+      // coordinate fell between the edge and a straddling hi — exactness
+      // beats saving one cell.)
+      val stop = floor(col(hi) / cellDeg).cast("long")
       sequence(start, greatest(start, stop))
     }
 

@@ -16,9 +16,17 @@ object SkewTools {
 
   /** Two-phase (salted) aggregation: partial aggregate on (key, salt), then
     * final aggregate on key. Correct for any commutative, associative agg
-    * that decomposes (sum/count/min/max — pass the partial→final pairs). */
-  def saltedSum(df: DataFrame, key: Column, value: Column, buckets: Int): DataFrame =
-    df.select(key.as("k"), value.as("v"), pmod(xxhash64(value), lit(buckets)).as("_salt"))
+    * that decomposes (sum/count/min/max — pass the partial→final pairs).
+    *
+    * The salt must come from a guaranteed-diverse source: hashing the VALUE
+    * collapses to one bucket when a hot key carries one constant value
+    * (the skew returns exactly where it hurts). Default is a per-row id —
+    * diverse by construction on any data; the salt only routes partials, so
+    * the RESULT is identical regardless of cluster size or partition
+    * layout. Callers with a known-diverse column can pass it instead. */
+  def saltedSum(df: DataFrame, key: Column, value: Column, buckets: Int,
+      spreadBy: Column = monotonically_increasing_id()): DataFrame =
+    df.select(key.as("k"), value.as("v"), pmod(xxhash64(spreadBy), lit(buckets)).as("_salt"))
       .groupBy(col("k"), col("_salt"))
       .agg(sum(col("v")).as("_partial"), count(lit(1)).as("_pn"))
       .groupBy(col("k"))

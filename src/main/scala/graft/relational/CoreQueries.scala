@@ -199,7 +199,8 @@ object CoreQueries {
     val id = col("event_id")
     val skewKey = when(id % 2 === 0, lit(0L)).otherwise(id % 97)
     graft.operators.SkewTools
-      .saltedSum(Tables.events(s, dir), skewKey, col("value"), buckets = 16)
+      .saltedSum(Tables.events(s, dir), skewKey, col("value"), buckets = 16,
+        spreadBy = id)
       .select(col("k"), round(col("sum_v"), 2).as("sum_v"), col("n"))
       .orderBy(col("k"))
   }

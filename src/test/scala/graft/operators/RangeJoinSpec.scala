@@ -55,6 +55,19 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("sliver box straddling a cell edge catches points between edge and hi") {
+    import spark.implicits._
+    // cellDeg = 0.05; box hi sits 1e-13 above the 0.05 cell edge; the point
+    // at exactly 0.05 is in [west, east) but hashes to the NEXT cell — the
+    // nudge-based upper bound missed it (ADVICE r2)
+    val pts = Seq((1L, 0.05, 0.01), (2L, 0.0500000000002, 0.01)).toDF("pid", "lng", "lat")
+    val boxes = Seq(("straddle", 0.0499999, 0.0500000000001, 0.0, 0.1))
+      .toDF("name", "west", "east", "south", "north")
+    val got = RangeJoin.pointInBox(pts, boxes, "lng", "lat")
+      .select("pid").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L), s"point at the edge must match the straddling sliver, got $got")
+  }
+
   test("degenerate boxes (hi <= lo) yield empty results, not a runtime error") {
     import spark.implicits._
     val pts = Seq((1L, 0.5, 0.5)).toDF("pid", "lng", "lat")

@@ -21,6 +21,26 @@ class SkewToolsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("salt spreads even when the hot key carries one constant value") {
+    // hashing the VALUE would land every hot-key row in one salt bucket;
+    // the row-id salt must spread them regardless
+    val hot = (0L until 10000L).map(_ => ("hot", 1.0)) ++ Seq(("cold", 2.0))
+    val df = hot.toDF("k", "v")
+    val res = SkewTools.saltedSum(df, col("k"), col("v"), buckets = 8)
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(res("hot") == ((10000.0, 10000L)) && res("cold") == ((2.0, 1L)))
+    // measure the spread directly: partials per (k, salt) with the default salt
+    val spread = df
+      .select(col("k"), pmod(xxhash64(monotonically_increasing_id()), lit(8)).as("_salt"))
+      .filter(col("k") === "hot")
+      .groupBy(col("_salt")).count().collect()
+    assert(spread.length >= 4, s"constant-value hot key must still use several salts, got ${spread.length}")
+    // the old value-hash salt demonstrably collapses (regression guard on intent)
+    val collapsed = df.select(pmod(xxhash64(col("v")), lit(8)).as("_salt"))
+      .filter(col("_salt").isNotNull).distinct().count()
+    assert(collapsed <= 2, "value-hash salt on constant values collapses — which is why it is not used")
+  }
+
   test("salted join equals plain join and actually spreads the hot key") {
     val ev = Tables.events(spark, sf).select(col("event_id"), col("event_type"))
     val dim = Seq(("click", 1.0), ("view", 0.5), ("purchase", 5.0), ("signup", 2.0), ("error", 0.1))
