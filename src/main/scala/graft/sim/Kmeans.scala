@@ -27,7 +27,16 @@ import graft.dedup.DedupQueries.{cosine, cosineSql}
   */
 object Kmeans {
 
-  val K = 8
+  /** K scales with corpus size — the SemDeDup paper's own answer to the
+    * per-cluster quadratic term (arXiv:2303.09540 uses ~100k clusters over
+    * ~1e9 embeddings): √(n/8)-style, floored at the small-corpus K. With K
+    * ∝ √n the expected within-cluster pair count Σ(n/K)²·K = n²/K grows
+    * only ~n^1.5, not n². At the driver's verify corpus (500 vectors) this
+    * is exactly `OracleK` — the constant the static DuckDB oracle replays
+    * (the oracle SQL cannot count rows, so it pins the verify-SF value). */
+  def kFor(n: Long): Int = math.max(OracleK, math.ceil(math.sqrt(n / 8.0)).toInt)
+
+  val OracleK = 8
   val Iters = 2
   val Dim = 64
 
@@ -53,10 +62,11 @@ object Kmeans {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
 
-    val init = e.filter(col("vec_id") < K)
+    val k = kFor(e.count())
+    val init = e.filter(col("vec_id") < k)
       .select(col("vec_id"), col("emb")).collect()
       .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
-    require(init.length == K, s"expected $K init vectors with vec_id < $K")
+    require(init.length == k, s"expected $k init vectors with vec_id < $k")
 
     var cents = init
     for (_ <- 1 to iters) {
@@ -102,7 +112,7 @@ object Kmeans {
   private[graft] def chainSql: String = {
     val iters = (1 to Iters).map(n => iterSql(n, s"c${n - 1}")).mkString(",\n")
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-       |c0 AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < $K),
+       |c0 AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < $OracleK),
        |$iters,
        |asgn AS (
        | SELECT vec_id, c_id AS cluster, emb, c_emb FROM (

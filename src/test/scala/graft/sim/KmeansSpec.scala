@@ -13,7 +13,7 @@ class KmeansSpec extends AnyFunSuite {
     val b = Kmeans.embKmeans(spark, sf).collect()
     assert(a.length == graft.Tables.embeddings(spark, sf).count())
     assert(a.forall { r =>
-      val c = r.getLong(1); c >= 0 && c < Kmeans.K
+      val c = r.getLong(1); c >= 0 && c < Kmeans.kFor(a.length)
     })
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq, "must be run-to-run deterministic")
     assert(a.map(_.getLong(1)).distinct.length > 1, "more than one cluster must survive")
@@ -35,6 +35,40 @@ class KmeansSpec extends AnyFunSuite {
     val dropped = rows.count(!_.getBoolean(2))
     assert(dropped > 0, "the corpus has planted near-dups; some must be dropped")
     assert(dropped < rows.length / 2, "dropping half the corpus would mean a broken threshold")
+  }
+
+  test("K scales with corpus size: √n growth, oracle pin at the verify SF") {
+    // the static DuckDB oracle replays K=OracleK; the driver verifies at a
+    // 500-vector corpus, where the formula must land exactly there
+    assert(Kmeans.kFor(500) == Kmeans.OracleK)
+    assert(AnnIvf.cellsFor(500) == AnnIvf.OracleCells)
+    // √n scaling: 100× the corpus ≈ 10× the clusters (within rounding)
+    assert(Kmeans.kFor(2000) == 16)
+    assert(Kmeans.kFor(50000) == 80)
+    assert(Kmeans.kFor(5000000) == 791)
+    assert(AnnIvf.cellsFor(2000) == 32)
+    assert(AnnIvf.cellsFor(200000) == 317)
+    // monotone
+    val ks = Seq(500L, 5000L, 50000L, 500000L).map(Kmeans.kFor)
+    assert(ks == ks.sorted && ks.distinct == ks)
+  }
+
+  test("per-cluster pair mass stays bounded as the corpus grows (two SFs)") {
+    // Σ cᵢ² is the within-cluster pair work SemDeDup does; with K ∝ √n it
+    // must grow far slower than n². Compare the 500-vector and 2000-vector
+    // corpora: pair mass may grow ~n^1.5, i.e. ≤ 8× here, not 16× (=n²).
+    def pairMass(dir: String): (Long, Long) = {
+      val sizes = Kmeans.assignments(spark, dir)
+        .groupBy("cluster").count().collect().map(_.getLong(1))
+      (sizes.sum, sizes.map(c => c * c).sum)
+    }
+    val (n1, m1) = pairMass("/root/testdata/sf0.001")
+    val (n2, m2) = pairMass("/root/testdata/sf0.1")
+    assert(n1 == 500 && n2 == 2000)
+    val quadratic = (n2.toDouble / n1) * (n2.toDouble / n1) // 16×
+    val actual = m2.toDouble / m1
+    assert(actual < quadratic * 0.75,
+      s"pair mass must scale sub-quadratically: grew ${actual}× vs quadratic ${quadratic}×")
   }
 
   test("assignment is map-side: no join anywhere in the final plan") {
