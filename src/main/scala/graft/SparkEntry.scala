@@ -21,7 +21,8 @@ object SparkEntry {
       sim.VectorOps.queries ++ sim.Kmeans.queries ++
       multimodal.MultimodalQueries.queries ++ streaming.StreamQueries.queries ++
       streaming.StreamDedup.queries ++ timeseries.TsQueries.queries ++
-      stats.SketchQueries.queries ++ analytics.FunnelQueries.queries
+      stats.SketchQueries.queries ++ stats.HeavyHitters.queries ++
+      analytics.FunnelQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       multimodal.MultimodalQueries.oracles ++
       sim.VectorOps.oracles ++ streaming.StreamQueries.oracles ++
       streaming.StreamDedup.oracles ++ timeseries.TsQueries.oracles ++
-      stats.SketchQueries.oracles ++ analytics.FunnelQueries.oracles
+      stats.SketchQueries.oracles ++ stats.HeavyHitters.oracles ++
+      analytics.FunnelQueries.oracles
 }

@@ -39,6 +39,34 @@ object EtlQueries {
       .orderBy(id)
   }
 
+  /** #6b Bloom-prefiltered incremental ingest — the 100 TB shape of #6's
+    * anti-join dedup (`WHERE socrata_id NOT IN (...)`, main.py:368-371).
+    * The existing-keys side (window-pruned, like #6) is sketched into a
+    * Bloom filter ONCE (distributed build: per-partition sketches merged,
+    * `df.stat.bloomFilter`) and probed map-side inside whole-stage codegen:
+    * rows the filter rejects are PROVABLY new (no false negatives) and
+    * bypass the join entirely; only the maybe-present sliver (~dups +
+    * fpp·batch) reaches the exact anti-join. Results are bit-identical to
+    * the plain anti-join — the oracle IS #6's NOT EXISTS — but the join's
+    * probe side shrinks from the full batch to the sliver, which is how a
+    * daily feed dedups against a warehouse without shuffling the feed. */
+  def ingestBloom(s: SparkSession, dir: String): DataFrame = {
+    val id = col("event_id")
+    val existing = Tables.eventsSince(s, dir, IngestCutoff)
+      .filter(inCarto(col("event_id")))
+      .select("event_id")
+    val bloom = existing.stat.bloomFilter("event_id", 100000L, 0.01)
+    val probe = graft.functions.BloomExprs.mightContainLong(bloom, id)
+    val incoming = Tables.eventsSince(s, dir, IngestCutoff)
+      .select(id, col("ts"), col("event_type"))
+    val definitelyNew = incoming.filter(!probe)
+    val confirmedNew = incoming.filter(probe)
+      .join(existing, Seq("event_id"), "left_anti")
+    definitelyNew.unionByName(confirmedNew)
+      .select(id, col("ts"), col("event_type"))
+      .orderBy(id)
+  }
+
   /** #7 Record normalization (main.py:185-298): timestamp-derived fields,
     * JSON prop extraction, derived totals, geometry presence. */
   def normalize(s: SparkSession, dir: String): DataFrame = {
@@ -632,6 +660,7 @@ object EtlQueries {
     "etl_crosswalk_audit"         -> (crosswalkAudit _),
     "etl_dow_heatmap"             -> (dowHourHeatmap _),
     "etl_ingest_dedup"            -> (ingestDedup _),
+    "etl_ingest_bloom"            -> (ingestBloom _),
     "etl_normalize"               -> (normalize _),
     "etl_array_parse"             -> (arrayParse _),
     "etl_geo_bbox"                -> (geoBbox _),
@@ -775,6 +804,14 @@ object EtlQueries {
          | ${mkSql(e)} AS mk, ${miSql(e)} AS mi, ${ckSql(e)} AS ck, ${ciSql(e)} AS ci,
          | ${pkSql(e)} AS pk, ${piSql(e)} AS pi, ${tkSql(e)} AS tk, ${tiSql(e)} AS ti,
          | ${sodaLngSql(e)} AS lng, ${sodaLatSql(e)} AS lat
+         |FROM events
+         |WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+         | AND NOT EXISTS (SELECT 1 FROM events x
+         |   WHERE x.event_id % 10 != 3 AND x.ts >= TIMESTAMP '2024-01-25 00:00:00'
+         |     AND x.event_id = events.event_id)
+         |ORDER BY event_id""".stripMargin,
+    "etl_ingest_bloom" ->
+      s"""SELECT event_id, ts, event_type
          |FROM events
          |WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
          | AND NOT EXISTS (SELECT 1 FROM events x

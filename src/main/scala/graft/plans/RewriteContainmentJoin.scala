@@ -29,7 +29,6 @@ object RewriteContainmentJoin extends Rule[LogicalPlan] with PredicateHelper {
   val ConfKey = "spark.graft.rewriteContainmentJoin"
   val CellDeg = 0.05
   private val CellStride = 100000L
-  private val Eps = 1e-12
 
   def install(spark: SparkSession): Unit =
     if (!spark.experimental.extraOptimizations.contains(this)) {
@@ -82,7 +81,12 @@ object RewriteContainmentJoin extends Rule[LogicalPlan] with PredicateHelper {
 
   private def cellSeq(lo: Expression, hi: Expression): Expression = {
     val start = cellIdx(lo)
-    val stop = Floor(Divide(Subtract(hi, Literal(Eps)), Literal(CellDeg)))
+    // [floor(lo/c), floor(hi/c)] is a PROVABLE superset of the cells any
+    // matching point occupies (IEEE division is monotone; the residual
+    // predicate rechecks exactly) — the earlier 1e-12 nudge silently
+    // missed points between a cell edge and a straddling hi (ADVICE r2,
+    // same fix as operators/RangeJoin)
+    val stop = Floor(Divide(hi, Literal(CellDeg)))
     val seq = new Sequence(start, stop, Some(Literal(1L)))
       // Sequence is TimeZoneAwareExpression: without an explicit zone the
       // plan flips back to unresolved after this rule runs

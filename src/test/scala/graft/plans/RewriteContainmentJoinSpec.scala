@@ -72,6 +72,25 @@ class RewriteContainmentJoinSpec extends AnyFunSuite {
     } finally spark.conf.set(RewriteContainmentJoin.ConfKey, "false")
   }
 
+  test("rule catches points between a cell edge and a straddling sliver hi") {
+    RewriteContainmentJoin.install(spark)
+    spark.conf.set(RewriteContainmentJoin.ConfKey, "true")
+    try {
+      import spark.implicits._
+      // cell edge at 0.05 (CellDeg grid); box hi sits 1e-13 above it — the
+      // point at exactly 0.05 is in [w, e) but lives in the NEXT cell
+      val pts = Seq((1L, 0.05, 0.01), (2L, 0.0500000000002, 0.01)).toDF("pid", "x", "y")
+      val boxes = Seq(("straddle", 0.0499999, 0.0500000000001, 0.0, 0.1))
+        .toDF("name", "w", "e", "s", "n")
+      val joined = pts.join(boxes,
+        col("x") >= col("w") && col("x") < col("e") &&
+          col("y") >= col("s") && col("y") < col("n"))
+      assert(joined.queryExecution.executedPlan.toString.contains("_gcell"))
+      val got = joined.select("pid").collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L), s"edge point must match the straddling sliver, got $got")
+    } finally spark.conf.set(RewriteContainmentJoin.ConfKey, "false")
+  }
+
   test("rule handles degenerate boxes (hi <= lo) as empty, not an error") {
     RewriteContainmentJoin.install(spark)
     spark.conf.set(RewriteContainmentJoin.ConfKey, "true")

@@ -1,0 +1,48 @@
+package graft.stats
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+class HeavyHittersSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+  private val sf = TestSpark.sf
+
+  test("MG sketch survives eviction pressure: vocab >> m, heavies all kept") {
+    // 30 heavy terms × 2000 occurrences + 50k singleton junk terms; m=256
+    // forces constant decrement rounds AND merge-side trims. Guarantee:
+    // freq 2000 > n/(m+1) = 110000/257 ≈ 428 → every heavy must survive.
+    val stream = (0 until 30).flatMap(i => Seq.fill(2000)(s"hh_$i")) ++
+      (0 until 50000).map(i => s"junk_$i")
+    // deterministic interleave so heavies and junk mix across partitions
+    val shuffled = stream.zipWithIndex
+      .sortBy { case (_, i) => (i * 2654435761L) % 1048576 }.map(_._1)
+    val got = spark.createDataset(shuffled).repartition(8)
+      .select(new HeavyHitters.MisraGries(256).toColumn).head()
+    assert(got.length <= 256, s"summary must stay bounded, got ${got.length}")
+    (0 until 30).foreach { i =>
+      assert(got.contains(s"hh_$i"), s"heavy hitter hh_$i evicted — guarantee broken")
+    }
+  }
+
+  test("sketch-pruned heavy hitters equal the exact vocabulary-wide top-k") {
+    val exact = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(HeavyHitters.TopK)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val got = HeavyHitters.heavyHitters(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == exact)
+    assert(got.nonEmpty)
+  }
+
+  test("phase 2 is a broadcast-semi prune, not a vocabulary shuffle-and-rank") {
+    val p = HeavyHitters.heavyHitters(spark, sf).queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), "candidate prune must be a semi join")
+    assert(p.contains("BroadcastHashJoin"), "candidates must broadcast")
+  }
+}
