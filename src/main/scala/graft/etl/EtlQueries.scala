@@ -55,7 +55,12 @@ object EtlQueries {
     val existing = Tables.eventsSince(s, dir, IngestCutoff)
       .filter(inCarto(col("event_id")))
       .select("event_id")
-    val bloom = existing.stat.bloomFilter("event_id", 100000L, 0.01)
+    // stat.bloomFilter NPEs on a 0-row frame (its aggregate yields null
+    // bytes); an empty filter (rejects everything → all rows definitely
+    // new) is the correct degenerate sketch
+    val bloom =
+      if (existing.isEmpty) org.apache.spark.util.sketch.BloomFilter.create(1L, 0.01)
+      else existing.stat.bloomFilter("event_id", 100000L, 0.01)
     val probe = graft.functions.BloomExprs.mightContainLong(bloom, id)
     val incoming = Tables.eventsSince(s, dir, IngestCutoff)
       .select(id, col("ts"), col("event_type"))

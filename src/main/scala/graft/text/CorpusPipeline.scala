@@ -95,4 +95,21 @@ object CorpusPipeline {
       .join(survivors, "doc_id")
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
+
+  /** Both products in ONE job: `cleaned` (including its iterative cluster
+    * machinery) runs once and is checkpointed; both consumers read the
+    * materialized survivors. This is the seam a combined nightly build
+    * uses — invoked separately the products recompute instead (stateless
+    * by default; at warehouse scale the checkpoint becomes a parquet
+    * staging table). */
+  def buildBoth(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val c = cleaned(s, dir).localCheckpoint(true)
+    val packed = TextQueries.packSpans(c, "n_words")
+      .drop("end_pos")
+      .orderBy("doc_id")
+    val retrieval = TextQueries.chunk(s, dir)
+      .join(c.select("doc_id"), "doc_id")
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    (packed, retrieval)
+  }
 }

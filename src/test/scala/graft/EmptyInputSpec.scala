@@ -30,7 +30,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "text_chunk", "dedup_spans", "etl_scd2", "q11_funnel", "q12_retention",
     "ts_resample", "ts_moving_avg", "etl_pivot", "etl_backlog_check",
     "text_pack", "text_ngram_freq", "etl_zorder", "stats_histogram",
-    "q14_skew_agg", "emb_project", "emb_normalize", "q10_cube", "text_bpe_vocab")
+    "q14_skew_agg", "emb_project", "emb_normalize", "q10_cube", "text_bpe_vocab",
+    "etl_zone_multi", "etl_ingest_bloom", "stats_heavy_hitters")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {

@@ -26,6 +26,16 @@ class CorpusPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("buildBoth (shared cleaned stage) matches the separately-built products") {
+    val (packed, retrieval) = CorpusPipeline.buildBoth(spark, sf)
+    val packedSep = CorpusPipeline.build(spark, sf)
+    assert(packed.collect().map(_.toString).toSeq ==
+      packedSep.collect().map(_.toString).toSeq)
+    val retrievalSep = CorpusPipeline.buildRetrievalIndex(spark, sf)
+    assert(retrieval.collect().map(_.toString).toSeq ==
+      retrievalSep.collect().map(_.toString).toSeq)
+  }
+
   test("corpus build composes the verified stages with the expected cuts") {
     val corpus = CorpusPipeline.build(spark, sf).cache()
     try {
