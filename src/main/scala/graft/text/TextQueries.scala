@@ -288,6 +288,48 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
+  /** #27f Domain-mix report — the per-source mixing table of a corpus
+    * build (the Pile/Dolma-style step that decides how much of each domain
+    * enters the mix): per-source doc/token counts, token share, and the
+    * keep-rate a uniform 5% domain cap implies. One map-side token count,
+    * one |sources|-key agg, a one-row broadcast total — the corpus is
+    * touched once at any scale. */
+  val DomainCapShare = 0.05
+
+  def domainMix(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(s, dir)
+      .select(col("source"), size(words(col("text"))).cast("long").as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("total_tokens"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("token_share",
+        round(col("n_tokens").cast("double") / col("total_tokens"), 4))
+      .withColumn("keep_rate",
+        round(least(lit(1.0),
+          lit(DomainCapShare) / (col("n_tokens").cast("double") / col("total_tokens"))), 4))
+      .select("source", "n_docs", "n_tokens", "token_share", "keep_rate")
+      .orderBy(col("source"))
+  }
+
+  /** #27g Markup stripping — the boilerplate-removal pass every web-scrape
+    * corpus runs before quality scoring. The raw feed is synthesized
+    * in-query (deterministic tag wrapper over the document text, the Synth
+    * convention), then stripped: tags → space, whitespace collapsed,
+    * trimmed. Pure map-side regexp projection — codegen'd, no shuffle. */
+  def htmlStrip(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(
+      lit("<html><body><div class=\"main\"><p>"), col("text"),
+      lit("</p></div><br/><span>footer</span></body></html>"))
+    val stripped = trim(regexp_replace(regexp_replace(raw, "<[^>]+>", " "), "\\s+", " "))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        length(raw).cast("long").as("n_chars_raw"),
+        length(stripped).cast("long").as("n_chars_clean"),
+        md5(stripped).as("clean_digest"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_length_stats" -> (lengthStats _),
     "text_pack"         -> (pack _),
@@ -297,6 +339,8 @@ object TextQueries {
     "sample_temperature" -> (sampleTemperature _),
     "text_ngram_freq"  -> (ngramFreq _),
     "text_langid"      -> (langid _),
+    "text_domain_mix"  -> (domainMix _),
+    "text_html_strip"  -> (htmlStrip _),
     "text_quality"     -> (quality _),
     "text_repetition"  -> (repetition _),
     "text_keyterms"    -> (keyterms _),
@@ -307,6 +351,26 @@ object TextQueries {
   private val w = "regexp_split_to_array(text, '\\s+')"
 
   val oracles: Map[String, String] = Map(
+    "text_domain_mix" ->
+      s"""WITH d AS (SELECT source, len($w)::BIGINT AS nt FROM documents),
+         |p AS (SELECT source, count(*) AS n_docs, sum(nt)::BIGINT AS n_tokens
+         | FROM d GROUP BY source),
+         |t AS (SELECT sum(n_tokens)::BIGINT AS total_tokens FROM p)
+         |SELECT source, n_docs, n_tokens,
+         | round(n_tokens::DOUBLE / total_tokens, 4) AS token_share,
+         | round(least(1.0::DOUBLE,
+         |   $DomainCapShare::DOUBLE / (n_tokens::DOUBLE / total_tokens)), 4) AS keep_rate
+         |FROM p, t ORDER BY source""".stripMargin,
+    "text_html_strip" -> {
+      val raw = "('<html><body><div class=\"main\"><p>' || text || " +
+        "'</p></div><br/><span>footer</span></body></html>')"
+      val stripped = s"trim(regexp_replace(regexp_replace($raw, '<[^>]+>', ' ', 'g'), '\\s+', ' ', 'g'))"
+      s"""SELECT doc_id,
+         | len($raw)::BIGINT AS n_chars_raw,
+         | len($stripped)::BIGINT AS n_chars_clean,
+         | md5($stripped) AS clean_digest
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "text_length_stats" ->
       s"""SELECT lang, count(*) AS n_docs,
          | min(len($w))::BIGINT AS min_words, max(len($w))::BIGINT AS max_words,

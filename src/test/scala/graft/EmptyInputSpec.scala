@@ -31,7 +31,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "ts_resample", "ts_moving_avg", "etl_pivot", "etl_backlog_check",
     "text_pack", "text_ngram_freq", "etl_zorder", "stats_histogram",
     "q14_skew_agg", "emb_project", "emb_normalize", "q10_cube", "text_bpe_vocab",
-    "etl_zone_multi", "etl_ingest_bloom", "stats_heavy_hitters")
+    "etl_zone_multi", "etl_ingest_bloom", "stats_heavy_hitters",
+    "text_domain_mix", "text_html_strip")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {
