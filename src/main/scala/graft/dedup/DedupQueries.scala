@@ -51,9 +51,11 @@ object DedupQueries {
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "hval"))
     val a = banded.select(col("doc_id").as("a_id"), col("lang"), col("lb"), col("band"), col("hval"))
     val b = banded.select(col("doc_id").as("b_id"), col("lang"), col("lb"), col("band"), col("hval"))
+    // persist: three consumers (two id-set union branches + the pair join)
+    // would otherwise each re-run the banded candidate join
     val candidates = a.join(b, Seq("lang", "lb", "band", "hval"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+      .select("a_id", "b_id").distinct().persist()
     // broadcast-semi prune: only candidate docs' shingle sets are fetched
     // into the verify joins — the corpus-wide shingle table never shuffles
     val candIds = candidates.select(col("a_id").as("doc_id"))
@@ -82,7 +84,10 @@ object DedupQueries {
     * monolingual 100 TB corpus; k-means cells grow with K, so the
     * per-cell pair count stays bounded and the cell id is derived from
     * content, available on any corpus. The oracle replays the identical
-    * Lloyd chain (`Kmeans.chainSql`) so both engines block identically. */
+    * Lloyd chain (`Kmeans.chainSql`) so both engines block identically.
+    * Inherits the kmeans determinism contract: init seeds are the first
+    * kFor(n) vectors, so vec_ids 0..k-1 must exist (the driver corpus
+    * guarantees dense ids; a sparse-id corpus would re-key first). */
   def embeddingCosine(s: SparkSession, dir: String): DataFrame = {
     graft.functions.HashExprs.register(s)
     val asgn = graft.sim.Kmeans.assignments(s, dir)

@@ -43,9 +43,13 @@ object MinHashLsh {
         xxhash64(col("band"), slice(col("sig"), col("band") * RowsPerBand + 1, lit(RowsPerBand))).as("bkey"))
     val a = banded.select(col("doc_id").as("a_id"), col("band"), col("bkey"))
     val b = banded.select(col("doc_id").as("b_id"), col("band"), col("bkey"))
+    // persist: the banded self-join is the dominant cost and the candidate
+    // list feeds THREE consumers (two id-set union branches + the pair
+    // join) — uncached, each would re-run the banding (at warehouse scale
+    // this cache is a parquet staging table)
     val candidates = a.join(b, Seq("band", "bkey"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+      .select("a_id", "b_id").distinct().persist()
     // verify-side prune: broadcast the candidate id set and semi-join it
     // against the shingle table BEFORE the pair joins, so non-candidate
     // docs' shingle sets never shuffle (ids are 8 bytes — broadcastable

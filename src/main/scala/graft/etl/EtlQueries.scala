@@ -55,13 +55,21 @@ object EtlQueries {
     val existing = Tables.eventsSince(s, dir, IngestCutoff)
       .filter(inCarto(col("event_id")))
       .select("event_id")
+    // capacity from the actual key count (a hardcoded capacity saturates at
+    // scale — fpp → 1 and the prefilter silently stops pruning); the count
+    // is one cheap agg over the already-window-pruned keys.
     // stat.bloomFilter NPEs on a 0-row frame (its aggregate yields null
     // bytes); an empty filter (rejects everything → all rows definitely
     // new) is the correct degenerate sketch
+    val nKeys = existing.count()
     val bloom =
-      if (existing.isEmpty) org.apache.spark.util.sketch.BloomFilter.create(1L, 0.01)
-      else existing.stat.bloomFilter("event_id", 100000L, 0.01)
-    val probe = graft.functions.BloomExprs.mightContainLong(bloom, id)
+      if (nKeys == 0) org.apache.spark.util.sketch.BloomFilter.create(1L, 0.01)
+      else existing.stat.bloomFilter("event_id", nKeys, 0.01)
+    // null keys probe to NULL; coalesce to false so they ride the
+    // definitely-new branch — exactly what the anti-join does (a null key
+    // matches nothing), keeping the bit-identical contract
+    val probe = coalesce(
+      graft.functions.BloomExprs.mightContainLong(bloom, id), lit(false))
     val incoming = Tables.eventsSince(s, dir, IngestCutoff)
       .select(id, col("ts"), col("event_type"))
     val definitelyNew = incoming.filter(!probe)

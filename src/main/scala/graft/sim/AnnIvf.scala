@@ -24,11 +24,14 @@ object AnnIvf {
 
   /** Cell count scales with corpus size (IVF's standard √n sizing — with
     * cells ∝ √n, per-probe candidate volume n·nprobe/cells grows ~√n, not
-    * n). At the driver's verify corpus (500 vectors) this is exactly
-    * `OracleCells`, the constant the static DuckDB oracle replays. */
-  def cellsFor(n: Long): Int = math.max(OracleCells, math.ceil(math.sqrt(n / 2.0)).toInt)
+    * n). The oracle replays the same formula via a scalar subquery, so
+    * both engines agree at every scale factor. */
+  def cellsFor(n: Long): Int = math.max(MinCells, math.ceil(math.sqrt(n / 2.0)).toInt)
 
-  val OracleCells = 16
+  private def cellsSql: String =
+    s"(SELECT greatest($MinCells, ceil(sqrt(count(*) / 2.0))::BIGINT) FROM e)"
+
+  val MinCells = 16
   val NProbe = 4
   val TopK = 10
 
@@ -74,7 +77,7 @@ object AnnIvf {
   val oracles: Map[String, String] = Map(
     "ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |cents AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < $OracleCells),
+         |cents AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < $cellsSql),
          |assigned AS (
          | SELECT vec_id, emb, c_id AS cell FROM (
          |  SELECT e.vec_id, e.emb, cents.c_id,

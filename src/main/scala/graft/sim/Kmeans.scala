@@ -31,12 +31,17 @@ object Kmeans {
     * per-cluster quadratic term (arXiv:2303.09540 uses ~100k clusters over
     * ~1e9 embeddings): √(n/8)-style, floored at the small-corpus K. With K
     * ∝ √n the expected within-cluster pair count Σ(n/K)²·K = n²/K grows
-    * only ~n^1.5, not n². At the driver's verify corpus (500 vectors) this
-    * is exactly `OracleK` — the constant the static DuckDB oracle replays
-    * (the oracle SQL cannot count rows, so it pins the verify-SF value). */
-  def kFor(n: Long): Int = math.max(OracleK, math.ceil(math.sqrt(n / 8.0)).toInt)
+    * only ~n^1.5, not n². The oracle replays the SAME formula via a scalar
+    * subquery (`kSql` below), so the two engines agree at every scale
+    * factor, not just the driver's verify corpus. */
+  def kFor(n: Long): Int = math.max(MinK, math.ceil(math.sqrt(n / 8.0)).toInt)
 
-  val OracleK = 8
+  /** kFor in DuckDB: both engines compute ceil(sqrt(n/8.0)) through the
+    * same correctly-rounded double ops, so the Ks are identical. */
+  private def kSql: String =
+    s"(SELECT greatest($MinK, ceil(sqrt(count(*) / 8.0))::BIGINT) FROM e)"
+
+  val MinK = 8
   val Iters = 2
   val Dim = 64
 
@@ -58,16 +63,22 @@ object Kmeans {
   /** Trained centroids are a tiny offline ARTIFACT (K×Dim doubles) — real
     * pipelines train once and every consumer (SemDeDup, cosine dedup, IVF)
     * reuses the model rather than re-running Lloyd. Training is fully
-    * deterministic, so memoizing per (corpus dir, iters) changes no result
-    * — it removes the redundant re-train when several queries share one
-    * session (exactly the shape of a daily pipeline run). */
+    * deterministic, so memoizing per (corpus dir, iters, row count) changes
+    * no result — it removes the redundant re-train when several queries
+    * share one session (exactly the shape of a daily pipeline run). The
+    * count in the key catches a re-grown corpus at the same path; an
+    * in-place SAME-SIZE rewrite must call `clearCache()` (model artifacts
+    * are pinned until explicitly invalidated, like any shipped model file). */
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
+  def clearCache(): Unit = centroidCache.clear()
+
   private def trainedCentroids(s: SparkSession, dir: String, iters: Int,
-      e: DataFrame): Array[Array[Double]] =
-    centroidCache.computeIfAbsent(s"$dir#$iters", _ => {
-      val k = kFor(e.count())
+      e: DataFrame): Array[Array[Double]] = {
+    val n = e.count()
+    centroidCache.computeIfAbsent(s"$dir#$iters#$n", _ => {
+      val k = kFor(n)
       val init = e.filter(col("vec_id") < k)
         .select(col("vec_id"), col("emb")).collect()
         .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
@@ -89,6 +100,7 @@ object Kmeans {
       }
       cents
     })
+  }
 
   /** Assignment after `iters` Lloyd rounds, keeping the embedding column so
     * downstream consumers (SemDeDup) can join within clusters. */
@@ -127,7 +139,7 @@ object Kmeans {
   private[graft] def chainSql: String = {
     val iters = (1 to Iters).map(n => iterSql(n, s"c${n - 1}")).mkString(",\n")
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-       |c0 AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < $OracleK),
+       |c0 AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < $kSql),
        |$iters,
        |asgn AS (
        | SELECT vec_id, c_id AS cluster, emb, c_emb FROM (

@@ -104,9 +104,16 @@ object WireReaders {
     // query param, so the body rides a param map here — same wire fields
     val root = Json.parse(http.get(s"$baseUrl?api_key=$masterKey",
       Map("query" -> queries.mkString(";"))))
-    if (root.has("error") && !root.get("error").isNull && root.get("error").size() > 0)
-      throw new java.io.IOException(s"batch submit failed: ${root.get("error")}")
-    root.get("job_id").asText
+    // error may be a string, an array, or absent — any non-null error node
+    // with content fails the submit (size()==0 for text nodes, so a bare
+    // `.size() > 0` check would let a string error fall through)
+    val err = root.get("error")
+    if (err != null && !err.isNull && (err.isTextual || err.size() > 0))
+      throw new java.io.IOException(s"batch submit failed: $err")
+    val jobId = root.get("job_id")
+    if (jobId == null || jobId.isNull)
+      throw new java.io.IOException(s"batch submit returned no job_id: $root")
+    jobId.asText
   }
 
   /** Poll `status` until done (returns), failed (throws with
@@ -117,12 +124,14 @@ object WireReaders {
     var polls = 0
     while (polls < maxPolls) {
       polls += 1
-      val st = Json.parse(http.get(s"$baseUrl/$jobId?api_key=$masterKey", Map.empty))
-        .get("status").asText
+      val body = Json.parse(http.get(s"$baseUrl/$jobId?api_key=$masterKey", Map.empty))
+      val st = body.get("status").asText
       st match {
         case "done" => return st
         case "running" | "pending" => sleep()
-        case "failed" => throw new java.io.IOException(s"batch job $jobId failed")
+        case "failed" =>
+          val reason = Option(body.get("failed_reason")).map(_.asText).getOrElse("unknown")
+          throw new java.io.IOException(s"batch job $jobId failed: $reason")
         case other => throw new java.io.IOException(s"batch job $jobId unknown status: $other")
       }
     }

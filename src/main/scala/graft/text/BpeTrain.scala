@@ -41,9 +41,14 @@ object BpeTrain {
 
   /** The distributed dictionary pass both training and tokenization share —
     * the only thing that touches the corpus. Bounded on the driver side:
-    * frequency floor first, then a deterministic top-N cap ((n desc, word)
-    * order → a TakeOrderedAndProject, so at most `maxWords` rows are ever
-    * collected). */
+    * frequency floor first, then a deterministic top-N cap on (n desc,
+    * word), so at most `maxWords` rows are ever collected. Note the plan
+    * shape: a cap below `spark.sql.execution.topKSortFallbackThreshold`
+    * (default 10k) plans as TakeOrderedAndProject (per-partition top-N, no
+    * global sort); the default 2^20 cap exceeds it, so the pruned
+    * dictionary pays one global sort — at web scale either raise the
+    * threshold or lean on the frequency floor, which is the bound that
+    * actually shrinks the table. */
   def wordCounts(s: SparkSession, dir: String, minFreq: Long = MinWordFreq,
                  maxWords: Int = MaxDictWords): Array[(String, Long)] =
     Tables.documents(s, dir)

@@ -38,10 +38,10 @@ class KmeansSpec extends AnyFunSuite {
   }
 
   test("K scales with corpus size: √n growth, oracle pin at the verify SF") {
-    // the static DuckDB oracle replays K=OracleK; the driver verifies at a
-    // 500-vector corpus, where the formula must land exactly there
-    assert(Kmeans.kFor(500) == Kmeans.OracleK)
-    assert(AnnIvf.cellsFor(500) == AnnIvf.OracleCells)
+    // the oracle replays kFor via a scalar subquery; at the floor corpus
+    // the formula must land exactly on the minimum
+    assert(Kmeans.kFor(500) == Kmeans.MinK)
+    assert(AnnIvf.cellsFor(500) == AnnIvf.MinCells)
     // √n scaling: 100× the corpus ≈ 10× the clusters (within rounding)
     assert(Kmeans.kFor(2000) == 16)
     assert(Kmeans.kFor(50000) == 80)
