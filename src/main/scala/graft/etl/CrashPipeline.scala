@@ -38,15 +38,18 @@ object CrashPipeline {
       when(outside, lit(null).cast("double")).otherwise(lngRaw).as("lng"),
       when(outside, lit(null).cast("double")).otherwise(latRaw).as("lat"))
 
-    // zone containment (update_borough et al, main.py:408-533)
+    // zone containment (update_borough et al, main.py:408-533): the fast
+    // box zone plus ALL 8 multipolygon zone dims — the reference's real
+    // daily breadth — each a broadcast ride on the same single fact scan
     val zones = Tables.region(s, dir).select(
       col("r_name").as("zone"),
       (lit(-74.25) + col("r_regionkey") * lit(0.1)).as("west"),
       (lit(-74.25) + (col("r_regionkey") + lit(1)) * lit(0.1)).as("east"))
-    val zoned = base.join(broadcast(zones),
-      col("lng") >= col("west") && col("lng") < col("east") &&
-        col("lat") >= lit(40.50) && col("lat") < lit(40.90), "left")
-      .drop("west", "east")
+    val zoned = EtlQueries.withMultiZones(s, dir,
+      base.join(broadcast(zones),
+        col("lng") >= col("west") && col("lng") < col("east") &&
+          col("lat") >= lit(40.50) && col("lat") < lit(40.90), "left")
+        .drop("west", "east"))
 
     // vehicle crosswalk flags (update_hasvehicle, main.py:1082-1102): the
     // per-class alias lists are driver-collected constants, so every flag is

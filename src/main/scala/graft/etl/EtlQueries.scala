@@ -214,12 +214,11 @@ object EtlQueries {
     * multi-ring ray cast. Every dim is broadcast; the fact side is scanned
     * once and never hash-exchanged — at 100 TB this is 8 broadcast NLJs
     * riding one scan, zero fact shuffles (plan-asserted in PlanSpec). */
-  def zoneMulti(s: SparkSession, dir: String): DataFrame = {
+  /** Appends the 8 multipolygon zone columns to any frame carrying
+    * (lng, lat) — shared by `zoneMulti` and the flagship CrashPipeline. */
+  private[etl] def withMultiZones(s: SparkSession, dir: String, ev: DataFrame): DataFrame = {
     GeoFunctions.register(s)
-    val id = col("event_id")
-    val ev = Tables.events(s, dir)
-      .select(id, cartoLng(id).as("lng"), cartoLat(id).as("lat"))
-    val joined = ZoneTypes.zip(ZoneYOff).foldLeft(ev) { case (acc, (zt, toff)) =>
+    ZoneTypes.zip(ZoneYOff).foldLeft(ev) { case (acc, (zt, toff)) =>
       val cx = col("cx"); val cy = col("cy"); val rx = col("rx"); val ry = col("ry")
       val sy = cy - ry - lit(0.03)
       // ring 1: the zonePolygon hexagon; ring 2: a satellite diamond below
@@ -236,7 +235,13 @@ object EtlQueries {
           "left")
         .drop("cx", "cy", "rx", "ry")
     }
-    joined.select(id +: ZoneTypes.map(col): _*).orderBy(id)
+  }
+
+  def zoneMulti(s: SparkSession, dir: String): DataFrame = {
+    val id = col("event_id")
+    val ev = Tables.events(s, dir)
+      .select(id, cartoLng(id).as("lng"), cartoLat(id).as("lat"))
+    withMultiZones(s, dir, ev).select(id +: ZoneTypes.map(col): _*).orderBy(id)
   }
 
   /** #11 Intersection crash counts (main.py:613-647): per intersection,

@@ -18,6 +18,11 @@ class CrashPipelineSpec extends AnyFunSuite {
       assert(out.filter(col("zone").isNotNull && col("lng").isNull).count() == 0)
       assert(out.filter(col("lng").isNotNull && col("zone").isNull).count() == 0,
         "every in-extent point falls in exactly one zone box")
+      // all 8 multipolygon zone dims ride the same scan (the reference's
+      // 8 UPDATE passes, main.py:408-533)
+      EtlQueries.ZoneTypes.foreach(zt => assert(out.columns.contains(zt), s"missing zone dim $zt"))
+      assert(EtlQueries.ZoneTypes.exists(zt => out.filter(col(zt).isNotNull).count() > 0),
+        "multipolygon zones must actually assign")
       // blame factor is a valid allocation share
       assert(out.filter(col("blame_factor") <= 0.0 || col("blame_factor") > 1.0).count() == 0)
       // allocated counts never exceed raw tallies
