@@ -20,7 +20,8 @@ object SparkEntry {
       sim.SimQueries.queries ++ sim.AnnLsh.queries ++ sim.AnnIvf.queries ++
       sim.VectorOps.queries ++ sim.Kmeans.queries ++
       multimodal.MultimodalQueries.queries ++ streaming.StreamQueries.queries ++
-      streaming.StreamDedup.queries ++ timeseries.TsQueries.queries ++
+      streaming.StreamDedup.queries ++ streaming.StreamNearDup.queries ++
+      timeseries.TsQueries.queries ++
       stats.SketchQueries.queries ++ stats.HeavyHitters.queries ++
       analytics.FunnelQueries.queries
 

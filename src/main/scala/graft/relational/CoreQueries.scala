@@ -55,10 +55,15 @@ object CoreQueries {
   }
 
   /** Running totals per supplier: row_number + cumulative sum over one
-    * window partitioning (single shuffle, both functions share it). */
+    * window partitioning (single shuffle, both functions share it).
+    * l_quantity closes the order key: the synthetic lineitem carries
+    * duplicate (orderkey, linenumber) rows (118k at sf0.1), and a
+    * non-total window order makes the running sum engine-dependent at the
+    * tie — caught by the all-SF oracle sweep, round 3. Rows tying on the
+    * FULL key are interchangeable, so the sum is order-free again. */
   def q3WindowRunning(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     Tables.lineitem(s, dir)
       .select("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
       .withColumn("rn", row_number().over(w).cast("long"))
@@ -301,10 +306,10 @@ object CoreQueries {
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         | row_number() OVER w AS rn,
         | round(sum(l_quantity) OVER (PARTITION BY l_suppkey
-        |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
         |FROM lineitem
-        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)
         |ORDER BY l_suppkey, rn""".stripMargin,
     "q4_rollup" ->
       """SELECT coalesce(o_orderstatus,'ALL') AS status,
