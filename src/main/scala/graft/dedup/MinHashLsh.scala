@@ -23,6 +23,12 @@ object MinHashLsh {
   val Bands = 16      // 16 bands × r=4 rows; s-curve threshold ≈ (1/16)^(1/4) ≈ 0.5
   val RowsPerBand = K / Bands
 
+  /** The band-bucket key for band `band` of signature column `sig` — ONE
+    * definition shared by the batch LSH family and StreamNearDup, so the
+    * banding scheme cannot silently diverge between them. */
+  def bandKey(band: org.apache.spark.sql.Column, sig: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    xxhash64(band, slice(sig, band * RowsPerBand + 1, lit(RowsPerBand)))
+
   /** Candidate pairs via banded signatures, then exact-Jaccard verification.
     *
     * The signature is the compiled MinHashSignature expression (one JVM call
@@ -39,8 +45,7 @@ object MinHashLsh {
       .repartition(col("doc_id"))
     val banded = sigs
       .select(col("doc_id"), explode(sequence(lit(0), lit(Bands - 1))).as("band"), col("sig"))
-      .select(col("doc_id"), col("band"),
-        xxhash64(col("band"), slice(col("sig"), col("band") * RowsPerBand + 1, lit(RowsPerBand))).as("bkey"))
+      .select(col("doc_id"), col("band"), bandKey(col("band"), col("sig")).as("bkey"))
     val a = banded.select(col("doc_id").as("a_id"), col("band"), col("bkey"))
     val b = banded.select(col("doc_id").as("b_id"), col("band"), col("bkey"))
     // persist: the banded self-join is the dominant cost and the candidate

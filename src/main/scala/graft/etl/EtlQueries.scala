@@ -206,14 +206,6 @@ object EtlQueries {
       (lit(0.05) + r * lit(0.008)).as("ry"))
   }
 
-  /** #10d Multipolygon 8-zone single-pass assignment — the reference's
-    * actual daily workload shape: ONE pass over the fact table assigns all
-    * 8 zone dims (borough … nypd_precinct, main.py:408-533) instead of 8
-    * separate UPDATE joins, and each zone is a MULTIPOLYGON (main hexagon +
-    * disjoint satellite ring — boroughs have islands), tested with the
-    * multi-ring ray cast. Every dim is broadcast; the fact side is scanned
-    * once and never hash-exchanged — at 100 TB this is 8 broadcast NLJs
-    * riding one scan, zero fact shuffles (plan-asserted in PlanSpec). */
   /** Appends the 8 multipolygon zone columns to any frame carrying
     * (lng, lat) — shared by `zoneMulti` and the flagship CrashPipeline. */
   private[etl] def withMultiZones(s: SparkSession, dir: String, ev: DataFrame): DataFrame = {
@@ -237,6 +229,14 @@ object EtlQueries {
     }
   }
 
+  /** #10d Multipolygon 8-zone single-pass assignment — the reference's
+    * actual daily workload shape: ONE pass over the fact table assigns all
+    * 8 zone dims (borough … nypd_precinct, main.py:408-533) instead of 8
+    * separate UPDATE joins, and each zone is a MULTIPOLYGON (main hexagon +
+    * disjoint satellite ring — boroughs have islands), tested with the
+    * multi-ring ray cast. Every dim is broadcast; the fact side is scanned
+    * once and never hash-exchanged — at 100 TB this is 8 broadcast NLJs
+    * riding one scan, zero fact shuffles (plan-asserted in PlanSpec). */
   def zoneMulti(s: SparkSession, dir: String): DataFrame = {
     val id = col("event_id")
     val ev = Tables.events(s, dir)

@@ -37,11 +37,14 @@ object StreamNearDup {
   val MaxPerBucket = 64
   private val K = MinHashLsh.K
 
-  /** Unbiased MinHash Jaccard estimate: matching components / K. */
+  /** Unbiased MinHash Jaccard estimate: matching components / K. Iterator
+    * walk, so it is O(K) for ANY Seq runtime type (positional access on a
+    * restored List state would be O(K²)). */
   def estJaccard(a: Seq[Long], b: Seq[Long]): Double = {
-    var m = 0; var i = 0
-    while (i < a.length) { if (a(i) == b(i)) m += 1; i += 1 }
-    math.round(m.toDouble / a.length * 10000) / 10000.0
+    var m = 0; var n = 0
+    val ia = a.iterator; val ib = b.iterator
+    while (ia.hasNext && ib.hasNext) { if (ia.next() == ib.next()) m += 1; n += 1 }
+    math.round(m.toDouble / n * 10000) / 10000.0
   }
 
   /** Band-bucketed (bkey, doc_id, sig) rows — shared by stream and batch. */
@@ -52,10 +55,7 @@ object StreamNearDup {
       .select(col("doc_id"), sig.as("sig"))
       .select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(MinHashLsh.Bands - 1))).as("band"))
-      .select(
-        xxhash64(col("band"),
-          slice(col("sig"), col("band") * MinHashLsh.RowsPerBand + 1,
-            lit(MinHashLsh.RowsPerBand))).as("bkey"),
+      .select(MinHashLsh.bandKey(col("band"), col("sig")).as("bkey"),
         col("doc_id"), col("sig"))
   }
 
@@ -82,20 +82,27 @@ object StreamNearDup {
               }
             }
             if (!st.docs.exists(_._1 == id))
-              st = BucketState(((id, sig.toList) :: st.docs).take(MaxPerBucket))
+              st = BucketState(((id, sig) :: st.docs).take(MaxPerBucket))
           }
           state.update(st)
           out.result().iterator
       }
   }
 
-  /** Batch twin (`stream_neardup`): identical semantics over the documents
-    * table — DISTINCT (later, earlier) pairs whose signatures collide in
-    * any band with estimated Jaccard ≥ threshold. Rows-only for the driver;
-    * the spec proves stream ≡ batch across micro-batch splits. */
+  /** Batch twin (`stream_neardup`): DISTINCT (later, earlier) pairs whose
+    * signatures collide in any band with estimated Jaccard ≥ threshold.
+    * Stream ≡ batch EXACTLY while every bucket stays within
+    * `MaxPerBucket` (true on the driver corpora; spec-proven across
+    * micro-batch splits); past the bound the stream deliberately forgets a
+    * bucket's oldest members — the documented state/recall trade of any
+    * bounded streaming dedup — while the batch twin, which has the whole
+    * corpus at once, keeps them. Rows-only for the driver (MinHash is not
+    * SQL-expressible). */
   def nearDupBatch(s: SparkSession, dir: String): DataFrame = {
     graft.functions.HashExprs.register(s)
-    val b = banded(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+    // persist: the self-join below would otherwise scan the corpus and
+    // compute shingles + signatures twice (the dominant sketch cost)
+    val b = banded(Tables.documents(s, dir).select(col("doc_id"), col("text"))).persist()
     val a = b.select(col("bkey"), col("doc_id").as("earlier_id"), col("sig").as("a_sig"))
     val c = b.select(col("bkey"), col("doc_id").as("doc_id"), col("sig").as("b_sig"))
     val matches = round(

@@ -19,10 +19,13 @@ class CrashPipelineSpec extends AnyFunSuite {
       assert(out.filter(col("lng").isNotNull && col("zone").isNull).count() == 0,
         "every in-extent point falls in exactly one zone box")
       // all 8 multipolygon zone dims ride the same scan (the reference's
-      // 8 UPDATE passes, main.py:408-533)
-      EtlQueries.ZoneTypes.foreach(zt => assert(out.columns.contains(zt), s"missing zone dim $zt"))
-      assert(EtlQueries.ZoneTypes.exists(zt => out.filter(col(zt).isNotNull).count() > 0),
-        "multipolygon zones must actually assign")
+      // 8 UPDATE passes, main.py:408-533) and EVERY dim must actually
+      // assign — a per-type offset/bbox regression that silences 7 of the
+      // 8 columns would pass an exists-based check
+      EtlQueries.ZoneTypes.foreach { zt =>
+        assert(out.columns.contains(zt), s"missing zone dim $zt")
+        assert(out.filter(col(zt).isNotNull).count() > 0, s"zone dim $zt never assigns")
+      }
       // blame factor is a valid allocation share
       assert(out.filter(col("blame_factor") <= 0.0 || col("blame_factor") > 1.0).count() == 0)
       // allocated counts never exceed raw tallies
