@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.DoubleType
 
-import graft.geo.{HaversineMeters, PointInPolygon}
+import graft.geo.{HaversineMeters, PointInMultiPolygon, PointInPolygon}
 
 /** SparkSessionExtensions entry point so ALL of graft's custom expressions
   * (geo + hash/sketch) are available in plain SQL on any session, including
@@ -16,6 +16,18 @@ import graft.geo.{HaversineMeters, PointInPolygon}
   * (Equivalent to the per-session GeoFunctions.register / HashExprs.register
   * used by the query library, but injected at session build time.)
   */
+object GraftExtensions {
+  /** Every function name the extension injects — GraftExtensionsSpec holds
+    * this equal to what the per-session registrars install, so the two
+    * registration paths cannot drift (a function reachable via
+    * `register()` but missing from `spark.sql.extensions` would vanish on
+    * thrift/connect servers). */
+  val InjectedNames: Set[String] = Set(
+    "haversine_m", "point_in_polygon", "point_in_multipolygon",
+    "minhash_sig", "simhash64", "shingles3", "bigrams_all",
+    "cosine_sim", "jaccard_sim", "hyperplane_bands", "top_cells", "rep_stats")
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def fn(name: String, clazz: Class[_], builder: Seq[Expression] => Expression) =
@@ -33,6 +45,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
     ext.injectFunction(fn("point_in_polygon", classOf[PointInPolygon],
       graft.geo.GeoFunctions.buildPointInPolygon))
+    ext.injectFunction(fn("point_in_multipolygon", classOf[PointInMultiPolygon],
+      graft.geo.GeoFunctions.buildPointInMultiPolygon))
     ext.injectFunction(fn("minhash_sig", classOf[MinHashSignature],
       exprs => MinHashSignature(exprs.head)))
     ext.injectFunction(fn("simhash64", classOf[SimHash64],
