@@ -32,7 +32,7 @@ class EmptyInputSpec extends AnyFunSuite {
     "text_pack", "text_ngram_freq", "etl_zorder", "stats_histogram",
     "q14_skew_agg", "emb_project", "emb_normalize", "q10_cube", "text_bpe_vocab",
     "etl_zone_multi", "etl_ingest_bloom", "stats_heavy_hitters",
-    "text_domain_mix", "text_html_strip")
+    "text_domain_mix", "text_html_strip", "stream_neardup")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {
