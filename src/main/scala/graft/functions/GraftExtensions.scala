@@ -25,7 +25,8 @@ object GraftExtensions {
   val InjectedNames: Set[String] = Set(
     "haversine_m", "point_in_polygon", "point_in_multipolygon",
     "minhash_sig", "simhash64", "shingles3", "bigrams_all",
-    "cosine_sim", "jaccard_sim", "hyperplane_bands", "top_cells", "rep_stats")
+    "cosine_sim", "jaccard_sim", "hyperplane_bands", "top_cells", "rep_stats",
+    "sig_match_count")
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -64,5 +65,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("top_cells", classOf[TopCells], HashExprs.buildTopCells))
     ext.injectFunction(fn("rep_stats", classOf[RepStats],
       exprs => RepStats(exprs.head)))
+    ext.injectFunction(fn("sig_match_count", classOf[SigMatchCount],
+      exprs => SigMatchCount(exprs(0), exprs(1))))
   }
 }

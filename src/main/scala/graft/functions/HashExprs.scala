@@ -63,6 +63,8 @@ object HashExprs {
     r.createOrReplaceTempFunction("top_cells", buildTopCells, "built-in")
     r.createOrReplaceTempFunction("rep_stats",
       exprs => RepStats(exprs.head), "built-in")
+    r.createOrReplaceTempFunction("sig_match_count",
+      exprs => SigMatchCount(exprs(0), exprs(1)), "built-in")
   }
 
   /** Builder with numeric coercion (SQL decimal literals → double arrays). */
@@ -101,6 +103,7 @@ object HashExprs {
   def topCells(emb: Column, cents: Column, k: Int): Column =
     call_function("top_cells", emb, cents, org.apache.spark.sql.functions.lit(k))
   def repStats(c: Column): Column = call_function("rep_stats", c)
+  def sigMatchCount(a: Column, b: Column): Column = call_function("sig_match_count", a, b)
 }
 
 /** Repetition statistics of a document in one compiled pass — the counters
@@ -422,6 +425,42 @@ case class TopCells(left: Expression, right: Expression, k: Int)
       j += 1
     }
     new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Count of positionally-equal components of two array<long> MinHash
+  * signatures — the numerator of the unbiased Jaccard estimator
+  * (est J = matches / K). The zip_with+aggregate lambda formulation is the
+  * SURVEY §6 trap twice over: Spark HOFs are interpreted (CodegenFallback)
+  * AND Catalyst re-inlines the whole lambda tree into every consumer, so a
+  * band-join condition plus its downstream projection each pay the
+  * interpreted element walk per colliding candidate pair. This is one
+  * compiled primitive loop per pair, cheap enough to sit in a join
+  * condition. */
+case class SigMatchCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sig_match_count"
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"sig_match_count needs two array<long>, got $t")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) m += 1
+      i += 1
+    }
+    m
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =

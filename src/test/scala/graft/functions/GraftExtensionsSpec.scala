@@ -22,8 +22,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         s"$n injected by GraftExtensions but not registered by register()")
     }
     // …and the extension list is not missing any registrar-installed name
-    // (12 = 3 geo + 9 hash/sketch; bump BOTH places when adding one)
-    assert(GraftExtensions.InjectedNames.size == 12)
+    // (13 = 3 geo + 10 hash/sketch; bump BOTH places when adding one)
+    assert(GraftExtensions.InjectedNames.size == 13)
     val exercised = Seq(
       "SELECT haversine_m(40.0, -74.0, 41.0, -74.0)",
       "SELECT point_in_polygon(0.5, 0.5, array(1.0, 0.0, 1.0, 1.0, 0.0, 1.0, 0.0, 0.0))",
@@ -36,7 +36,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "SELECT jaccard_sim(array('a'), array('a'))",
       "SELECT hyperplane_bands(array(1.0D, 0.0D))",
       "SELECT top_cells(array(1.0D, 0.0D), array(array(1.0D, 0.0D)), 1)",
-      "SELECT rep_stats('a a b')")
+      "SELECT rep_stats('a a b')",
+      "SELECT sig_match_count(array(1L, 2L, 3L), array(1L, 9L, 3L))")
     assert(exercised.size == GraftExtensions.InjectedNames.size)
     // every function is SQL-callable end to end (builder + type coercion)
     exercised.foreach { q =>
