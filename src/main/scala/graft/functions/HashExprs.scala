@@ -457,7 +457,10 @@ case class SigMatchCount(left: Expression, right: Expression)
     var m = 0
     var i = 0
     while (i < n) {
-      if (a.getLong(i) == b.getLong(i)) m += 1
+      // null positions never match — same as the zip_with lambda, where a
+      // null comparison folds to "no match" (UnsafeArrayData would otherwise
+      // read a null slot as 0 and pair two nulls as equal)
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) m += 1
       i += 1
     }
     m

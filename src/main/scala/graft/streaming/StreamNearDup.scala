@@ -105,10 +105,12 @@ object StreamNearDup {
     val b = banded(Tables.documents(s, dir).select(col("doc_id"), col("text"))).persist()
     val a = b.select(col("bkey"), col("doc_id").as("earlier_id"), col("sig").as("a_sig"))
     val c = b.select(col("bkey"), col("doc_id").as("doc_id"), col("sig").as("b_sig"))
+    // compiled single-pass component match count — the zip_with+aggregate
+    // lambda formulation is interpreted AND re-inlined by Catalyst into both
+    // the join condition and the downstream projection (SURVEY §6)
     val matches = round(
-      aggregate(zip_with(col("a_sig"), col("b_sig"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0), (acc, v) => acc + v).cast("double") / K, 4)
+      graft.functions.HashExprs.sigMatchCount(col("a_sig"), col("b_sig"))
+        .cast("double") / K, 4)
     a.join(c, Seq("bkey"))
       .filter(col("earlier_id") < col("doc_id"))
       .withColumn("est_jaccard", matches)

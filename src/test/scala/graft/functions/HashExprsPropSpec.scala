@@ -110,6 +110,35 @@ class HashExprsPropSpec extends AnyFunSuite {
     }
   }
 
+  test("sig_match_count equals the zip_with formulation on generated signatures") {
+    val docs = samples(doc, 15)
+    val rows = docs.map(a => (a, a + " zzz")).toDF("a", "b")
+      .selectExpr("minhash_sig(shingles3(a)) AS sa", "minhash_sig(shingles3(b)) AS sb")
+      .selectExpr(
+        "sig_match_count(sa, sb) AS compiled",
+        "size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v)) AS lambda",
+        "sig_match_count(sa, sa) AS self")
+      .collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1),
+        s"compiled=${r.getInt(0)} must equal lambda=${r.getInt(1)}")
+      assert(r.getInt(2) == graft.dedup.MinHashLsh.K, "self-match must be full K")
+    }
+  }
+
+  test("sig_match_count literal cases: values, and null positions never match") {
+    val rows = spark.sql(
+      """SELECT sig_match_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS two,
+        |       sig_match_count(array(1L, 2L), array(3L, 4L)) AS zero,
+        |       sig_match_count(array(CAST(NULL AS LONG), 2L),
+        |                       array(CAST(NULL AS LONG), 2L)) AS nulls
+        |""".stripMargin).collect()
+    assert(rows.head.getInt(0) == 2)
+    assert(rows.head.getInt(1) == 0)
+    assert(rows.head.getInt(2) == 1,
+      "two null positions must NOT count as a match (zip_with parity)")
+  }
+
   test("haversine is symmetric, non-negative, zero on self") {
     val pt = for {
       lat <- Gen.choose(-85.0, 85.0); lng <- Gen.choose(-179.0, 179.0)
