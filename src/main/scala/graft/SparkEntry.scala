@@ -16,10 +16,11 @@ object SparkEntry {
       text.TextQueries.queries ++ text.PiiScrub.queries ++ text.BpeTrain.queries ++
       dedup.DedupQueries.queries ++
       dedup.MinHashLsh.queries ++ dedup.SimHash.queries ++
-      dedup.DedupClusters.queries ++
+      dedup.DedupClusters.queries ++ dedup.IncrementalNearDup.queries ++
       sim.SimQueries.queries ++ sim.AnnLsh.queries ++ sim.AnnIvf.queries ++
       sim.VectorOps.queries ++ sim.Kmeans.queries ++
-      multimodal.MultimodalQueries.queries ++ streaming.StreamQueries.queries ++
+      multimodal.MultimodalQueries.queries ++ multimodal.PhashNearDup.queries ++
+      streaming.StreamQueries.queries ++
       streaming.StreamDedup.queries ++ streaming.StreamNearDup.queries ++
       timeseries.TsQueries.queries ++
       stats.SketchQueries.queries ++ stats.HeavyHitters.queries ++

@@ -52,10 +52,12 @@ object DedupQueries {
     val a = banded.select(col("doc_id").as("a_id"), col("lang"), col("lb"), col("band"), col("hval"))
     val b = banded.select(col("doc_id").as("b_id"), col("lang"), col("lb"), col("band"), col("hval"))
     // persist: three consumers (two id-set union branches + the pair join)
-    // would otherwise each re-run the banded candidate join
-    val candidates = a.join(b, Seq("lang", "lb", "band", "hval"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct().persist()
+    // would otherwise each re-run the banded candidate join; tracked in
+    // CacheRegistry so the session releases it once the query completes
+    val candidates = graft.CacheRegistry.track(
+      a.join(b, Seq("lang", "lb", "band", "hval"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct())
     // broadcast-semi prune: only candidate docs' shingle sets are fetched
     // into the verify joins — the corpus-wide shingle table never shuffles
     val candIds = candidates.select(col("a_id").as("doc_id"))

@@ -51,10 +51,12 @@ object MinHashLsh {
     // persist: the banded self-join is the dominant cost and the candidate
     // list feeds THREE consumers (two id-set union branches + the pair
     // join) — uncached, each would re-run the banding (at warehouse scale
-    // this cache is a parquet staging table)
-    val candidates = a.join(b, Seq("band", "bkey"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct().persist()
+    // this cache is a parquet staging table); tracked in CacheRegistry so
+    // the session releases it once the query completes
+    val candidates = graft.CacheRegistry.track(
+      a.join(b, Seq("band", "bkey"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct())
     // verify-side prune: broadcast the candidate id set and semi-join it
     // against the shingle table BEFORE the pair joins, so non-candidate
     // docs' shingle sets never shuffle (ids are 8 bytes — broadcastable

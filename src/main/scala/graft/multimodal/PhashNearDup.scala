@@ -1,0 +1,59 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal near-duplicate detection (SURVEY.md §2 #30c) — the perceptual
+  * step past `mm_binary_meta`'s exact digests: media payloads that are the
+  * SAME content with small differences (re-encode, crop, watermark —
+  * here: edited byte payloads) must pair even though their md5s differ.
+  *
+  * Pipeline: opaque binary payload → 64-bit perceptual fingerprint
+  * (`PHash64`, compiled, map-side; see HashExprs for why the fingerprint is
+  * byte-n-gram SimHash and not a positional dHash grid) → Hamming-≤3 pairs
+  * via the same 16-bit 4-band pigeonhole as `dedup_simhash`: two hashes
+  * within distance 3 must agree exactly on one of four bands, so candidate
+  * generation is an equi-join on (band, 16-bit key) — uniform shuffle keys,
+  * sub-quadratic, no all-pairs scan. With a real image decoder the ONLY
+  * change is the fingerprint expression's input (decoded raster instead of
+  * raw payload); the banding, join, and verify are media-agnostic.
+  *
+  * Rows-only for the driver (the fingerprint loop is not SQL-expressible);
+  * PhashNearDupSpec pins that near-identical payloads pair and distinct
+  * ones don't, and that the hash survives value edits, insertions, and
+  * truncations.
+  */
+object PhashNearDup {
+
+  /** Pigeonhole-guaranteed detection bound: ≤3 bit flips cannot touch all
+    * four 16-bit bands. */
+  val MaxHamming = 3
+
+  def phashPairs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
+    // payload: the UTF-8 bytes stand in for media bytes (no media libs in
+    // this container) — same convention as mm_binary_meta
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.functions.HashExprs.phash64(encode(col("text"), "UTF-8")).as("phash"))
+      .repartition(col("doc_id")) // barrier: keep one phash eval per row
+    val banded = media
+      .select(col("doc_id"), col("phash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bkey", expr("(shiftright(phash, band * 16) & 65535L)"))
+    val a = banded.select(col("doc_id").as("a_id"), col("phash").as("a_ph"), col("band"), col("bkey"))
+    val b = banded.select(col("doc_id").as("b_id"), col("phash").as("b_ph"), col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        expr("bit_count(a_ph ^ b_ph)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= MaxHamming)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_phash_neardup" -> (phashPairs _))
+}

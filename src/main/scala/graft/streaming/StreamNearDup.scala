@@ -47,8 +47,11 @@ object StreamNearDup {
     math.round(m.toDouble / n * 10000) / 10000.0
   }
 
-  /** Band-bucketed (bkey, doc_id, sig) rows — shared by stream and batch. */
-  private def banded(docs: DataFrame): DataFrame = {
+  /** Band-bucketed (bkey, doc_id, sig) rows — shared by the stream state,
+    * the batch twin, and IncrementalNearDup's persisted signature store
+    * (one definition, so the banding scheme cannot diverge between the
+    * online and offline paths). */
+  def banded(docs: DataFrame): DataFrame = {
     val sig = graft.functions.HashExprs.minhashSig(
       graft.functions.HashExprs.shingles3(col("text")))
     docs
@@ -101,8 +104,10 @@ object StreamNearDup {
   def nearDupBatch(s: SparkSession, dir: String): DataFrame = {
     graft.functions.HashExprs.register(s)
     // persist: the self-join below would otherwise scan the corpus and
-    // compute shingles + signatures twice (the dominant sketch cost)
-    val b = banded(Tables.documents(s, dir).select(col("doc_id"), col("text"))).persist()
+    // compute shingles + signatures twice (the dominant sketch cost);
+    // tracked in CacheRegistry so the session releases it after the query
+    val b = graft.CacheRegistry.track(
+      banded(Tables.documents(s, dir).select(col("doc_id"), col("text"))))
     val a = b.select(col("bkey"), col("doc_id").as("earlier_id"), col("sig").as("a_sig"))
     val c = b.select(col("bkey"), col("doc_id").as("doc_id"), col("sig").as("b_sig"))
     // compiled single-pass component match count — the zip_with+aggregate

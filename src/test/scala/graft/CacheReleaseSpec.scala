@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The cache release contract (CacheRegistry): every operator that persists
+  * an intermediate tracks it, and after an entry point finishes a query and
+  * calls `releaseAll()`, NO InMemoryRelation remains in the session's
+  * CacheManager — a long-lived pipeline session must not accumulate dead
+  * cached tables. */
+class CacheReleaseSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  // every query whose plan persists an intermediate
+  private val persisting =
+    Seq("dedup_ngram_jaccard", "dedup_minhash_lsh", "stream_neardup", "dedup_incremental")
+
+  persisting.foreach { name =>
+    test(s"$name leaves no cached relation behind after releaseAll") {
+      // other suites share the session and may have cached frames; start clean
+      spark.sharedState.cacheManager.clearCache()
+      SparkEntry.queries(name)(spark, sf).count()
+      assert(!spark.sharedState.cacheManager.isEmpty,
+        s"$name is expected to persist an intermediate while running")
+      CacheRegistry.releaseAll()
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"$name left a cached relation after releaseAll")
+    }
+  }
+
+  test("releaseAll is idempotent and safe on an empty registry") {
+    CacheRegistry.releaseAll()
+    CacheRegistry.releaseAll()
+  }
+}
