@@ -63,4 +63,65 @@ object RangeJoin {
         col(lat) >= col(south) && col(lat) < col(north))
       .drop("_cell")
   }
+
+  /** Containment join of points against MULTIPOLYGON zones — the
+    * past-broadcast path for `etl_zone_multi`-shaped assignment
+    * (main.py:408-533's ST_Within joins) once a zone dim outgrows a
+    * broadcast (census blocks, parcel maps): 8 broadcast NLJs are optimal
+    * for 5-row borough dims, quadratic pain at 100k zones. Decomposition:
+    *  1. dim side: bbox per zone from its ring vertices (even positions x,
+    *     odd y — a per-zone-row computation on the SMALL side), exploded
+    *     over the covering grid cells;
+    *  2. fact side: each point keyed by its one cell;
+    *  3. hash equi-join on the cell id — shuffle partitioning does the
+    *     spatial pruning on uniform integer keys;
+    *  4. exact residual: the same compiled multi-ring ray cast the
+    *     broadcast path uses, so semantics are IDENTICAL (cells
+    *     over-approximate; the recheck is exact — spec-proven equal to
+    *     the broadcast-NLJ assignments).
+    *
+    * Cell ranges are the closed [floor(lo/c), floor(hi/c)] superset (IEEE
+    * division is monotone — same proof as `pointInBox`); a boundary cell
+    * only ever adds candidates that the exact ray cast rejects.
+    *
+    * @param points (pointCols..., lng, lat)
+    * @param zones  (zoneCols..., rings: array<array<double>> of flat
+    *               [x0,y0,x1,y1,...] vertex rings)
+    * @return inner join of points with containing zones, exact semantics
+    */
+  def pointInZones(points: DataFrame, zones: DataFrame, lng: String, lat: String,
+      rings: String = "rings", cellDeg: Double = 0.05): DataFrame = {
+    graft.geo.GeoFunctions.register(points.sparkSession)
+
+    val flat = flatten(col(rings))
+    def coords(parity: Int) = filter(flat, (_, i) => i % 2 === lit(parity))
+    val boxes = zones
+      .withColumn("_w", array_min(coords(0)))
+      .withColumn("_e", array_max(coords(0)))
+      .withColumn("_s", array_min(coords(1)))
+      .withColumn("_n", array_max(coords(1)))
+      // a zone with no vertices contains nothing; drop it before sequence()
+      .filter(col("_w").isNotNull && col("_s").isNotNull)
+
+    def cellRange(lo: Column, hi: Column) = {
+      val start = floor(lo / cellDeg).cast("long")
+      val stop = floor(hi / cellDeg).cast("long")
+      sequence(start, greatest(start, stop))
+    }
+    val zoneCells = boxes
+      .withColumn("_cx", explode(cellRange(col("_w"), col("_e"))))
+      .withColumn("_cy", explode(cellRange(col("_s"), col("_n"))))
+      .withColumn("_cell", col("_cx") * 100000L + col("_cy"))
+      .drop("_cx", "_cy", "_w", "_e", "_s", "_n")
+
+    val keyedPoints = points.withColumn("_cell",
+      floor(col(lng) / cellDeg).cast("long") * 100000L +
+        floor(col(lat) / cellDeg).cast("long"))
+
+    // a point has exactly ONE cell and a zone emits each covering cell
+    // once, so no (point, zone) pair can duplicate — no distinct needed
+    keyedPoints.join(zoneCells, "_cell")
+      .filter(graft.geo.GeoFunctions.pointInMultiPoly(col(lng), col(lat), col(rings)))
+      .drop("_cell")
+  }
 }

@@ -37,11 +37,17 @@ object CoreQueries {
   /** Top-3 customers by revenue per nation: fact⋈fact shuffle join plus
     * broadcast dims, then a ranked window. Dims are explicitly broadcast —
     * at 100 TB the fact side never shuffles for them. */
-  def q2RevenueTopN(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice", "l_discount")
-    val o  = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
-    val c  = Tables.customer(s, dir).select("c_custkey", "c_name", "c_nationkey")
-    val n  = Tables.nation(s, dir).select("n_nationkey", "n_name")
+  def q2RevenueTopN(s: SparkSession, dir: String): DataFrame =
+    q2From(
+      Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice", "l_discount"),
+      Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+      Tables.customer(s, dir).select("c_custkey", "c_name", "c_nationkey"),
+      Tables.nation(s, dir).select("n_nationkey", "n_name"))
+
+  /** q2 body over caller-supplied frames — the seam BucketingSpec uses to
+    * run the SAME query over co-bucketed lineitem/orders copies, where the
+    * fact⋈fact sort-merge join needs no Exchange at read time. */
+  private[graft] def q2From(li: DataFrame, o: DataFrame, c: DataFrame, n: DataFrame): DataFrame = {
     val rev = li
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))

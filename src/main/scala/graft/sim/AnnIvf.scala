@@ -46,7 +46,12 @@ object AnnIvf {
     // and probing then become one compiled TopCells call per row — zero
     // shuffle, zero join, no windowed argmax (the previous plan ran two
     // window Exchanges plus a SortMergeJoin for the same answer).
-    val cells = cellsFor(e.count())
+    val n = e.count()
+    if (n == 0)
+      // empty corpus: no centroids to collect — schema-complete empty top-k
+      return e.select(col("vec_id").as("q_id"), col("vec_id").as("n_id"),
+        lit(0.0).as("cosine"), lit(0L).as("rank")).filter(lit(false))
+    val cells = cellsFor(n)
     val centRows = e.filter(col("vec_id") < cells)
       .select(col("vec_id"), col("emb")).collect().sortBy(_.getLong(0))
     require(centRows.map(_.getLong(0)).toSeq == (0L until cells),

@@ -66,18 +66,33 @@ object Kmeans {
     * deterministic, so memoizing per (corpus dir, iters, row count) changes
     * no result — it removes the redundant re-train when several queries
     * share one session (exactly the shape of a daily pipeline run). The
-    * count in the key catches a re-grown corpus at the same path; an
-    * in-place SAME-SIZE rewrite must call `clearCache()` (model artifacts
-    * are pinned until explicitly invalidated, like any shipped model file). */
+    * key carries a CONTENT fingerprint (file names, sizes, mtimes of the
+    * embeddings table), so any rewrite of the data — even an in-place
+    * same-size one — retrains: Spark writes fresh UUID part-file names on
+    * every overwrite, so the fingerprint cannot miss it. `clearCache()`
+    * remains for explicit invalidation. */
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
   def clearCache(): Unit = centroidCache.clear()
 
+  /** File-level fingerprint of the embeddings table. A listing, not a data
+    * scan — the same check a table format does against its snapshot id. */
+  private def contentKey(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).filter(_.isFile).sortBy(_.getPath.getName)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .mkString(",")
+  }
+
   private def trainedCentroids(s: SparkSession, dir: String, iters: Int,
       e: DataFrame): Array[Array[Double]] = {
     val n = e.count()
-    centroidCache.computeIfAbsent(s"$dir#$iters#$n", _ => {
+    // empty corpus: no model to train (and nothing to key a cache on) —
+    // callers emit a schema-complete empty frame
+    if (n == 0) return Array.empty
+    centroidCache.computeIfAbsent(s"$dir#$iters#$n#${contentKey(s, dir)}", _ => {
       val k = kFor(n)
       val init = e.filter(col("vec_id") < k)
         .select(col("vec_id"), col("emb")).collect()
@@ -110,6 +125,10 @@ object Kmeans {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
 
     val cents = trainedCentroids(s, dir, iters, e)
+    if (cents.isEmpty)
+      // empty corpus: schema-complete empty assignments, not a throw
+      return e.select(col("vec_id"), lit(0L).as("cluster"),
+        lit(0.0).as("cos_center"), col("emb")).filter(lit(false))
     val centsLit = typedlit(cents.map(_.toSeq).toSeq)
     e.select(col("vec_id"), assign(cents).as("cluster"), col("emb"))
       .withColumn("cos_center",

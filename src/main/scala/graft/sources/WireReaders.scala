@@ -25,11 +25,15 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   */
 object WireReaders {
 
-  /** Pluggable GET transport. Implementations must be serializable —
+  /** Pluggable HTTP transport. Implementations must be serializable —
     * fetches run inside executor tasks. Transient failures should throw
-    * (PagedSource retries per page). */
+    * (PagedSource retries per page). `post` carries a JSON body (the CARTO
+    * Batch SQL submit); GET-only page readers never call it, so the
+    * default refuses loudly rather than forcing every fake to stub it. */
   trait Http extends Serializable {
     def get(url: String, params: Map[String, String]): String
+    def post(url: String, body: String): String =
+      throw new UnsupportedOperationException("transport does not implement POST")
   }
 
   /** Jackson rides in with Spark; the mapper lives in a static so reader
@@ -100,10 +104,14 @@ object WireReaders {
     * Returns the job id. */
   def startBatchJob(http: Http, baseUrl: String, masterKey: String,
       queries: Seq[String]): String = {
-    // the reference POSTs {"query": [...]}; the fake transport keys on the
-    // query param, so the body rides a param map here — same wire fields
-    val root = Json.parse(http.get(s"$baseUrl?api_key=$masterKey",
-      Map("query" -> queries.mkString(";"))))
+    // POST {"query": [...]} — the reference's exact wire shape
+    // (main.py:556-610), JSON-encoded so queries with quotes/newlines
+    // survive the trip
+    val node = Json.mapper.createObjectNode()
+    val arr = node.putArray("query")
+    queries.foreach(arr.add)
+    val root = Json.parse(http.post(s"$baseUrl?api_key=$masterKey",
+      Json.mapper.writeValueAsString(node)))
     // error may be a string, an array, or absent — any non-null error node
     // with content fails the submit (size()==0 for text nodes, so a bare
     // `.size() > 0` check would let a string error fall through)

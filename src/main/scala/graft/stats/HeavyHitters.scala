@@ -32,13 +32,17 @@ object HeavyHitters {
   val Counters = 256
   val TopK = 20
 
-  /** Misra-Gries summary over a stream of terms. The buffer is a plain
-    * mutable map bounded at `m` entries; reduce is amortized O(1) (every
+  /** Misra-Gries summary over a stream of terms, carrying the exact total
+    * term count beside the counter map (the n the survival guarantee is
+    * stated against — free to track, saves a separate counting pass). The
+    * buffer map is bounded at `m` entries; reduce is amortized O(1) (every
     * decrement round removes mass added earlier). */
-  final class MisraGries(m: Int) extends Aggregator[String, mutable.HashMap[String, Long], Array[String]] {
-    def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
+  final class MisraGries(m: Int)
+      extends Aggregator[String, (mutable.HashMap[String, Long], Long), (Array[String], Long)] {
+    def zero: (mutable.HashMap[String, Long], Long) = (mutable.HashMap.empty, 0L)
 
-    def reduce(b: mutable.HashMap[String, Long], w: String): mutable.HashMap[String, Long] = {
+    def reduce(buf: (mutable.HashMap[String, Long], Long), w: String): (mutable.HashMap[String, Long], Long) = {
+      val b = buf._1
       b.get(w) match {
         case Some(c) => b.update(w, c + 1)
         case None if b.size < m => b.update(w, 1L)
@@ -48,11 +52,12 @@ object HeavyHitters {
           b.foreach { case (k, c) => if (c == 1L) dead += k else b.update(k, c - 1) }
           dead.foreach(b.remove)
       }
-      b
+      (b, buf._2 + 1)
     }
 
-    def merge(b1: mutable.HashMap[String, Long], b2: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
-      b2.foreach { case (k, c) => b1.update(k, b1.getOrElse(k, 0L) + c) }
+    def merge(buf1: (mutable.HashMap[String, Long], Long), buf2: (mutable.HashMap[String, Long], Long)): (mutable.HashMap[String, Long], Long) = {
+      val b1 = buf1._1
+      buf2._1.foreach { case (k, c) => b1.update(k, b1.getOrElse(k, 0L) + c) }
       if (b1.size > m) {
         // standard summary merge: subtract the (m+1)-th largest weight so at
         // most m survive; preserves the freq > n/(m+1) survival guarantee
@@ -61,16 +66,18 @@ object HeavyHitters {
         b1.foreach { case (k, c) => if (c - cut <= 0L) dead += k else b1.update(k, c - cut) }
         dead.foreach(b1.remove)
       }
-      b1
+      (b1, buf1._2 + buf2._2)
     }
 
-    def finish(b: mutable.HashMap[String, Long]): Array[String] = b.keys.toArray.sorted
-    def bufferEncoder: Encoder[mutable.HashMap[String, Long]] = Encoders.kryo
-    def outputEncoder: Encoder[Array[String]] = Encoders.kryo
+    def finish(b: (mutable.HashMap[String, Long], Long)): (Array[String], Long) =
+      (b._1.keys.toArray.sorted, b._2)
+    def bufferEncoder: Encoder[(mutable.HashMap[String, Long], Long)] = Encoders.kryo
+    def outputEncoder: Encoder[(Array[String], Long)] = Encoders.kryo
   }
 
-  /** Candidate terms from one distributed MG pass (≤ m strings). */
-  private[stats] def candidates(s: SparkSession, dir: String, m: Int): Array[String] = {
+  /** Candidate terms (≤ m strings) and the exact total term count from one
+    * distributed MG pass. */
+  private[stats] def candidates(s: SparkSession, dir: String, m: Int): (Array[String], Long) = {
     import s.implicits._
     Tables.documents(s, dir)
       .select(explode(split(col("text"), "\\s+")).as("w"))
@@ -82,7 +89,14 @@ object HeavyHitters {
   /** `stats_heavy_hitters`: exact top-20 corpus terms, sketch-pruned. */
   def heavyHitters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val cand = candidates(s, dir, Counters)
+    val (cand, total) = candidates(s, dir, Counters)
+    // degenerate guarantee failure: a distribution so flat that NO term
+    // cleared n/(m+1) — the sketch's decrement/trim rounds emptied it. An
+    // empty "top-k" over a non-empty corpus would be silently wrong; the
+    // row-level check below cannot fire on zero rows, so fail here.
+    require(cand.nonEmpty || total == 0,
+      s"heavy-hitters guarantee violated: the sketch retained no candidates " +
+        s"over $total terms (every count ≤ n/(m+1)); raise Counters")
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("n").desc, col("term"))
     Tables.documents(s, dir)
@@ -94,6 +108,14 @@ object HeavyHitters {
       .groupBy(col("term")).agg(count(lit(1)).as("n"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= TopK)
+      // runtime guarantee check: every emitted hitter's exact count must
+      // clear the n/(m+1) survival bar — only terms ABOVE it provably
+      // cannot be outranked by a non-candidate, so a violation means the
+      // "exact top-k" claim would be silently wrong for this corpus.
+      // assert_true raises at EXECUTION, after the exact counts exist.
+      .filter(assert_true(col("n") * (Counters + 1) > lit(total),
+        lit(s"heavy-hitters guarantee violated: a top-$TopK count is ≤ " +
+          s"n/(m+1) and a non-candidate could outrank it; raise Counters")).isNull)
       .orderBy(col("rk"))
   }
 

@@ -32,7 +32,11 @@ class EmptyInputSpec extends AnyFunSuite {
     "text_pack", "text_ngram_freq", "etl_zorder", "stats_histogram",
     "q14_skew_agg", "emb_project", "emb_normalize", "q10_cube", "text_bpe_vocab",
     "etl_zone_multi", "etl_ingest_bloom", "stats_heavy_hitters",
-    "text_domain_mix", "text_html_strip", "stream_neardup")
+    "text_domain_mix", "text_html_strip", "stream_neardup",
+    // the kmeans family trains a model from the corpus — an empty corpus
+    // must yield empty assignments, not a failed `require`
+    "emb_kmeans", "dedup_semantic", "dedup_embedding_cosine", "ann_ivf",
+    "dedup_incremental", "mm_phash_neardup")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {

@@ -68,6 +68,71 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got == Set(1L), s"point at the edge must match the straddling sliver, got $got")
   }
 
+  // --- pointInZones: the past-broadcast multipolygon path -----------------
+
+  /** A zone dim in the exact etl_zone_multi ring shape (main hexagon +
+    * satellite diamond), but at a cardinality no broadcast should carry —
+    * the census-blocks regime. Zones are laid out disjoint on a 50-wide
+    * grid. */
+  private def bigZones(n: Int) = {
+    val cx = (lit(-74.25) + (col("id") % 50).cast("double") * lit(0.02) + lit(0.01))
+    val cy = (lit(40.50) + floor(col("id") / 50).cast("double") * lit(0.012) + lit(0.004))
+    val rx = lit(0.006); val ry = lit(0.003); val sy = cy - ry - lit(0.002)
+    spark.range(n).select(col("id").as("zone_id"),
+      array(
+        array(cx + rx, cy, cx + rx / 2, cy + ry, cx - rx / 2, cy + ry,
+          cx - rx, cy, cx - rx / 2, cy - ry, cx + rx / 2, cy - ry),
+        array(cx + rx / 2, sy, cx, sy + lit(0.001), cx - rx / 2, sy,
+          cx, sy - lit(0.001))).as("rings"))
+  }
+
+  private def manyPoints(n: Int) =
+    spark.range(n).select(col("id").as("pid"),
+      (lit(-74.25) + (col("id") % 200).cast("double") * lit(0.005)).as("lng"),
+      (lit(40.50) + floor(col("id") / 200).cast("double") * lit(0.0019)).as("lat"))
+
+  test("pointInZones equals the broadcast multipolygon join on a large zone dim") {
+    graft.geo.GeoFunctions.register(spark)
+    val zs = bigZones(2000)
+    val pts = manyPoints(5000)
+    val viaBroadcast = pts.join(broadcast(zs),
+        graft.geo.GeoFunctions.pointInMultiPoly(col("lng"), col("lat"), col("rings")))
+      .select("pid", "zone_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaCells = RangeJoin.pointInZones(pts, zs, "lng", "lat")
+      .select("pid", "zone_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaCells == viaBroadcast,
+      s"missing=${viaBroadcast -- viaCells} extra=${viaCells -- viaBroadcast}")
+    assert(viaCells.nonEmpty, "the synthetic layout must produce assignments")
+  }
+
+  test("pointInZones plans as a cell equi-join with the exact residual, no NLJ") {
+    val plan = RangeJoin.pointInZones(manyPoints(5000), bigZones(2000), "lng", "lat")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"must not plan a nested loop:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("_cell"), "join key must be the cell id")
+    assert(plan.contains("point_in_multipolygon"),
+      "the exact ray cast must remain as the residual predicate")
+  }
+
+  test("pointInZones stays exact for points on cell edges and empty-ring zones") {
+    import spark.implicits._
+    // square zone [0, 0.08]²: contains the cell-edge point (0.05, 0.05)
+    // (cellDeg = 0.05 puts it in the next cell) and not (0.09, 0.01)
+    val zs = Seq((1L, Seq(Seq(0.0, 0.0, 0.08, 0.0, 0.08, 0.08, 0.0, 0.08)),
+        "square"),
+      (2L, Seq.empty[Seq[Double]], "empty"))
+      .toDF("zone_id", "rings", "name")
+      .select(col("zone_id"), col("rings").cast("array<array<double>>"), col("name"))
+    val pts = Seq((1L, 0.05, 0.05), (2L, 0.09, 0.01), (3L, 0.01, 0.01))
+      .toDF("pid", "lng", "lat")
+    val got = RangeJoin.pointInZones(pts, zs, "lng", "lat")
+      .select("pid", "zone_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 1L), (3L, 1L)), s"got $got")
+  }
+
   test("degenerate boxes (hi <= lo) yield empty results, not a runtime error") {
     import spark.implicits._
     val pts = Seq((1L, 0.5, 0.5)).toDF("pid", "lng", "lat")

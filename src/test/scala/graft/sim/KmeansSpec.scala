@@ -71,6 +71,33 @@ class KmeansSpec extends AnyFunSuite {
       s"pair mass must scale sub-quadratically: grew ${actual}× vs quadratic ${quadratic}×")
   }
 
+  test("an in-place same-size rewrite of the corpus retrains the model") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmeans_fp").toString
+    def write(seed: Double): Unit =
+      spark.range(40).select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(Kmeans.Dim)),
+          d => sin(col("id") * d.cast("double") * seed)).as("embedding"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    write(0.37)
+    val before = Kmeans.embKmeans(spark, dir).collect().map(_.toString).toSeq
+    // same path, same row count, same byte-ish size — only the values move
+    write(0.61)
+    val after = Kmeans.embKmeans(spark, dir).collect().map(_.toString).toSeq
+    assert(before != after,
+      "rewritten data at the same path must retrain centroids, not serve the stale model")
+  }
+
+  test("empty corpus: the kmeans family returns schema-complete empty frames") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmeans_empty").toString
+    graft.Tables.embeddings(spark, sf).limit(0)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val km = Kmeans.embKmeans(spark, dir)
+    assert(km.columns.toSeq == Seq("vec_id", "cluster", "cos_center") && km.count() == 0)
+    assert(Kmeans.semanticDedup(spark, dir).count() == 0)
+    assert(AnnIvf.annTopkIvf(spark, dir).count() == 0)
+  }
+
   test("assignment is map-side: no join anywhere in the final plan") {
     val p = Kmeans.embKmeans(spark, sf).queryExecution.executedPlan.toString
     assert(!p.toLowerCase.contains("join"), "assignment must be a broadcast-literal projection")

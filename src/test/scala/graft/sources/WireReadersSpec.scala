@@ -53,15 +53,20 @@ object FakeWire {
     }
   }
 
-  /** Scripted batch-job lifecycle: submit → job id; polls walk `statuses`. */
+  /** Scripted batch-job lifecycle: POST submit → job id; GET polls walk
+    * `statuses`. Records the submitted body for wire-shape assertions. */
   class BatchHttp(statuses: Seq[String]) extends WireReaders.Http {
     val polls = new AtomicInteger(0)
-    def get(url: String, params: Map[String, String]): String =
-      if (params.contains("query")) """{"job_id": "job-42"}"""
-      else {
-        val i = polls.getAndIncrement()
-        s"""{"status": "${statuses(math.min(i, statuses.size - 1))}"}"""
-      }
+    @volatile var postedUrl: String = _
+    @volatile var postedBody: String = _
+    override def post(url: String, body: String): String = {
+      postedUrl = url; postedBody = body
+      """{"job_id": "job-42"}"""
+    }
+    def get(url: String, params: Map[String, String]): String = {
+      val i = polls.getAndIncrement()
+      s"""{"status": "${statuses(math.min(i, statuses.size - 1))}"}"""
+    }
   }
 }
 
@@ -157,9 +162,15 @@ class WireReadersSpec extends AnyFunSuite {
 
   test("batch job polling: pending/running then done; failed throws; bounded") {
     val http = new FakeWire.BatchHttp(Seq("pending", "running", "done"))
-    val id = WireReaders.startBatchJob(http, "https://carto.example/batch", "mk",
-      Seq("UPDATE t SET x = 1"))
+    val queries = Seq("UPDATE t SET x = 1", "UPDATE t SET note = 'it''s \"quoted\"'")
+    val id = WireReaders.startBatchJob(http, "https://carto.example/batch", "mk", queries)
     assert(id == "job-42")
+    // the submit must be a POST whose body is the reference's exact
+    // {"query": [...]} wire shape (main.py:556-610), key on the URL
+    assert(http.postedUrl == "https://carto.example/batch?api_key=mk")
+    val posted = new com.fasterxml.jackson.databind.ObjectMapper().readTree(http.postedBody)
+    assert(posted.get("query").isArray && posted.get("query").size == 2)
+    assert((0 until 2).map(posted.get("query").get(_).asText) == queries)
     var slept = 0
     assert(WireReaders.waitBatchJob(http, "b", "mk", id, maxPolls = 10,
       sleep = () => slept += 1) == "done")

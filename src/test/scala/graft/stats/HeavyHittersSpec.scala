@@ -19,12 +19,30 @@ class HeavyHittersSpec extends AnyFunSuite {
     // deterministic interleave so heavies and junk mix across partitions
     val shuffled = stream.zipWithIndex
       .sortBy { case (_, i) => (i * 2654435761L) % 1048576 }.map(_._1)
-    val got = spark.createDataset(shuffled).repartition(8)
+    val (got, total) = spark.createDataset(shuffled).repartition(8)
       .select(new HeavyHitters.MisraGries(256).toColumn).head()
     assert(got.length <= 256, s"summary must stay bounded, got ${got.length}")
+    assert(total == stream.length.toLong, "the sketch must carry the exact stream length")
     (0 until 30).foreach { i =>
       assert(got.contains(s"hh_$i"), s"heavy hitter hh_$i evicted — guarantee broken")
     }
+  }
+
+  test("a flat distribution trips the runtime n/(m+1) guarantee check") {
+    // 3000 distinct terms, every count 1: the 20th "hitter" (count 1) sits
+    // far below n/(m+1) ≈ 11.7, so exact top-k is NOT provable from the
+    // sketch — the query must fail loudly, not return a plausible wrong list
+    val dir = java.nio.file.Files.createTempDirectory("graft_hh_flat").toString
+    spark.range(300).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 10).map(j => concat(lit(s"w${j}_"), col("id"))): _*).as("text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[Exception] {
+      HeavyHitters.heavyHitters(spark, dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("raise Counters")),
+      s"expected the guarantee message, got: ${messages(e)}")
   }
 
   test("sketch-pruned heavy hitters equal the exact vocabulary-wide top-k") {
