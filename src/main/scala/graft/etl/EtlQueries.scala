@@ -58,6 +58,13 @@ object EtlQueries {
     // capacity from the actual key count (a hardcoded capacity saturates at
     // scale — fpp → 1 and the prefilter silently stops pruning); the count
     // is one cheap agg over the already-window-pruned keys.
+    // Deliberately NOT folded into the sketch pass: a Bloom filter's bit
+    // array must be sized BEFORE keys are added, so a one-pass build needs
+    // a capacity guess — and the only safe guess (the table's metadata row
+    // count, an upper bound over the window-pruned keys) sizes the bitmap
+    // for all of history: at warehouse scale that turns a few-MB broadcast
+    // into a multi-GB one. Two passes over one pruned int64 column is the
+    // cheaper side of that trade at every scale factor.
     // stat.bloomFilter NPEs on a 0-row frame (its aggregate yields null
     // bytes); an empty filter (rejects everything → all rows definitely
     // new) is the correct degenerate sketch
