@@ -14,6 +14,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational.CoreQueries.queries ++ etl.EtlQueries.queries ++
       text.TextQueries.queries ++ text.PiiScrub.queries ++ text.BpeTrain.queries ++
+      text.CorpusPipeline.queries ++
       dedup.DedupQueries.queries ++
       dedup.MinHashLsh.queries ++ dedup.SimHash.queries ++
       dedup.DedupClusters.queries ++ dedup.IncrementalNearDup.queries ++
@@ -30,7 +31,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     relational.CoreQueries.oracles ++ etl.EtlQueries.oracles ++
-      text.TextQueries.oracles ++ text.PiiScrub.oracles ++ dedup.DedupQueries.oracles ++
+      text.TextQueries.oracles ++ text.PiiScrub.oracles ++
+      text.CorpusPipeline.oracles ++ dedup.DedupQueries.oracles ++
       dedup.DedupClusters.oracles ++
       sim.SimQueries.oracles ++ sim.AnnIvf.oracles ++ sim.Kmeans.oracles ++
       multimodal.MultimodalQueries.oracles ++

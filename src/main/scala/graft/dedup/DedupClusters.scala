@@ -80,18 +80,27 @@ object DedupClusters {
        |FROM d a JOIN d b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
        |WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.10""".stripMargin
 
+  /** The cluster-resolution CTE chain (relations `d` with per-doc shingles
+    * and `clust` with doc_id → canonical) — shared by the `dedup_clusters`
+    * oracle and the pipeline attrition report so the two cannot drift. Must
+    * follow a `WITH RECURSIVE`. */
+  private[graft] val clustersCteSql: String =
+    s"""d AS (SELECT doc_id, lang, (n_chars // 100) AS lb, ${DedupQueries.shinglesSql} AS sh FROM documents),
+       |pairs AS ($pairsSql),
+       |edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION ALL SELECT b_id, a_id FROM pairs),
+       |reach(u, v) AS (
+       | SELECT u, v FROM edges
+       | UNION
+       | SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |nodes AS (SELECT DISTINCT u FROM edges),
+       |clust AS (
+       | SELECT n.u AS doc_id, least(n.u, min(r.v)) AS canonical
+       | FROM nodes n JOIN reach r ON r.u = n.u
+       | GROUP BY n.u)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_clusters" ->
       s"""WITH RECURSIVE
-         |d AS (SELECT doc_id, lang, (n_chars // 100) AS lb, ${DedupQueries.shinglesSql} AS sh FROM documents),
-         |pairs AS ($pairsSql),
-         |edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION ALL SELECT b_id, a_id FROM pairs),
-         |reach(u, v) AS (
-         | SELECT u, v FROM edges
-         | UNION
-         | SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-         |nodes AS (SELECT DISTINCT u FROM edges)
-         |SELECT n.u AS doc_id, least(n.u, min(r.v)) AS canonical
-         |FROM nodes n JOIN reach r ON r.u = n.u
-         |GROUP BY n.u ORDER BY doc_id""".stripMargin)
+         |$clustersCteSql
+         |SELECT doc_id, canonical FROM clust ORDER BY doc_id""".stripMargin)
 }

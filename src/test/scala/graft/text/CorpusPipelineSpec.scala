@@ -36,6 +36,28 @@ class CorpusPipelineSpec extends AnyFunSuite {
       retrievalSep.collect().map(_.toString).toSeq)
   }
 
+  test("attrition report telescopes and reconciles with the pipeline it describes") {
+    val rep = CorpusPipeline.pipelineReport(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rep.map(_._2).toSeq == Seq("1_quality", "2_exact_dedup", "3_neardup",
+      "4_decontaminate", "5_sample"), "five ordered stage rows")
+    // stage 1 sees the whole corpus
+    assert(rep.head._3 == Tables.documents(spark, sf).count())
+    // telescoping: every stage's output is the next stage's input
+    rep.sliding(2).foreach { case Array(a, b) =>
+      assert(a._5 == b._3, s"n_out(${a._2}) must equal n_in(${b._2})")
+    }
+    // arithmetic: n_out = n_in - n_dropped, nothing negative
+    rep.foreach { case (_, st, in, drop, out) =>
+      assert(out == in - drop && drop >= 0 && out >= 0, s"stage $st inconsistent")
+    }
+    // the report's survivor count IS the pipeline's output size
+    assert(rep.last._5 == CorpusPipeline.cleaned(spark, sf).count(),
+      "n_out of the last stage must equal |cleaned|")
+    // and the gates actually cut something on this corpus
+    assert(rep.map(_._4).sum > 0, "at least one stage must drop documents")
+  }
+
   test("corpus build composes the verified stages with the expected cuts") {
     val corpus = CorpusPipeline.build(spark, sf).cache()
     try {
