@@ -62,9 +62,36 @@ object MultimodalQueries {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** #30d Frame-overlap video near-dup: pairs of "videos" sharing at least
+    * `MinSharedFrames` sampled-frame content digests (a shared frame is
+    * tens of identical content bytes — already strong evidence; the
+    * emitted count lets consumers apply a stricter cut) — the frame-level
+    * complement to `mm_phash_neardup`'s whole-payload fingerprint (same
+    * footage re-cut or re-containered shares frames even when the payload
+    * bytes diverge). Per-doc digests are DISTINCT first (a video repeating
+    * a frame internally must not inflate the pair count), then the
+    * self-join keys on the digest — uniform md5 keys, only genuinely
+    * matching frames ever join, no all-pairs scan. With a real decoder the
+    * digest becomes a per-frame perceptual hash; the join shape is
+    * unchanged. */
+  val MinSharedFrames = 1L
+
+  def frameOverlap(s: SparkSession, dir: String): DataFrame = {
+    val frames = frameSample(s, dir).select(col("doc_id"), col("frame_digest")).distinct()
+    val a = frames.select(col("doc_id").as("a_id"), col("frame_digest"))
+    val b = frames.select(col("doc_id").as("b_id"), col("frame_digest"))
+    a.join(b, "frame_digest")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= MinSharedFrames)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (binaryMeta _),
-    "mm_frame_sample" -> (frameSample _))
+    "mm_frame_sample" -> (frameSample _),
+    "mm_frame_overlap" -> (frameOverlap _))
 
   val oracles: Map[String, String] = Map(
     "mm_binary_meta" ->
@@ -75,18 +102,33 @@ object MultimodalQueries {
         | CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
-      s"""WITH v AS (
-         | SELECT doc_id, text, length(text)::BIGINT AS chars, 8 + doc_id % 25 AS n_frames
-         | FROM documents WHERE doc_id % 3 = 2),
-         |f AS (
-         | SELECT doc_id, text, chars, n_frames, unnest(range(0, n_frames, $Stride)) AS frame_idx
-         | FROM v),
-         |g AS (
-         | SELECT doc_id, frame_idx, n_frames, text,
-         |  1 + (frame_idx * chars) // n_frames AS start_pos,
-         |  ((frame_idx + 1) * chars) // n_frames AS end_pos
-         | FROM f)
+      s"""WITH $frameCteSql
          |SELECT doc_id, frame_idx, n_frames, start_pos, end_pos,
          | md5(substr(text, start_pos::INT, greatest(0, end_pos - start_pos + 1)::INT)) AS frame_digest
-         |FROM g ORDER BY doc_id, frame_idx""".stripMargin)
+         |FROM g ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_frame_overlap" ->
+      s"""WITH $frameCteSql,
+         |fd AS (SELECT DISTINCT doc_id,
+         |  md5(substr(text, start_pos::INT, greatest(0, end_pos - start_pos + 1)::INT)) AS digest
+         | FROM g)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*)::BIGINT AS shared_frames
+         |FROM fd a JOIN fd b ON a.digest = b.digest AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= $MinSharedFrames
+         |ORDER BY a_id, b_id""".stripMargin)
+
+  /** The sampled-frame CTE (relation `g`: doc_id, frame_idx, n_frames,
+    * start/end positions, text) shared by the mm_frame_sample and
+    * mm_frame_overlap oracles so the frame geometry cannot drift. */
+  private def frameCteSql: String =
+    s"""v AS (
+       | SELECT doc_id, text, length(text)::BIGINT AS chars, 8 + doc_id % 25 AS n_frames
+       | FROM documents WHERE doc_id % 3 = 2),
+       |f AS (
+       | SELECT doc_id, text, chars, n_frames, unnest(range(0, n_frames, $Stride)) AS frame_idx
+       | FROM v),
+       |g AS (
+       | SELECT doc_id, frame_idx, n_frames, text,
+       |  1 + (frame_idx * chars) // n_frames AS start_pos,
+       |  ((frame_idx + 1) * chars) // n_frames AS end_pos
+       | FROM f)""".stripMargin
 }

@@ -36,7 +36,8 @@ class EmptyInputSpec extends AnyFunSuite {
     // the kmeans family trains a model from the corpus — an empty corpus
     // must yield empty assignments, not a failed `require`
     "emb_kmeans", "dedup_semantic", "dedup_embedding_cosine", "ann_ivf",
-    "dedup_incremental", "mm_phash_neardup")
+    "dedup_incremental", "mm_phash_neardup", "mm_frame_overlap",
+    "text_pipeline_report")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {
