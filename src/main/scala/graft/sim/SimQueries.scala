@@ -34,10 +34,48 @@ object SimQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** #24b Hard-negative mining for contrastive training (the DPR-style
+    * recipe, arXiv:2004.04906: the negatives that teach an embedding model
+    * the most are nearest neighbors that are NOT semantically equivalent to
+    * the anchor). The trained kmeans cells provide the semantic-equivalence
+    * blocks: per anchor, the top-k highest-cosine vectors from OTHER
+    * clusters are emitted. Candidates are scored map-side against the
+    * broadcast anchor set (no corpus shuffle before the per-anchor k-row
+    * reduction), and the cluster exclusion reuses the same memoized model
+    * every other kmeans consumer shares — the oracle replays the identical
+    * Lloyd chain, so the query is fully hash-checked. */
+  val HardNegK = 5
+
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
+    val asgn = Kmeans.assignments(s, dir)
+    val q = asgn.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("cluster").as("q_cluster"), col("emb").as("q_emb"))
+    val c = asgn.select(col("vec_id").as("n_id"), col("cluster").as("n_cluster"), col("emb").as("n_emb"))
+    val scored = c.join(broadcast(q), col("q_cluster") =!= col("n_cluster"))
+      .withColumn("cosine", round(cosine(col("q_emb"), col("n_emb")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= HardNegK)
+      .select("q_id", "n_id", "rank", "cosine")
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ann_topk_brute" -> (annTopkBrute _))
+    "ann_topk_brute" -> (annTopkBrute _),
+    "emb_hard_negatives" -> (hardNegatives _))
 
   val oracles: Map[String, String] = Map(
+    "emb_hard_negatives" ->
+      s"""WITH ${Kmeans.chainSql},
+         |scored AS (
+         | SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |  round(${cosineSql("q.emb", "c.emb")}, 4) AS cosine
+         | FROM asgn q JOIN asgn c ON q.vec_id < 10 AND q.cluster != c.cluster)
+         |SELECT q_id, n_id, rank, cosine FROM (
+         | SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+         | FROM scored) t
+         |WHERE rank <= $HardNegK ORDER BY q_id, rank""".stripMargin,
     "ann_topk_brute" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
          |scored AS (
