@@ -81,16 +81,18 @@ object IncrementalNearDup {
 
   /** Store build memoized per corpus dir, like any offline warehouse
     * artifact (the Kmeans centroid-cache pattern): several queries in one
-    * session share the store; `clearStoreCache()` invalidates. The store
-    * content is deterministic, so a rebuild could only produce the same
-    * bytes. */
+    * session share the store; `clearStoreCache()` invalidates. The key
+    * carries the documents table's content fingerprint (TableFingerprint —
+    * same contract as the centroid cache), so a rewritten corpus at the
+    * same path rebuilds instead of serving stale signatures. */
   private val storeCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
 
   def clearStoreCache(): Unit = storeCache.clear()
 
-  private def storeFor(s: SparkSession, dir: String): (Long, String) =
-    storeCache.computeIfAbsent(dir, _ => {
+  private def storeFor(s: SparkSession, dir: String): (Long, String) = {
+    val fp = graft.sources.TableFingerprint.of(s, s"$dir/documents.parquet")
+    storeCache.computeIfAbsent(s"$dir#$fp", _ => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val maxId = Option(docs.agg(max(col("doc_id"))).head.get(0))
         .map(_.asInstanceOf[Long]).getOrElse(-1L)
@@ -100,6 +102,7 @@ object IncrementalNearDup {
       buildStore(docs.filter(col("doc_id") < split), path)
       (split, path)
     })
+  }
 
   /** `dedup_incremental`: the new batch deduped against the persisted
     * store. Rows-only for the driver (MinHash is not SQL-expressible); the

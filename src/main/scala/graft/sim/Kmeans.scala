@@ -76,15 +76,8 @@ object Kmeans {
 
   def clearCache(): Unit = centroidCache.clear()
 
-  /** File-level fingerprint of the embeddings table. A listing, not a data
-    * scan — the same check a table format does against its snapshot id. */
-  private def contentKey(s: SparkSession, dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).filter(_.isFile).sortBy(_.getPath.getName)
-      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-      .mkString(",")
-  }
+  private def contentKey(s: SparkSession, dir: String): String =
+    graft.sources.TableFingerprint.of(s, s"$dir/embeddings.parquet")
 
   private def trainedCentroids(s: SparkSession, dir: String, iters: Int,
       e: DataFrame): Array[Array[Double]] = {

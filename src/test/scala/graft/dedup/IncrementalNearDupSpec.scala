@@ -61,6 +61,32 @@ class IncrementalNearDupSpec extends AnyFunSuite {
       "the batch banding must be computed once and cached, not re-sketched per consumer")
   }
 
+  test("a rewritten corpus at the same path rebuilds the store (content key)") {
+    val dirPath = java.nio.file.Files.createTempDirectory("graft_incr_fp")
+    val dir = dirPath.toString
+    val mk = (tag: String) => (0L until 20L).map(i => (i, (0 until 80)
+      .map(j => s"$tag${i % 4}_$j").mkString(" ")))
+    docsDf(mk("alpha")).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val before = graft.SparkEntry.queries("dedup_incremental")(spark, dir).collect()
+      .map(_.toString).toSeq
+    CacheRegistry.releaseAll()
+    // same path, same row count — only content changes; the store must
+    // retrain, not serve alpha signatures against beta docs
+    docsDf(mk("beta")).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val after = graft.SparkEntry.queries("dedup_incremental")(spark, dir).collect()
+      .map(_.toString).toSeq
+    CacheRegistry.releaseAll()
+    // both corpora have 4 near-identical doc groups spanning the 16/4 split,
+    // so both runs find pairs — but against THEIR OWN store
+    assert(before.nonEmpty && after.nonEmpty)
+    val batchVsScratch = StreamNearDup.nearDupBatch(spark, dir)
+      .filter(col("doc_id") >= IncrementalNearDup.splitId(19L)).collect()
+      .map(_.toString).toSeq
+    CacheRegistry.releaseAll()
+    assert(after == batchVsScratch,
+      "post-rewrite incremental must match from-scratch on the NEW corpus")
+  }
+
   test("cross-batch, intra-batch, and appended-store dups all surface") {
     // varied vocabulary → a large distinct-shingle set, so a small suffix
     // edit keeps true Jaccard ≈ 0.95 and the K=64 estimate far above 0.5
