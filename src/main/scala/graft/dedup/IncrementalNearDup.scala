@@ -92,7 +92,22 @@ object IncrementalNearDup {
 
   private def storeFor(s: SparkSession, dir: String): (Long, String) = {
     val fp = graft.sources.TableFingerprint.of(s, s"$dir/documents.parquet")
-    storeCache.computeIfAbsent(s"$dir#$fp", _ => {
+    val key = s"$dir#$fp"
+    // evict stores superseded by a corpus rewrite (fingerprint changed) —
+    // entry AND on-disk signatures, so a long-lived session doesn't
+    // accumulate one orphaned store per rewrite
+    val it = storeCache.keySet().iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      if (k != key && k.startsWith(dir + "#")) {
+        val old = storeCache.remove(k)
+        if (old != null) {
+          val p = new org.apache.hadoop.fs.Path(old._2)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+      }
+    }
+    storeCache.computeIfAbsent(key, _ => {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val maxId = Option(docs.agg(max(col("doc_id"))).head.get(0))
         .map(_.asInstanceOf[Long]).getOrElse(-1L)

@@ -44,7 +44,12 @@ object MultimodalQueries {
     * scan → project → generate with no shuffle. */
   val Stride = 4L
 
-  def frameSample(s: SparkSession, dir: String): DataFrame = {
+  /** Sampled frames WITHOUT the presentation sort — the shared producer:
+    * frameSample adds the global orderBy for its own output contract;
+    * frameOverlap consumes the unsorted rows (its distinct/join would
+    * destroy the sort anyway, so paying the range-partition Exchange there
+    * would be pure waste). */
+  private def sampledFrames(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir)
       .filter(col("doc_id") % 3 === 2)
       .select(col("doc_id"), col("text"),
@@ -59,8 +64,10 @@ object MultimodalQueries {
         md5(expr("substring(text, int(start_pos), int(greatest(0, end_pos - start_pos + 1)))")))
       .select(col("doc_id"), col("frame_idx"), col("n_frames"),
         col("start_pos"), col("end_pos"), col("frame_digest"))
-      .orderBy(col("doc_id"), col("frame_idx"))
   }
+
+  def frameSample(s: SparkSession, dir: String): DataFrame =
+    sampledFrames(s, dir).orderBy(col("doc_id"), col("frame_idx"))
 
   /** #30d Frame-overlap video near-dup: pairs of "videos" sharing at least
     * `MinSharedFrames` sampled-frame content digests (a shared frame is
@@ -77,7 +84,7 @@ object MultimodalQueries {
   val MinSharedFrames = 1L
 
   def frameOverlap(s: SparkSession, dir: String): DataFrame = {
-    val frames = frameSample(s, dir).select(col("doc_id"), col("frame_digest")).distinct()
+    val frames = sampledFrames(s, dir).select(col("doc_id"), col("frame_digest")).distinct()
     val a = frames.select(col("doc_id").as("a_id"), col("frame_digest"))
     val b = frames.select(col("doc_id").as("b_id"), col("frame_digest"))
     a.join(b, "frame_digest")

@@ -31,11 +31,19 @@ object PhashNearDup {
     * four 16-bit bands. */
   val MaxHamming = 3
 
+  /** Payloads shorter than the fingerprint window carry no 4-grams — PHash64
+    * maps them all to 0, which would pair every tiny/empty payload with
+    * every other at Hamming 0. They are excluded: "too small to assess
+    * similarity" is the honest verdict, same as an image decoder rejecting
+    * a truncated file. */
+  val MinPayloadBytes = 4L
+
   def phashPairs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.HashExprs.register(s)
     // payload: the UTF-8 bytes stand in for media bytes (no media libs in
     // this container) — same convention as mm_binary_meta
     val media = Tables.documents(s, dir)
+      .filter(octet_length(encode(col("text"), "UTF-8")) >= MinPayloadBytes)
       .select(col("doc_id"),
         graft.functions.HashExprs.phash64(encode(col("text"), "UTF-8")).as("phash"))
       .repartition(col("doc_id")) // barrier: keep one phash eval per row

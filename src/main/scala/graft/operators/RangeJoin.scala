@@ -27,9 +27,6 @@ object RangeJoin {
       south: String = "south", north: String = "north",
       cellDeg: Double = 0.05): DataFrame = {
 
-    def cellOf(l: Column, b: Column): Column =
-      floor(l / cellDeg).cast("long") * 100000L + floor(b / cellDeg).cast("long")
-
     val cellRange = (lo: String, hi: String) => {
       val start = floor(col(lo) / cellDeg).cast("long")
       // Emit cells [floor(lo/c), floor(hi/c)] — a PROVABLE superset of the
@@ -45,6 +42,9 @@ object RangeJoin {
       sequence(start, greatest(start, stop))
     }
 
+    // join on the (x, y) cell index PAIR, not a folded composite long — a
+    // folded key collides once a box spans more cells than the fold stride
+    // (possible for small cellDeg), silently duplicating matches
     val boxCells = boxes
       // degenerate boxes (hi <= lo) match nothing under the exact half-open
       // predicate; drop them BEFORE exploding — sequence(start, stop) with
@@ -53,15 +53,15 @@ object RangeJoin {
       .filter(col(east) > col(west) && col(north) > col(south))
       .withColumn("_cx", explode(cellRange(west, east)))
       .withColumn("_cy", explode(cellRange(south, north)))
-      .withColumn("_cell", col("_cx") * 100000L + col("_cy"))
-      .drop("_cx", "_cy")
 
-    val keyedPoints = points.withColumn("_cell", cellOf(col(lng), col(lat)))
+    val keyedPoints = points
+      .withColumn("_cx", floor(col(lng) / cellDeg).cast("long"))
+      .withColumn("_cy", floor(col(lat) / cellDeg).cast("long"))
 
-    keyedPoints.join(boxCells, "_cell")
+    keyedPoints.join(boxCells, Seq("_cx", "_cy"))
       .filter(col(lng) >= col(west) && col(lng) < col(east) &&
         col(lat) >= col(south) && col(lat) < col(north))
-      .drop("_cell")
+      .drop("_cx", "_cy")
   }
 
   /** Containment join of points against MULTIPOLYGON zones — the
@@ -108,20 +108,21 @@ object RangeJoin {
       val stop = floor(hi / cellDeg).cast("long")
       sequence(start, greatest(start, stop))
     }
+    // join on the (x, y) cell index PAIR (see pointInBox: a folded
+    // composite long collides for small cellDeg and duplicates matches)
     val zoneCells = boxes
       .withColumn("_cx", explode(cellRange(col("_w"), col("_e"))))
       .withColumn("_cy", explode(cellRange(col("_s"), col("_n"))))
-      .withColumn("_cell", col("_cx") * 100000L + col("_cy"))
-      .drop("_cx", "_cy", "_w", "_e", "_s", "_n")
+      .drop("_w", "_e", "_s", "_n")
 
-    val keyedPoints = points.withColumn("_cell",
-      floor(col(lng) / cellDeg).cast("long") * 100000L +
-        floor(col(lat) / cellDeg).cast("long"))
+    val keyedPoints = points
+      .withColumn("_cx", floor(col(lng) / cellDeg).cast("long"))
+      .withColumn("_cy", floor(col(lat) / cellDeg).cast("long"))
 
     // a point has exactly ONE cell and a zone emits each covering cell
     // once, so no (point, zone) pair can duplicate — no distinct needed
-    keyedPoints.join(zoneCells, "_cell")
+    keyedPoints.join(zoneCells, Seq("_cx", "_cy"))
       .filter(graft.geo.GeoFunctions.pointInMultiPoly(col(lng), col(lat), col(rings)))
-      .drop("_cell")
+      .drop("_cx", "_cy")
   }
 }

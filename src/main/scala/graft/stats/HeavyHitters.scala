@@ -106,18 +106,36 @@ object HeavyHitters {
       // replaced by a broadcast-semi prune + a ≤m-key aggregation
       .join(broadcast(cand.toSeq.toDF("term")), Seq("term"), "left_semi")
       .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      // global candidate stats for the completeness check below — the
+      // unpartitioned window runs over ≤ m rows, not the corpus
+      .withColumn("_cand_terms", count(lit(1)).over(wAll))
+      .withColumn("_cand_mass", sum(col("n")).over(wAll))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= TopK)
-      // runtime guarantee check: every emitted hitter's exact count must
-      // clear the n/(m+1) survival bar — only terms ABOVE it provably
-      // cannot be outranked by a non-candidate, so a violation means the
-      // "exact top-k" claim would be silently wrong for this corpus.
-      // assert_true raises at EXECUTION, after the exact counts exist.
+      // runtime guarantee checks (assert_true raises at EXECUTION, once the
+      // exact counts exist):
+      // (a) every emitted hitter's exact count must clear the n/(m+1)
+      //     survival bar — only terms ABOVE it provably cannot be outranked
+      //     by a non-candidate;
       .filter(assert_true(col("n") * (Counters + 1) > lit(total),
         lit(s"heavy-hitters guarantee violated: a top-$TopK count is ≤ " +
           s"n/(m+1) and a non-candidate could outrank it; raise Counters")).isNull)
+      // (b) completeness: fewer than TopK candidates while non-candidate
+      //     terms exist (candidate mass < total) means ranks beyond the
+      //     candidate list belong to terms the sketch lost — the "top-k"
+      //     would be silently truncated, not exact
+      .filter(assert_true(
+        col("_cand_terms") >= TopK || col("_cand_mass") === lit(total),
+        lit(s"heavy-hitters guarantee violated: the sketch kept fewer than " +
+          s"$TopK candidate terms while unseen vocabulary remains; raise Counters")).isNull)
+      .drop("_cand_terms", "_cand_mass")
       .orderBy(col("rk"))
   }
+
+  private def wAll = org.apache.spark.sql.expressions.Window
+    .partitionBy()
+    .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_heavy_hitters" -> (heavyHitters _))

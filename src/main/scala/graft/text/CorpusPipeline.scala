@@ -169,7 +169,10 @@ object CorpusPipeline {
       .agg(count(lit(1)).as("n"), sum(col("n_words")).as("wsum"))
     val stages = Seq((1L, "1_quality"), (2L, "2_exact_dedup"), (3L, "3_neardup"),
       (4L, "4_decontaminate"), (5L, "5_sample")).toDF("stage_ord", "stage")
-    val total = verdicts.agg(count(lit(1)).as("total_docs"))
+    // total = |documents| (every doc gets exactly one verdict) — counted
+    // off the raw table, NOT verdicts, which would re-run the whole
+    // sketch/cluster subtree a second time just to count its rows
+    val total = Tables.documents(s, dir).agg(count(lit(1)).as("total_docs"))
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("stage_ord"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     stages.join(counts, Seq("stage"), "left")

@@ -39,7 +39,7 @@ class RangeJoinSpec extends AnyFunSuite {
     val plan = RangeJoin.pointInBox(points, zones, "lng", "lat")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("NestedLoop"), s"must not plan a nested loop:\n$plan")
-    assert(plan.contains("_cell"), "join key must be the cell id")
+    assert(plan.contains("_cx") && plan.contains("_cy"), "join keys must be the cell indices")
   }
 
   test("boxes straddling many cells and points on cell boundaries stay exact") {
@@ -112,7 +112,7 @@ class RangeJoinSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("NestedLoop"), s"must not plan a nested loop:\n$plan")
     assert(!plan.contains("CartesianProduct"))
-    assert(plan.contains("_cell"), "join key must be the cell id")
+    assert(plan.contains("_cx") && plan.contains("_cy"), "join keys must be the cell indices")
     assert(plan.contains("point_in_multipolygon"),
       "the exact ray cast must remain as the residual predicate")
   }
@@ -131,6 +131,21 @@ class RangeJoinSpec extends AnyFunSuite {
     val got = RangeJoin.pointInZones(pts, zs, "lng", "lat")
       .select("pid", "zone_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 1L), (3L, 1L)), s"got $got")
+  }
+
+  test("tiny cellDeg with a wide zone yields no duplicate matches (no key fold collision)") {
+    import spark.implicits._
+    // at cellDeg = 1e-3 this zone's bbox spans >2000 lat cells; a folded
+    // composite cell id (cx * stride + cy) would collide across rows and
+    // duplicate (point, zone) matches — the pair join must emit each once
+    val zs = Seq((1L, Seq(Seq(0.0, 0.0, 3.0, 0.0, 3.0, 3.0, 0.0, 3.0))))
+      .toDF("zone_id", "rings")
+      .select(col("zone_id"), col("rings").cast("array<array<double>>"))
+    val pts = Seq((1L, 1.5, 1.5), (2L, 2.9, 0.1), (3L, 3.5, 1.0))
+      .toDF("pid", "lng", "lat")
+    val got = RangeJoin.pointInZones(pts, zs, "lng", "lat", cellDeg = 1e-3)
+      .select("pid", "zone_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.sorted == Seq((1L, 1L), (2L, 1L)), s"got $got")
   }
 
   test("degenerate boxes (hi <= lo) yield empty results, not a runtime error") {

@@ -45,6 +45,27 @@ class HeavyHittersSpec extends AnyFunSuite {
       s"expected the guarantee message, got: ${messages(e)}")
   }
 
+  test("a truncated candidate list over unexhausted vocabulary trips the completeness check") {
+    // 5 moderately-heavy terms (above n/(m+1)) + a large flat tail: the
+    // merge trims kill every singleton, leaving ~5 candidates — all of
+    // which clear the per-row bar, so check (a) passes. But a "top-20"
+    // with ~5 rows over a corpus holding thousands of unseen terms is
+    // silently truncated — check (b) must fail loudly.
+    val dir = java.nio.file.Files.createTempDirectory("graft_hh_trunc").toString
+    val heavy = (0 until 5).flatMap(i => Seq.fill(300)(s"heavy_$i"))
+    val tail = (0 until 3000).map(i => s"tail_$i")
+    val words = (heavy ++ tail).zipWithIndex
+      .sortBy { case (_, i) => (i * 2654435761L) % 1048576 }.map(_._1)
+    spark.createDataset(words.grouped(25).map(_.mkString(" ")).toSeq)
+      .toDF("text").selectExpr("monotonically_increasing_id() AS doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[Exception] { HeavyHitters.heavyHitters(spark, dir).collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("raise Counters")),
+      s"expected the completeness message, got: ${messages(e)}")
+  }
+
   test("sketch-pruned heavy hitters equal the exact vocabulary-wide top-k") {
     val exact = Tables.documents(spark, sf)
       .select(explode(split(col("text"), "\\s+")).as("term"))
