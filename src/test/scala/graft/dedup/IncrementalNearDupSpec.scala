@@ -61,6 +61,52 @@ class IncrementalNearDupSpec extends AnyFunSuite {
       "the batch banding must be computed once and cached, not re-sketched per consumer")
   }
 
+  test("foreachBatch ingest loop: stream dedups against the growing store ≡ from-scratch") {
+    // the full production loop the operator exists for: docs ARRIVE as a
+    // stream; every micro-batch is (1) deduped against the persisted store,
+    // (2) folded into it — so the union of per-batch pairs must equal the
+    // from-scratch batch twin over everything that arrived
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamNearDup.Doc
+    val base = (0 until 120).map(i => s"word$i").mkString(" ")
+    val all = Seq(
+      0L -> base, 1L -> (0 until 120).map(i => s"alt$i").mkString(" "),
+      10L -> (base + " tail one"), 11L -> (0 until 120).map(i => s"beta$i").mkString(" "),
+      20L -> (base + " tail two"), 21L -> ((0 until 120).map(i => s"beta$i").mkString(" ") + " coda"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_incr_stream")
+      .resolve("sigstore").toString
+    IncrementalNearDup.buildStore(docsDf(Seq.empty[(Long, String)]), tmp)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Doc]
+    val gathered = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = stream.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Doc], _: Long) =>
+        val b = batch.toDF()
+        gathered ++= IncrementalNearDup.pairsVsStore(spark, b, tmp)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        CacheRegistry.releaseAll()
+        IncrementalNearDup.appendToStore(b, tmp)
+        ()
+      }
+      .start()
+    try {
+      all.grouped(2).foreach { chunk =>
+        stream.addData(chunk.map { case (id, t) => Doc(id, t) })
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val tmpDocs = java.nio.file.Files.createTempDirectory("graft_incr_stream_docs").toString
+    docsDf(all).write.mode("overwrite").parquet(s"$tmpDocs/documents.parquet")
+    val scratch = StreamNearDup.nearDupBatch(spark, tmpDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    CacheRegistry.releaseAll()
+    assert(gathered.toSet == scratch,
+      s"missing=${scratch -- gathered.toSet} extra=${gathered.toSet -- scratch}")
+    assert(gathered.nonEmpty)
+  }
+
   test("a rewritten corpus at the same path rebuilds the store (content key)") {
     val dirPath = java.nio.file.Files.createTempDirectory("graft_incr_fp")
     val dir = dirPath.toString
