@@ -65,9 +65,41 @@ object TsQueries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** #34c Trailing z-score anomaly flags per (type, day): the daily value
+    * against its own trailing 28-day history (EXCLUDING the current day, so
+    * a spike cannot mask itself), flagged at |z| ≥ `AnomZ` once at least
+    * `MinHistoryDays` of history exist — the monitoring pass an ingest
+    * pipeline runs on its own volume stream (the reference eyeballs this
+    * via its daily-run logs). Variance is computed from explicit window
+    * sums (Σx, Σx², n) with plain arithmetic rather than stddev_samp — the
+    * two engines' streaming-moment implementations differ numerically, the
+    * explicit formula does not. Same single-fact-pass posture as the rest
+    * of the family: windows run on the |types × days| aggregate. */
+  val AnomZ = 3.0
+  val MinHistoryDays = 7
+
+  def anomaly(s: SparkSession, dir: String): DataFrame = {
+    val d = daily(s, dir)
+      .withColumn("epoch_day", datediff(col("day"), lit("1970-01-01")).cast("long"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("epoch_day"))
+      .rangeBetween(-28, -1)
+    val n = count(lit(1)).over(w)
+    val sm = sum(col("raw_value")).over(w)
+    val sq = sum(col("raw_value") * col("raw_value")).over(w)
+    val variance = (sq - sm * sm / n) / (n - 1)
+    val z = when(n >= MinHistoryDays && variance > 0,
+      round((col("raw_value") - sm / n) / sqrt(variance), 4))
+    d.select(col("event_type"), col("day"),
+        round(col("raw_value"), 2).as("raw_value"),
+        n.as("hist_days"), z.as("z"),
+        (z.isNotNull && abs(z) >= AnomZ).as("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_resample"   -> (resampleDaily _),
-    "ts_moving_avg" -> (movingAvg _))
+    "ts_moving_avg" -> (movingAvg _),
+    "ts_anomaly"    -> (anomaly _))
 
   private def dailySqlWhere(where: String = "") =
     s"""SELECT event_type, ts::DATE AS day, count(*) AS n_events,
@@ -99,5 +131,25 @@ object TsQueries {
          |FROM d
          |WINDOW w AS (PARTITION BY event_type ORDER BY (day - DATE '1970-01-01')
          |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
-         |ORDER BY event_type, day""".stripMargin)
+         |ORDER BY event_type, day""".stripMargin,
+    "ts_anomaly" ->
+      s"""WITH d AS ($dailySql),
+         |s AS (
+         | SELECT event_type, day, raw_value,
+         |  count(*) OVER w AS hist_days,
+         |  sum(raw_value) OVER w AS sm,
+         |  sum(raw_value * raw_value) OVER w AS sq
+         | FROM d
+         | WINDOW w AS (PARTITION BY event_type ORDER BY (day - DATE '1970-01-01')
+         |   RANGE BETWEEN 28 PRECEDING AND 1 PRECEDING)),
+         |zt AS (
+         | SELECT event_type, day, round(raw_value, 2) AS raw_value, hist_days,
+         |  CASE WHEN hist_days >= $MinHistoryDays
+         |        AND (sq - sm * sm / hist_days) / (hist_days - 1) > 0
+         |   THEN round((raw_value - sm / hist_days)
+         |     / sqrt((sq - sm * sm / hist_days) / (hist_days - 1)), 4) END AS z
+         | FROM s)
+         |SELECT event_type, day, raw_value, hist_days, z,
+         | (z IS NOT NULL AND abs(z) >= $AnomZ) AS is_anomaly
+         |FROM zt ORDER BY event_type, day""".stripMargin)
 }

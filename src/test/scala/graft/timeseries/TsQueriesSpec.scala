@@ -64,6 +64,33 @@ class TsQueriesSpec extends AnyFunSuite {
     assert(days.nonEmpty)
   }
 
+  test("anomaly flags: z iff enough history, threshold honored, spike detected") {
+    val rows = TsQueries.anomaly(spark, sf).collect().map(r =>
+      (r.getString(0), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (tpe, hist, z, anom) =>
+      if (hist < TsQueries.MinHistoryDays)
+        assert(z.isEmpty, s"$tpe: z with only $hist history days")
+      assert(anom == z.exists(v => math.abs(v) >= TsQueries.AnomZ),
+        s"$tpe: flag must be |z| >= ${TsQueries.AnomZ}")
+    }
+    assert(rows.exists(_._3.isDefined), "mature days must be scored")
+    // a planted 100x spike on a synthetic stable stream must be flagged.
+    // ts is written as raw NANOS (long) — the shape Tables.events reads
+    // (TIMESTAMP(NANOS) under the nanosAsLong conf); 1704110400 =
+    // 2024-01-01T12:00:00Z, one row per (type, day) over 30 days × 2 types
+    val dir = java.nio.file.Files.createTempDirectory("graft_ts_anom").toString
+    spark.range(60)
+      .selectExpr("concat('type_', id % 2) AS event_type",
+        "(1704110400L + (id div 2) * 86400L) * 1000000000L AS ts",
+        "CASE WHEN id = 58 THEN 5000.0 ELSE 40.0 + (id % 7) END AS value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val flagged = TsQueries.anomaly(spark, dir)
+      .filter("is_anomaly").collect().map(r => (r.getString(0), r.getDate(1).toString))
+    assert(flagged.toSeq == Seq(("type_0", "2024-01-30")), s"got ${flagged.toSeq}")
+  }
+
   test("resample touches the fact table once: explode runs on aggregated rows") {
     val p = TsQueries.resampleDaily(spark, sf).queryExecution.executedPlan.toString
     // the calendar explode must sit above the per-type min/max aggregate,
