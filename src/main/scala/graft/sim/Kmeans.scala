@@ -80,12 +80,12 @@ object Kmeans {
     graft.sources.TableFingerprint.of(s, s"$dir/embeddings.parquet")
 
   private def trainedCentroids(s: SparkSession, dir: String, iters: Int,
-      e: DataFrame): Array[Array[Double]] = {
+      e: DataFrame, subset: String = "all"): Array[Array[Double]] = {
     val n = e.count()
     // empty corpus: no model to train (and nothing to key a cache on) —
     // callers emit a schema-complete empty frame
     if (n == 0) return Array.empty
-    centroidCache.computeIfAbsent(s"$dir#$iters#$n#${contentKey(s, dir)}", _ => {
+    centroidCache.computeIfAbsent(s"$dir#$iters#$n#$subset#${contentKey(s, dir)}", _ => {
       val k = kFor(n)
       val init = e.filter(col("vec_id") < k)
         .select(col("vec_id"), col("emb")).collect()
@@ -129,6 +129,36 @@ object Kmeans {
       .select(col("vec_id"), col("cluster"), col("cos_center"), col("emb"))
   }
 
+  /** #25d `emb_incremental_assign`: a NEW embedding batch (the last 20% of
+    * vec_ids — today's ingest) assigned against the model trained on
+    * HISTORY ONLY — the composition of incremental ingest with the
+    * train-once model artifact: the daily batch must not perturb the
+    * shipped centroids (re-training is a deliberate offline event, which
+    * `ts_anomaly`-style drift monitoring triggers), so cluster ids stay
+    * STABLE for every downstream consumer keyed on them. Map-side compiled
+    * assignment against the broadcast K×Dim literal, zero shuffle before
+    * the output sort; the oracle replays the history-only Lloyd chain. */
+  def incrementalAssign(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
+    val all = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val maxId = Option(all.agg(max(col("vec_id"))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(-1L)
+    val split = (maxId + 1) * 4 / 5
+    val cents = trainedCentroids(s, dir, Iters,
+      all.filter(col("vec_id") < split), subset = s"hist$split")
+    if (cents.isEmpty)
+      return all.select(col("vec_id"), lit(0L).as("cluster"), lit(0.0).as("cos_center"))
+        .filter(lit(false))
+    val centsLit = typedlit(cents.map(_.toSeq).toSeq)
+    all.filter(col("vec_id") >= split)
+      .select(col("vec_id"), assign(cents).as("cluster"), col("emb"))
+      .withColumn("cos_center",
+        round(cosine(col("emb"), element_at(centsLit, (col("cluster") + 1).cast("int"))), 4))
+      .select(col("vec_id"), col("cluster"), col("cos_center"))
+      .orderBy(col("vec_id"))
+  }
+
   /** One Lloyd iteration in SQL: assign against `prev`, average per dim,
     * carry empty cells forward. */
   private def iterSql(n: Int, prev: String): String = {
@@ -147,10 +177,12 @@ object Kmeans {
 
   /** The WITH-body the cluster-blocked oracles share (also
     * `dedup_embedding_cosine` in DedupQueries): every Lloyd iteration plus
-    * the final assignment (`asgn`: vec_id, cluster, emb, c_emb). */
-  private[graft] def chainSql: String = {
+    * the final assignment (`asgn`: vec_id, cluster, emb, c_emb). `eWhere`
+    * scopes the training corpus (history-only for the incremental path) —
+    * kSql counts over `e`, so K follows the scoped corpus automatically. */
+  private[graft] def chainSqlFrom(eWhere: String): String = {
     val iters = (1 to Iters).map(n => iterSql(n, s"c${n - 1}")).mkString(",\n")
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings $eWhere),
        |c0 AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id < $kSql),
        |$iters,
        |asgn AS (
@@ -161,6 +193,8 @@ object Kmeans {
        |  FROM e CROSS JOIN c$Iters fc) t
        | WHERE r = 1)""".stripMargin
   }
+
+  private[graft] def chainSql: String = chainSqlFrom("")
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) semantic dedup: the
     * trained clusters are the blocks; within a cluster a vector is dropped
@@ -186,7 +220,10 @@ object Kmeans {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_kmeans" -> (embKmeans _),
-    "dedup_semantic" -> (semanticDedup _))
+    "dedup_semantic" -> (semanticDedup _),
+    "emb_incremental_assign" -> (incrementalAssign _))
+
+  private val splitSql = "(SELECT ((max(vec_id) + 1) * 4) // 5 FROM embeddings)"
 
   val oracles: Map[String, String] = Map(
     "emb_kmeans" ->
@@ -194,6 +231,19 @@ object Kmeans {
          |SELECT vec_id, cluster,
          | round(${cosineSql("emb", "c_emb")}, 4) AS cos_center
          |FROM asgn ORDER BY vec_id""".stripMargin,
+    "emb_incremental_assign" ->
+      s"""WITH ${chainSqlFrom(s"WHERE vec_id < $splitSql")},
+         |b AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+         | WHERE vec_id >= $splitSql),
+         |basgn AS (
+         | SELECT vec_id, c_id AS cluster, emb, c_emb FROM (
+         |  SELECT b.vec_id, fc.c_id, b.emb, fc.c_emb,
+         |   row_number() OVER (PARTITION BY b.vec_id
+         |     ORDER BY round(${cosineSql("b.emb", "fc.c_emb")}, 6) DESC, fc.c_id) AS r
+         |  FROM b CROSS JOIN c$Iters fc) t
+         | WHERE r = 1)
+         |SELECT vec_id, cluster, round(${cosineSql("emb", "c_emb")}, 4) AS cos_center
+         |FROM basgn ORDER BY vec_id""".stripMargin,
     "dedup_semantic" ->
       s"""WITH $chainSql,
          |dropped AS (

@@ -37,7 +37,8 @@ class EmptyInputSpec extends AnyFunSuite {
     // must yield empty assignments, not a failed `require`
     "emb_kmeans", "dedup_semantic", "dedup_embedding_cosine", "ann_ivf",
     "dedup_incremental", "mm_phash_neardup", "mm_frame_overlap",
-    "text_pipeline_report", "emb_hard_negatives", "ts_anomaly")
+    "text_pipeline_report", "emb_hard_negatives", "ts_anomaly",
+    "emb_incremental_assign")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {

@@ -98,6 +98,23 @@ class KmeansSpec extends AnyFunSuite {
     assert(AnnIvf.annTopkIvf(spark, dir).count() == 0)
   }
 
+  test("incremental assign covers exactly the batch with history-stable clusters") {
+    val all = graft.Tables.embeddings(spark, sf)
+    val maxId = all.agg(org.apache.spark.sql.functions.max("vec_id")).head.getLong(0)
+    val split = (maxId + 1) * 4 / 5
+    val rows = Kmeans.incrementalAssign(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == (maxId - split + 1), "one row per batch vector")
+    assert(rows.forall(_._1 >= split), "history vectors must not re-assign")
+    val kHist = Kmeans.kFor(split)
+    assert(rows.forall(r => r._2 >= 0 && r._2 < kHist),
+      s"clusters must come from the history-trained model (K=$kHist)")
+    // deterministic (memoized model + deterministic assignment)
+    val again = Kmeans.incrementalAssign(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("assignment is map-side: no join anywhere in the final plan") {
     val p = Kmeans.embKmeans(spark, sf).queryExecution.executedPlan.toString
     assert(!p.toLowerCase.contains("join"), "assignment must be a broadcast-literal projection")
