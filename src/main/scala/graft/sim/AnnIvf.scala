@@ -51,10 +51,13 @@ object AnnIvf {
       // empty corpus: no centroids to collect — schema-complete empty top-k
       return e.select(col("vec_id").as("q_id"), col("vec_id").as("n_id"),
         lit(0.0).as("cosine"), lit(0L).as("rank")).filter(lit(false))
-    val cells = cellsFor(n)
+    // corpus smaller than the cell floor: every vector is a cell centroid —
+    // matches the oracle's `WHERE vec_id < cellsSql` row count instead of
+    // throwing on the missing ids (same fix as Kmeans.trainedCentroids)
+    val cells = math.min(cellsFor(n), n).toInt
     val centRows = e.filter(col("vec_id") < cells)
       .select(col("vec_id"), col("emb")).collect().sortBy(_.getLong(0))
-    require(centRows.map(_.getLong(0)).toSeq == (0L until cells),
+    require(centRows.map(_.getLong(0)).toSeq == (0L until cells.toLong),
       s"expected centroid vec_ids 0..${cells - 1}")
     val centsLit = typedlit(centRows.map(_.getSeq[Double](1)).toSeq)
 

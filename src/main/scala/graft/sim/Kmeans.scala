@@ -86,7 +86,11 @@ object Kmeans {
     // callers emit a schema-complete empty frame
     if (n == 0) return Array.empty
     centroidCache.computeIfAbsent(s"$dir#$iters#$n#$subset#${contentKey(s, dir)}", _ => {
-      val k = kFor(n)
+      // a corpus smaller than the K floor trains with every vector as a
+      // centroid — the oracle's `WHERE vec_id < kSql` yields the same n
+      // rows, so the engines agree instead of Spark throwing on the
+      // missing init ids (found by round-6 review: 7-vector history)
+      val k = math.min(kFor(n), n).toInt
       val init = e.filter(col("vec_id") < k)
         .select(col("vec_id"), col("emb")).collect()
         .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
@@ -122,6 +126,13 @@ object Kmeans {
       // empty corpus: schema-complete empty assignments, not a throw
       return e.select(col("vec_id"), lit(0L).as("cluster"),
         lit(0.0).as("cos_center"), col("emb")).filter(lit(false))
+    assigned(e, cents)
+  }
+
+  /** The one assignment definition every consumer shares: cluster by the
+    * compiled TopCells argmax against the broadcast centroid literal, plus
+    * the round-4 cos_center the oracles mirror. */
+  private def assigned(e: DataFrame, cents: Array[Array[Double]]): DataFrame = {
     val centsLit = typedlit(cents.map(_.toSeq).toSeq)
     e.select(col("vec_id"), assign(cents).as("cluster"), col("emb"))
       .withColumn("cos_center",
@@ -144,17 +155,14 @@ object Kmeans {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val maxId = Option(all.agg(max(col("vec_id"))).head.get(0))
       .map(_.asInstanceOf[Long]).getOrElse(-1L)
-    val split = (maxId + 1) * 4 / 5
+    // the one 80/20 ingest-split definition, shared with the near-dup store
+    val split = graft.dedup.IncrementalNearDup.splitId(maxId)
     val cents = trainedCentroids(s, dir, Iters,
       all.filter(col("vec_id") < split), subset = s"hist$split")
     if (cents.isEmpty)
       return all.select(col("vec_id"), lit(0L).as("cluster"), lit(0.0).as("cos_center"))
         .filter(lit(false))
-    val centsLit = typedlit(cents.map(_.toSeq).toSeq)
-    all.filter(col("vec_id") >= split)
-      .select(col("vec_id"), assign(cents).as("cluster"), col("emb"))
-      .withColumn("cos_center",
-        round(cosine(col("emb"), element_at(centsLit, (col("cluster") + 1).cast("int"))), 4))
+    assigned(all.filter(col("vec_id") >= split), cents)
       .select(col("vec_id"), col("cluster"), col("cos_center"))
       .orderBy(col("vec_id"))
   }

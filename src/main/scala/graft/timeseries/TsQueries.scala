@@ -86,7 +86,12 @@ object TsQueries {
     val n = count(lit(1)).over(w)
     val sm = sum(col("raw_value")).over(w)
     val sq = sum(col("raw_value") * col("raw_value")).over(w)
-    val variance = (sq - sm * sm / n) / (n - 1)
+    // the variance gate sits on a ROUNDED value (determinism checklist):
+    // on a flat stream the raw difference sq - sm²/n is summation-order
+    // noise (~1e-26) that one engine may see as positive and the other as
+    // zero — dividing by its square root would then fabricate an enormous
+    // z. Rounded at 6, both engines agree the stream is flat.
+    val variance = round((sq - sm * sm / n) / (n - 1), 6)
     val z = when(n >= MinHistoryDays && variance > 0,
       round((col("raw_value") - sm / n) / sqrt(variance), 4))
     d.select(col("event_type"), col("day"),
@@ -145,9 +150,9 @@ object TsQueries {
          |zt AS (
          | SELECT event_type, day, round(raw_value, 2) AS raw_value, hist_days,
          |  CASE WHEN hist_days >= $MinHistoryDays
-         |        AND (sq - sm * sm / hist_days) / (hist_days - 1) > 0
+         |        AND round((sq - sm * sm / hist_days) / (hist_days - 1), 6) > 0
          |   THEN round((raw_value - sm / hist_days)
-         |     / sqrt((sq - sm * sm / hist_days) / (hist_days - 1)), 4) END AS z
+         |     / sqrt(round((sq - sm * sm / hist_days) / (hist_days - 1), 6)), 4) END AS z
          | FROM s)
          |SELECT event_type, day, raw_value, hist_days, z,
          | (z IS NOT NULL AND abs(z) >= $AnomZ) AS is_anomaly

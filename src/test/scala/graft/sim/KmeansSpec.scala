@@ -115,6 +115,22 @@ class KmeansSpec extends AnyFunSuite {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("tiny corpora below the K/cell floor train on every vector, no throw") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmeans_tiny").toString
+    // 9 embeddings: history split = 7 < MinK = 8 — the model trains with
+    // all 7 history vectors (as the oracle's WHERE vec_id < kSql does)
+    spark.range(9).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(Kmeans.Dim)),
+        d => sin(col("id") * d.cast("double") * 0.31)).as("embedding"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val inc = Kmeans.incrementalAssign(spark, dir).collect()
+    assert(inc.map(_.getLong(0)).toSeq == Seq(7L, 8L), "the 2-vector batch is assigned")
+    assert(inc.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 7), "clusters from the 7-vector model")
+    assert(Kmeans.embKmeans(spark, dir).count() == 9)
+    val _ = AnnIvf.annTopkIvf(spark, dir).collect() // no throw is the contract
+  }
+
   test("assignment is map-side: no join anywhere in the final plan") {
     val p = Kmeans.embKmeans(spark, sf).queryExecution.executedPlan.toString
     assert(!p.toLowerCase.contains("join"), "assignment must be a broadcast-literal projection")
