@@ -26,7 +26,7 @@ object GraftExtensions {
     "haversine_m", "point_in_polygon", "point_in_multipolygon",
     "minhash_sig", "simhash64", "shingles3", "bigrams_all",
     "cosine_sim", "jaccard_sim", "hyperplane_bands", "top_cells", "rep_stats",
-    "sig_match_count")
+    "sig_match_count", "phash64")
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -67,5 +67,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => RepStats(exprs.head)))
     ext.injectFunction(fn("sig_match_count", classOf[SigMatchCount],
       exprs => SigMatchCount(exprs(0), exprs(1))))
+    ext.injectFunction(fn("phash64", classOf[PHash64],
+      exprs => PHash64(exprs.head)))
   }
 }

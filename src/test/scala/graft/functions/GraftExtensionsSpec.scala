@@ -13,17 +13,26 @@ class GraftExtensionsSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
 
   test("extension-injected functions equal the per-session registered set") {
+    // MECHANICAL drift check: diff a fresh session's registry across the
+    // registrar calls — a hand-maintained count let a new registrar
+    // function (phash64, round 6) silently miss the extensions path
+    val fresh = spark.newSession()
+    def names = fresh.sessionState.functionRegistry.listFunction()
+      .map(_.funcName).toSet
+    val before = names
+    graft.geo.GeoFunctions.register(fresh)
+    HashExprs.register(fresh)
+    val installed = names -- before
+    assert(installed == GraftExtensions.InjectedNames,
+      s"registrar/extension drift: registrar-only=${installed -- GraftExtensions.InjectedNames}, " +
+        s"extension-only=${GraftExtensions.InjectedNames -- installed}")
     graft.geo.GeoFunctions.register(spark)
     HashExprs.register(spark)
     val registry = spark.sessionState.functionRegistry
-    // every injected name resolves after the registrars run…
     GraftExtensions.InjectedNames.foreach { n =>
       assert(registry.functionExists(new FunctionIdentifier(n)),
         s"$n injected by GraftExtensions but not registered by register()")
     }
-    // …and the extension list is not missing any registrar-installed name
-    // (13 = 3 geo + 10 hash/sketch; bump BOTH places when adding one)
-    assert(GraftExtensions.InjectedNames.size == 13)
     val exercised = Seq(
       "SELECT haversine_m(40.0, -74.0, 41.0, -74.0)",
       "SELECT point_in_polygon(0.5, 0.5, array(1.0, 0.0, 1.0, 1.0, 0.0, 1.0, 0.0, 0.0))",
@@ -37,7 +46,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "SELECT hyperplane_bands(array(1.0D, 0.0D))",
       "SELECT top_cells(array(1.0D, 0.0D), array(array(1.0D, 0.0D)), 1)",
       "SELECT rep_stats('a a b')",
-      "SELECT sig_match_count(array(1L, 2L, 3L), array(1L, 9L, 3L))")
+      "SELECT sig_match_count(array(1L, 2L, 3L), array(1L, 9L, 3L))",
+      "SELECT phash64(encode('a long enough media payload', 'UTF-8'))")
     assert(exercised.size == GraftExtensions.InjectedNames.size)
     // every function is SQL-callable end to end (builder + type coercion)
     exercised.foreach { q =>
