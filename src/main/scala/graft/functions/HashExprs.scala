@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
@@ -16,10 +17,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * hundreds of interpreted expression evals per element, and Catalyst
   * re-inlines the whole tree into every consumer projection (e.g. one copy
   * per LSH band). These expressions instead compute the complete sketch in
-  * one compiled JVM call per row: one pass to base-hash the tokens, then
-  * tight primitive loops. Benchmarked ~1000× faster than the lambda
-  * formulation at sf0.1 (1384 s → ~1 s for the MinHash stage).
-  */
+  * one JVM call per row: one pass to base-hash the tokens, then tight
+  * primitive loops. Benchmarked ~1000× faster than the lambda formulation
+  * at sf0.1 (1384 s → ~1 s for the MinHash stage).
+  *
+  * Every expression generates a static call into `HashRuntime` (the
+  * HaversineMeters pattern), so interpreted and generated paths share ONE
+  * definition and the expressions sit INSIDE whole-stage codegen — no
+  * CodegenFallback boxing in projections, filters, or join conditions. */
 object HashExprs {
 
   /** FNV-1a 64-bit over UTF-8 bytes — cheap, deterministic, dependency-free. */
@@ -109,83 +114,14 @@ object HashExprs {
   def phash64(c: Column): Column = call_function("phash64", c)
 }
 
-/** 64-bit perceptual fingerprint of an opaque BINARY media payload: a
-  * SimHash over the payload's byte 4-grams (each window FNV-hashed, ±1
-  * votes per bit, sign bit out) — the shift-invariant locality-sensitive
-  * shape of the ssdeep/TLSH family. Small payload edits (changed bytes,
-  * insertions, truncations) leave most 4-grams shared, so near-identical
-  * media land within a few bits; unrelated payloads differ in ~32.
-  *
-  * Measured against the alternative: a dHash-style positional grid (8×9
-  * byte-chunk means, adjacent-mean sign bits) finds ZERO pairs on the
-  * driver corpus — a length-changing edit shifts every downstream chunk
-  * boundary and scrambles the grid. Positional grids assume an aligned
-  * raster, which a real image DECODE produces but a raw byte stream does
-  * not; over byte streams the n-gram formulation is the correct
-  * perceptual hash. One compiled pass per row, computed map-side. */
-case class PHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+/** The one implementation of every sketch, called by BOTH the interpreted
+  * eval and the generated code (standalone object → static forwarders, so
+  * janino-compiled code reaches these directly). */
+object HashRuntime {
 
-  override def dataType: DataType = LongType
-  override def prettyName: String = "phash64"
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case BinaryType => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"phash64 needs binary, got $t")
-  }
-
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[Array[Byte]]
-    val k = 4
-    if (bytes.length < k) return 0L
-    val votes = new Array[Int](64)
-    var i = 0
-    while (i <= bytes.length - k) {
-      var h = 0xcbf29ce484222325L
-      var j = 0
-      while (j < k) {
-        h = (h ^ (bytes(i + j) & 0xffL)) * 0x100000001b3L
-        j += 1
-      }
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
-      }
-      i += 1
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) {
-      if (votes(b) >= 0) out |= (1L << b)
-      b += 1
-    }
-    out
-  }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-/** Repetition statistics of a document in one compiled pass — the counters
-  * behind Gopher-style repetition quality filters (repeated-token fraction,
-  * duplicated-n-gram mass): struct(n_words, top_word_n, n_bigrams,
-  * dup_bigram_n). dup_bigram_n is the total occurrence count of bigrams
-  * occurring more than once (the "fraction of text in duplicated n-grams"
-  * numerator). The two hash maps live for one row; nothing shuffles. */
-case class RepStats(child: Expression) extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = StructType(Seq(
-    StructField("n_words", LongType, nullable = false),
-    StructField("top_word_n", LongType, nullable = false),
-    StructField("n_bigrams", LongType, nullable = false),
-    StructField("dup_bigram_n", LongType, nullable = false)))
-  override def prettyName: String = "rep_stats"
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"rep_stats needs string, got $t")
-  }
-
-  override def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[UTF8String].toString.split("\\s+", -1)
+  /** See RepStats. */
+  def repStats(input: UTF8String): InternalRow = {
+    val words = input.toString.split("\\s+", -1)
     val wc = new java.util.HashMap[String, Long](words.length * 2)
     var i = 0
     while (i < words.length) {
@@ -205,29 +141,12 @@ case class RepStats(child: Expression) extends UnaryExpression with CodegenFallb
     var dup = 0L
     val bIt = bc.values().iterator()
     while (bIt.hasNext) { val v = bIt.next(); if (v > 1) dup += v }
-    org.apache.spark.sql.catalyst.InternalRow(
-      words.length.toLong, topWord, nBigrams.toLong, dup)
+    InternalRow(words.length.toLong, topWord, nBigrams.toLong, dup)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-/** K=64 MinHash signature of an array<string> of shingles:
-  * sig[k] = min over shingles of ((2k+1)·h + 40503·k + 13) mod (2^31-1),
-  * h = fnv64(shingle) mod (2^31-1). */
-case class MinHashSignature(child: Expression) extends UnaryExpression with CodegenFallback {
-  val K = 64
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "minhash_sig"
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"minhash_sig needs array<string>, got $t")
-  }
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** See MinHashSignature. */
+  def minhashSig(arr: ArrayData): ArrayData = {
+    val K = 64
     val n = arr.numElements()
     val base = new Array[Long](n)
     var i = 0
@@ -254,23 +173,8 @@ case class MinHashSignature(child: Expression) extends UnaryExpression with Code
     new GenericArrayData(sig)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-/** 64-bit SimHash of an array<string> of tokens: bit b is set iff the sum of
-  * ±1 votes (sign of bit b of each token hash) is non-negative. */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = LongType
-  override def prettyName: String = "simhash64"
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"simhash64 needs array<string>, got $t")
-  }
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** See SimHash64. */
+  def simhash64(arr: ArrayData): Long = {
     val n = arr.numElements()
     val votes = new Array[Int](64)
     var i = 0
@@ -292,27 +196,9 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     out
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-/** Distinct k-word shingles of a whitespace-separated text column, one
-  * compiled call per row. The lambda formulation
-  * (transform(sequence, i -> element_at(split(text), i) ...)) re-splits the
-  * text for every index under interpreted HOF eval — O(words²) regex work
-  * per document. */
-case class Shingles(child: Expression, k: Int, distinct: Boolean = true)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "shingles"
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"shingles needs string, got $t")
-  }
-
-  override def nullSafeEval(input: Any): Any = {
-    val words = input.asInstanceOf[UTF8String].toString.split("\\s+", -1)
+  /** See Shingles. */
+  def shingles(input: UTF8String, k: Int, distinct: Boolean): ArrayData = {
+    val words = input.toString.split("\\s+", -1)
     val n = math.max(0, words.length - k + 1)
     val acc = new java.util.LinkedHashSet[String](math.max(4, n * 2))
     val all = if (distinct) null else new Array[Any](n)
@@ -339,26 +225,10 @@ case class Shingles(child: Expression, k: Int, distinct: Boolean = true)
     }
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-/** Cosine similarity of two array<double> columns in one compiled pass,
-  * reproducing the widen-then-multiply sequential-sum order of the HOF
-  * formulation (and DuckDB's list_dot_product) bit for bit. */
-case class CosineSim(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
-
-  override def dataType: DataType = DoubleType
-  override def prettyName: String = "cosine_sim"
-  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"cosine_sim needs two array<double>, got $t")
-  }
-
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData].toDoubleArray()
-    val b = r.asInstanceOf[ArrayData].toDoubleArray()
+  /** See CosineSim. */
+  def cosineSim(l: ArrayData, r: ArrayData): Double = {
+    val a = l.toDoubleArray()
+    val b = r.toDoubleArray()
     val n = math.min(a.length, b.length)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -370,28 +240,9 @@ case class CosineSim(left: Expression, right: Expression)
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
-}
-
-/** Random-hyperplane LSH band keys of an array<double> embedding in one
-  * compiled call per row: `planes` sign bits (plane p's component for
-  * dimension d is ±1 from splitmix64(p·1000003 + d) — deterministic on every
-  * executor, no plane-matrix broadcast), packed into planes/bandBits band
-  * keys. Replaces the nested interpreted-HOF formulation (16 planes × 64
-  * dims of interpreted eval per row — the exact SURVEY §6 trap). */
-case class HyperplaneBands(child: Expression, planes: Int = 16, bandBits: Int = 4)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "hyperplane_bands"
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"hyperplane_bands needs array<double>, got $t")
-  }
-
-  override def nullSafeEval(input: Any): Any = {
-    val emb = input.asInstanceOf[ArrayData].toDoubleArray()
+  /** See HyperplaneBands. */
+  def hyperplaneBands(input: ArrayData, planes: Int, bandBits: Int): ArrayData = {
+    val emb = input.toDoubleArray()
     val bits = new Array[Long](planes)
     var p = 0
     while (p < planes) {
@@ -418,48 +269,15 @@ case class HyperplaneBands(child: Expression, planes: Int = 16, bandBits: Int = 
     new GenericArrayData(keys)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-/** Top-k centroid cells for an embedding against a literal centroid matrix
-  * (array<array<double>>, index = cell id), ordered by round(cosine, 6)
-  * descending with ascending-index tie-break — the same deterministic argmax
-  * a windowed `row_number` over a crossJoin computes, but entirely map-side:
-  * one compiled call per row, zero shuffle, zero join. k=1 is IVF cell
-  * assignment; k=nprobe is query probing. */
-case class TopCells(left: Expression, right: Expression, k: Int)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "top_cells"
-  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
-      TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(
-      s"top_cells needs (array<double>, array<array<double>>), got $t")
-  }
-
-  private def cosine(a: Array[Double], b: Array[Double]): Double = {
-    val n = math.min(a.length, b.length)
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < n) { dot += a(i) * b(i); i += 1 }
-    i = 0
-    while (i < a.length) { na += a(i) * a(i); i += 1 }
-    i = 0
-    while (i < b.length) { nb += b(i) * b(i); i += 1 }
-    dot / (math.sqrt(na) * math.sqrt(nb))
-  }
-
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val emb = l.asInstanceOf[ArrayData].toDoubleArray()
-    val cents = r.asInstanceOf[ArrayData]
+  /** See TopCells. */
+  def topCells(l: ArrayData, r: ArrayData, k: Int): ArrayData = {
+    val emb = l.toDoubleArray()
+    val cents = r
     val n = cents.numElements()
     val scores = new Array[Double](n)
     var i = 0
     while (i < n) {
-      val raw = cosine(emb, cents.getArray(i).toDoubleArray())
+      val raw = cosineRaw(emb, cents.getArray(i).toDoubleArray())
       // zero-norm vector or centroid → NaN cosine: rank it last
       // deterministically (BigDecimal.valueOf(NaN) would throw)
       scores(i) =
@@ -486,32 +304,20 @@ case class TopCells(left: Expression, right: Expression, k: Int)
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
-}
-
-/** Count of positionally-equal components of two array<long> MinHash
-  * signatures — the numerator of the unbiased Jaccard estimator
-  * (est J = matches / K). The zip_with+aggregate lambda formulation is the
-  * SURVEY §6 trap twice over: Spark HOFs are interpreted (CodegenFallback)
-  * AND Catalyst re-inlines the whole lambda tree into every consumer, so a
-  * band-join condition plus its downstream projection each pay the
-  * interpreted element walk per colliding candidate pair. This is one
-  * compiled primitive loop per pair, cheap enough to sit in a join
-  * condition. */
-case class SigMatchCount(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
-
-  override def dataType: DataType = IntegerType
-  override def prettyName: String = "sig_match_count"
-  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"sig_match_count needs two array<long>, got $t")
+  private def cosineRaw(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) { dot += a(i) * b(i); i += 1 }
+    i = 0
+    while (i < a.length) { na += a(i) * a(i); i += 1 }
+    i = 0
+    while (i < b.length) { nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+  /** See SigMatchCount. */
+  def sigMatchCount(a: ArrayData, b: ArrayData): Int = {
     val n = math.min(a.numElements(), b.numElements())
     var m = 0
     var i = 0
@@ -525,29 +331,8 @@ case class SigMatchCount(left: Expression, right: Expression)
     m
   }
 
-  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
-}
-
-/** Jaccard similarity of two array<string> columns in one compiled pass:
-  * |a ∩ b| / |distinct(a ++ b)|, matching
-  * len(list_intersect)/len(list_distinct(list_concat)) in the oracle. One
-  * hash set per row instead of the two set-builds array_intersect +
-  * array_union cost — and cheap enough that Catalyst duplicating it into a
-  * pushed-down filter predicate doesn't matter. */
-case class JaccardSim(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
-
-  override def dataType: DataType = DoubleType
-  override def prettyName: String = "jaccard_sim"
-  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(StringType, _), ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
-    case t => TypeCheckResult.TypeCheckFailure(s"jaccard_sim needs two array<string>, got $t")
-  }
-
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+  /** See JaccardSim. */
+  def jaccardSim(a: ArrayData, b: ArrayData): Double = {
     val setA = new java.util.HashSet[UTF8String](a.numElements() * 2)
     var i = 0
     while (i < a.numElements()) { setA.add(a.getUTF8String(i)); i += 1 }
@@ -566,6 +351,301 @@ case class JaccardSim(left: Expression, right: Expression)
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
+  /** See PHash64. */
+  def phash64(bytes: Array[Byte]): Long = {
+    val k = 4
+    if (bytes.length < k) return 0L
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i <= bytes.length - k) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < k) {
+        h = (h ^ (bytes(i + j) & 0xffL)) * 0x100000001b3L
+        j += 1
+      }
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) >= 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
+/** Repetition statistics of a document in one compiled pass — the counters
+  * behind Gopher-style repetition quality filters (repeated-token fraction,
+  * duplicated-n-gram mass): struct(n_words, top_word_n, n_bigrams,
+  * dup_bigram_n). dup_bigram_n is the total occurrence count of bigrams
+  * occurring more than once (the "fraction of text in duplicated n-grams"
+  * numerator). The two hash maps live for one row; nothing shuffles. */
+case class RepStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("top_word_n", LongType, nullable = false),
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("dup_bigram_n", LongType, nullable = false)))
+  override def prettyName: String = "rep_stats"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"rep_stats needs string, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HashRuntime.repStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashRuntime.repStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** K=64 MinHash signature of an array<string> of shingles:
+  * sig[k] = min over shingles of ((2k+1)·h + 40503·k + 13) mod (2^31-1),
+  * h = fnv64(shingle) mod (2^31-1). */
+case class MinHashSignature(child: Expression) extends UnaryExpression {
+  val K = 64
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"minhash_sig needs array<string>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HashRuntime.minhashSig(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashRuntime.minhashSig($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of an array<string> of tokens: bit b is set iff the sum of
+  * ±1 votes (sign of bit b of each token hash) is non-negative. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"simhash64 needs array<string>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HashRuntime.simhash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashRuntime.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct k-word shingles of a whitespace-separated text column, one
+  * compiled call per row. The lambda formulation
+  * (transform(sequence, i -> element_at(split(text), i) ...)) re-splits the
+  * text for every index under interpreted HOF eval — O(words²) regex work
+  * per document. */
+case class Shingles(child: Expression, k: Int, distinct: Boolean = true)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"shingles needs string, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HashRuntime.shingles(input.asInstanceOf[UTF8String], k, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashRuntime.shingles($c, $k, $distinct)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Cosine similarity of two array<double> columns in one compiled pass,
+  * reproducing the widen-then-multiply sequential-sum order of the HOF
+  * formulation (and DuckDB's list_dot_product) bit for bit. */
+case class CosineSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"cosine_sim needs two array<double>, got $t")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    HashRuntime.cosineSim(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HashRuntime.cosineSim($a, $b)")
+
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Random-hyperplane LSH band keys of an array<double> embedding in one
+  * compiled call per row: `planes` sign bits (plane p's component for
+  * dimension d is ±1 from splitmix64(p·1000003 + d) — deterministic on every
+  * executor, no plane-matrix broadcast), packed into planes/bandBits band
+  * keys. Replaces the nested interpreted-HOF formulation (16 planes × 64
+  * dims of interpreted eval per row — the exact SURVEY §6 trap). */
+case class HyperplaneBands(child: Expression, planes: Int = 16, bandBits: Int = 4)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_bands"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"hyperplane_bands needs array<double>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HashRuntime.hyperplaneBands(input.asInstanceOf[ArrayData], planes, bandBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashRuntime.hyperplaneBands($c, $planes, $bandBits)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Top-k centroid cells for an embedding against a literal centroid matrix
+  * (array<array<double>>, index = cell id), ordered by round(cosine, 6)
+  * descending with ascending-index tie-break — the same deterministic argmax
+  * a windowed `row_number` over a crossJoin computes, but entirely map-side:
+  * one compiled call per row, zero shuffle, zero join. k=1 is IVF cell
+  * assignment; k=nprobe is query probing. */
+case class TopCells(left: Expression, right: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "top_cells"
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"top_cells needs (array<double>, array<array<double>>), got $t")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    HashRuntime.topCells(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HashRuntime.topCells($a, $b, $k)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Count of positionally-equal components of two array<long> MinHash
+  * signatures — the numerator of the unbiased Jaccard estimator
+  * (est J = matches / K). The zip_with+aggregate lambda formulation is the
+  * SURVEY §6 trap twice over: Spark HOFs are interpreted (CodegenFallback)
+  * AND Catalyst re-inlines the whole lambda tree into every consumer, so a
+  * band-join condition plus its downstream projection each pay the
+  * interpreted element walk per colliding candidate pair. This is one
+  * compiled primitive loop per pair, cheap enough to sit in a join
+  * condition. */
+case class SigMatchCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sig_match_count"
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"sig_match_count needs two array<long>, got $t")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    HashRuntime.sigMatchCount(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HashRuntime.sigMatchCount($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Jaccard similarity of two array<string> columns in one compiled pass:
+  * |a ∩ b| / |distinct(a ++ b)|, matching
+  * len(list_intersect)/len(list_distinct(list_concat)) in the oracle. One
+  * hash set per row instead of the two set-builds array_intersect +
+  * array_union cost — and cheap enough that Catalyst duplicating it into a
+  * pushed-down filter predicate doesn't matter. */
+case class JaccardSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sim"
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"jaccard_sim needs two array<string>, got $t")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    HashRuntime.jaccardSim(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HashRuntime.jaccardSim($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** 64-bit perceptual fingerprint of an opaque BINARY media payload: a
+  * SimHash over the payload's byte 4-grams (each window FNV-hashed, ±1
+  * votes per bit, sign bit out) — the shift-invariant locality-sensitive
+  * shape of the ssdeep/TLSH family. Small payload edits (changed bytes,
+  * insertions, truncations) leave most 4-grams shared, so near-identical
+  * media land within a few bits; unrelated payloads differ in ~32.
+  *
+  * Measured against the alternative: a dHash-style positional grid (8×9
+  * byte-chunk means, adjacent-mean sign bits) finds ZERO pairs on the
+  * driver corpus — a length-changing edit shifts every downstream chunk
+  * boundary and scrambles the grid. Positional grids assume an aligned
+  * raster, which a real image DECODE produces but a raw byte stream does
+  * not; over byte streams the n-gram formulation is the correct
+  * perceptual hash. One compiled pass per row, computed map-side. */
+case class PHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "phash64"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"phash64 needs binary, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HashRuntime.phash64(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashRuntime.phash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
