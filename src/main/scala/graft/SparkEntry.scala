@@ -23,6 +23,7 @@ object SparkEntry {
       multimodal.MultimodalQueries.queries ++ multimodal.PhashNearDup.queries ++
       streaming.StreamQueries.queries ++
       streaming.StreamDedup.queries ++ streaming.StreamNearDup.queries ++
+      streaming.StreamAnomaly.queries ++
       timeseries.TsQueries.queries ++
       stats.SketchQueries.queries ++ stats.HeavyHitters.queries ++
       analytics.FunnelQueries.queries
@@ -37,7 +38,8 @@ object SparkEntry {
       sim.SimQueries.oracles ++ sim.AnnIvf.oracles ++ sim.Kmeans.oracles ++
       multimodal.MultimodalQueries.oracles ++
       sim.VectorOps.oracles ++ streaming.StreamQueries.oracles ++
-      streaming.StreamDedup.oracles ++ timeseries.TsQueries.oracles ++
+      streaming.StreamDedup.oracles ++ streaming.StreamAnomaly.oracles ++
+      timeseries.TsQueries.oracles ++
       stats.SketchQueries.oracles ++ stats.HeavyHitters.oracles ++
       analytics.FunnelQueries.oracles
 }
