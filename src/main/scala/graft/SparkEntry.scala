@@ -19,6 +19,7 @@ object SparkEntry {
       dedup.MinHashLsh.queries ++ dedup.SimHash.queries ++
       dedup.DedupClusters.queries ++ dedup.IncrementalNearDup.queries ++
       sim.SimQueries.queries ++ sim.AnnLsh.queries ++ sim.AnnIvf.queries ++
+      sim.AnnPq.queries ++
       sim.VectorOps.queries ++ sim.Kmeans.queries ++
       multimodal.MultimodalQueries.queries ++ multimodal.PhashNearDup.queries ++
       streaming.StreamQueries.queries ++
@@ -35,7 +36,8 @@ object SparkEntry {
       text.TextQueries.oracles ++ text.PiiScrub.oracles ++
       text.CorpusPipeline.oracles ++ dedup.DedupQueries.oracles ++
       dedup.DedupClusters.oracles ++
-      sim.SimQueries.oracles ++ sim.AnnIvf.oracles ++ sim.Kmeans.oracles ++
+      sim.SimQueries.oracles ++ sim.AnnIvf.oracles ++ sim.AnnPq.oracles ++
+      sim.Kmeans.oracles ++
       multimodal.MultimodalQueries.oracles ++
       sim.VectorOps.oracles ++ streaming.StreamQueries.oracles ++
       streaming.StreamDedup.oracles ++ streaming.StreamAnomaly.oracles ++

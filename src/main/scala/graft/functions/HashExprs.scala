@@ -72,6 +72,8 @@ object HashExprs {
       exprs => SigMatchCount(exprs(0), exprs(1)), "built-in")
     r.createOrReplaceTempFunction("phash64",
       exprs => PHash64(exprs.head), "built-in")
+    r.createOrReplaceTempFunction("pq_score",
+      exprs => PqScore(exprs(0), exprs(1)), "built-in")
   }
 
   /** Builder with numeric coercion (SQL decimal literals → double arrays). */
@@ -112,6 +114,7 @@ object HashExprs {
   def repStats(c: Column): Column = call_function("rep_stats", c)
   def sigMatchCount(a: Column, b: Column): Column = call_function("sig_match_count", a, b)
   def phash64(c: Column): Column = call_function("phash64", c)
+  def pqScore(codes: Column, lut: Column): Column = call_function("pq_score", codes, lut)
 }
 
 /** The one implementation of every sketch, called by BOTH the interpreted
@@ -349,6 +352,18 @@ object HashRuntime {
     }
     val union = setA.size + bOnly
     if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  /** See PqScore. */
+  def pqScore(codes: ArrayData, lut: ArrayData): Double = {
+    val m = codes.numElements()
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      acc += lut.getArray(s).getDouble(codes.getLong(s).toInt)
+      s += 1
+    }
+    acc
   }
 
   /** See PHash64. */
@@ -612,6 +627,38 @@ case class JaccardSim(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       (a, b) => s"graft.functions.HashRuntime.jaccardSim($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Product-quantization asymmetric distance: codes is a vector's per-
+  * subspace codebook assignment (array<long>, one entry per subspace), lut
+  * a query's precomputed lookup table lut[s][c] = dot(q_sub_s, cb[s][c])
+  * (array<array<double>>). Score = Σ_s lut[s][codes[s]], accumulated in
+  * ascending-subspace order — the fixed order the DuckDB oracle replays
+  * term by term, so the doubles match bit for bit. This is the ADC scan of
+  * Jégou et al. (TPAMI 2011): per candidate, m array reads and adds
+  * instead of a Dim-wide dot product, against 8-byte codes instead of
+  * 256-byte vectors. One compiled call per (query, candidate) pair. */
+case class PqScore(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_score"
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_score needs (array<long>, array<array<double>>), got $t")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    HashRuntime.pqScore(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HashRuntime.pqScore($a, $b)")
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
