@@ -19,7 +19,7 @@ object SparkEntry {
       dedup.MinHashLsh.queries ++ dedup.SimHash.queries ++
       dedup.DedupClusters.queries ++ dedup.IncrementalNearDup.queries ++
       sim.SimQueries.queries ++ sim.AnnLsh.queries ++ sim.AnnIvf.queries ++
-      sim.AnnPq.queries ++
+      sim.AnnPq.queries ++ sim.AnnIvfPq.queries ++
       sim.VectorOps.queries ++ sim.Kmeans.queries ++
       multimodal.MultimodalQueries.queries ++ multimodal.PhashNearDup.queries ++
       streaming.StreamQueries.queries ++
@@ -37,6 +37,7 @@ object SparkEntry {
       text.CorpusPipeline.oracles ++ dedup.DedupQueries.oracles ++
       dedup.DedupClusters.oracles ++
       sim.SimQueries.oracles ++ sim.AnnIvf.oracles ++ sim.AnnPq.oracles ++
+      sim.AnnIvfPq.oracles ++
       sim.Kmeans.oracles ++
       multimodal.MultimodalQueries.oracles ++
       sim.VectorOps.oracles ++ streaming.StreamQueries.oracles ++

@@ -26,7 +26,7 @@ object GraftExtensions {
     "haversine_m", "point_in_polygon", "point_in_multipolygon",
     "minhash_sig", "simhash64", "shingles3", "bigrams_all",
     "cosine_sim", "jaccard_sim", "hyperplane_bands", "top_cells", "rep_stats",
-    "sig_match_count", "phash64", "pq_score")
+    "sig_match_count", "phash64", "pq_score", "vec_sub")
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -71,5 +71,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => PHash64(exprs.head)))
     ext.injectFunction(fn("pq_score", classOf[PqScore],
       exprs => PqScore(exprs(0), exprs(1))))
+    ext.injectFunction(fn("vec_sub", classOf[VecSub],
+      exprs => VecSub(exprs(0), exprs(1))))
   }
 }

@@ -74,6 +74,8 @@ object HashExprs {
       exprs => PHash64(exprs.head), "built-in")
     r.createOrReplaceTempFunction("pq_score",
       exprs => PqScore(exprs(0), exprs(1)), "built-in")
+    r.createOrReplaceTempFunction("vec_sub",
+      exprs => VecSub(exprs(0), exprs(1)), "built-in")
   }
 
   /** Builder with numeric coercion (SQL decimal literals → double arrays). */
@@ -115,6 +117,7 @@ object HashExprs {
   def sigMatchCount(a: Column, b: Column): Column = call_function("sig_match_count", a, b)
   def phash64(c: Column): Column = call_function("phash64", c)
   def pqScore(codes: Column, lut: Column): Column = call_function("pq_score", codes, lut)
+  def vecSub(a: Column, b: Column): Column = call_function("vec_sub", a, b)
 }
 
 /** The one implementation of every sketch, called by BOTH the interpreted
@@ -364,6 +367,15 @@ object HashRuntime {
       s += 1
     }
     acc
+  }
+
+  /** See VecSub. */
+  def vecSub(l: ArrayData, r: ArrayData): ArrayData = {
+    val n = math.min(l.numElements(), r.numElements())
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = l.getDouble(i) - r.getDouble(i); i += 1 }
+    new GenericArrayData(out)
   }
 
   /** See PHash64. */
@@ -659,6 +671,33 @@ case class PqScore(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       (a, b) => s"graft.functions.HashRuntime.pqScore($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Element-wise difference of two array<double> vectors — the residual
+  * step of IVFADC (Jégou et al. TPAMI 2011 §IV: quantize r = v − cent(v),
+  * not v itself). Exact IEEE subtraction, so the oracle's replay is
+  * bit-identical; compiled so the per-row residual projection in the
+  * corpus encode path stays inside whole-stage codegen (a zip_with lambda
+  * here would put an interpreted walk on every scanned vector). */
+case class VecSub(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "vec_sub"
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"vec_sub needs two array<double>, got $t")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    HashRuntime.vecSub(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.HashRuntime.vecSub($a, $b)")
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

@@ -48,7 +48,8 @@ class HashExprsCodegenSpec extends AnyFunSuite {
           HashExprs.hyperplaneBands(col("emb")).as("hb"),
           HashExprs.topCells(col("emb"), array(col("emb")), 1).as("tc"),
           HashExprs.pqScore(array(lit(0L), lit(1L)),
-            typedlit(Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)))).as("pq"))
+            typedlit(Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)))).as("pq"),
+          HashExprs.vecSub(col("emb"), col("emb")).as("vs"))
       val embRows = embDf.collect()
       assert(embRows.length == 50)
       // self-cosine 1.0; nearest of {self, -self} is self (index 0)
@@ -56,6 +57,8 @@ class HashExprsCodegenSpec extends AnyFunSuite {
       assert(embRows.forall(_.getAs[Seq[Long]]("tc") == Seq(0L)))
       // lut[0][0] + lut[1][1]
       assert(embRows.forall(_.getAs[Double]("pq") == 5.0))
+      // v - v = exact zero vector
+      assert(embRows.forall(_.getAs[Seq[Double]]("vs").forall(_ == 0.0)))
 
       // the sketch projection must sit INSIDE a codegen stage, not fall out
       for (df <- Seq(docs, embDf)) {
