@@ -13,7 +13,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational.CoreQueries.queries ++ etl.EtlQueries.queries ++
-      text.TextQueries.queries ++ text.PiiScrub.queries ++ text.BpeTrain.queries ++
+      text.TextQueries.queries ++ text.ImportanceResample.queries ++ text.PiiScrub.queries ++ text.BpeTrain.queries ++
       text.CorpusPipeline.queries ++
       dedup.DedupQueries.queries ++
       dedup.MinHashLsh.queries ++ dedup.SimHash.queries ++
@@ -33,7 +33,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     relational.CoreQueries.oracles ++ etl.EtlQueries.oracles ++
-      text.TextQueries.oracles ++ text.PiiScrub.oracles ++
+      text.TextQueries.oracles ++ text.ImportanceResample.oracles ++
+      text.PiiScrub.oracles ++
       text.CorpusPipeline.oracles ++ dedup.DedupQueries.oracles ++
       dedup.DedupClusters.oracles ++
       sim.SimQueries.oracles ++ sim.AnnIvf.oracles ++ sim.AnnPq.oracles ++

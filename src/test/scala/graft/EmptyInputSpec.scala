@@ -38,7 +38,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "emb_kmeans", "dedup_semantic", "dedup_embedding_cosine", "ann_ivf",
     "dedup_incremental", "mm_phash_neardup", "mm_frame_overlap",
     "text_pipeline_report", "emb_hard_negatives", "ts_anomaly",
-    "emb_incremental_assign", "stream_anomaly", "ann_pq", "ann_ivfpq")
+    "emb_incremental_assign", "stream_anomaly", "ann_pq", "ann_ivfpq",
+    "sample_importance")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {
