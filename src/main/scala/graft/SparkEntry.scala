@@ -12,7 +12,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    relational.CoreQueries.queries ++ etl.EtlQueries.queries ++
+    relational.CoreQueries.queries ++ etl.EtlQueries.queries ++ etl.NearestJoin.queries ++
       text.TextQueries.queries ++ text.ImportanceResample.queries ++ text.PiiScrub.queries ++ text.BpeTrain.queries ++
       text.CorpusPipeline.queries ++
       dedup.DedupQueries.queries ++
@@ -32,7 +32,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    relational.CoreQueries.oracles ++ etl.EtlQueries.oracles ++
+    relational.CoreQueries.oracles ++ etl.EtlQueries.oracles ++ etl.NearestJoin.oracles ++
       text.TextQueries.oracles ++ text.ImportanceResample.oracles ++
       text.PiiScrub.oracles ++
       text.CorpusPipeline.oracles ++ dedup.DedupQueries.oracles ++

@@ -125,4 +125,71 @@ object RangeJoin {
       .filter(graft.geo.GeoFunctions.pointInMultiPoly(col(lng), col(lat), col(rings)))
       .drop("_cx", "_cy")
   }
+
+  /** k=1 nearest-neighbor snap join within a radius — "link each point to
+    * its closest site" (the reference's initial intersection linkage,
+    * `initialpolygonlinkage/` + `walkmapper/` nearest-feature snapping),
+    * decomposed the same way as [[pointInBox]] so it never needs a
+    * broadcast or an NLJ:
+    *
+    *  1. each site becomes its radius bounding box (a per-row computation
+    *     on the SMALL side), exploded over covering grid cells;
+    *  2. each point is keyed by its one cell; hash equi-join on the cell
+    *     pair yields a bounded candidate set (sites within ~r of the
+    *     point, over-approximated);
+    *  3. exact residual: squared planar distance
+    *     `d2 = (lat−slat)² + ((lng−slng)·lngScale)²` with `d2 <= r2`;
+    *  4. argmin per point: `row_number` over (d2, site key) — the window
+    *     partitions by point key, so the reduction is distributed and the
+    *     tie on equal distance breaks deterministically to the lowest key.
+    *
+    * The metric is the small-angle planar approximation (lngScale ≈
+    * cos(mid-latitude)) built ONLY from IEEE `+`/`*`/`-` on doubles — no
+    * trig — so a DuckDB oracle writing the same expression text produces
+    * bit-identical distances and an identical argmin (haversine's last-ulp
+    * `sin`/`asin` divergence can flip an argmin between engines; the planar
+    * form cannot). The box pads each extent by 1e-9° so the half-open
+    * [west, east) box strictly contains the closed d2 ≤ r2 disk: padding
+    * only ever ADDS candidates the exact residual rejects.
+    *
+    * At scale: points shuffle once on uniform cell keys, the site side
+    * replicates ≤ ⌈w/cell+1⌉·⌈h/cell+1⌉ cells per site (a constant), and
+    * the argmin window repartitions on the point key — no driver state, no
+    * quadratic pair mass (candidates per point are bounded by site density
+    * inside a fixed radius).
+    *
+    * @param points   (pointKey, ..., lng, lat)
+    * @param sites    (siteKey, ..., siteLng, siteLat)
+    * @param r2       squared radius in lat-degrees² — pass the SAME decimal
+    *                 literal the oracle writes (both engines parse it to
+    *                 the identical double)
+    * @param lngScale longitude compression at the working latitude
+    * @return one row per point with a site in range: point cols + site
+    *         cols + `d2`, the nearest site winning
+    */
+  def nearestInRadius(points: DataFrame, sites: DataFrame,
+      lng: String, lat: String, siteLng: String, siteLat: String,
+      pointKey: String, siteKey: String,
+      r2: Double, lngScale: Double, cellDeg: Double = 0.02): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    val latR = math.sqrt(r2) + 1e-9
+    val lngR = math.sqrt(r2) / lngScale + 1e-9
+    val boxes = sites
+      .withColumn("_w", col(siteLng) - lngR)
+      .withColumn("_e", col(siteLng) + lngR)
+      .withColumn("_s", col(siteLat) - latR)
+      .withColumn("_n", col(siteLat) + latR)
+
+    val dlat = col(lat) - col(siteLat)
+    val dlon = (col(lng) - col(siteLng)) * lngScale
+    val w = Window.partitionBy(col(pointKey)).orderBy(col("d2"), col(siteKey))
+    pointInBox(points, boxes, lng, lat, "_w", "_e", "_s", "_n", cellDeg)
+      .drop("_w", "_e", "_s", "_n")
+      .withColumn("d2", dlat * dlat + dlon * dlon)
+      .filter(col("d2") <= r2)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
 }

@@ -39,7 +39,7 @@ class EmptyInputSpec extends AnyFunSuite {
     "dedup_incremental", "mm_phash_neardup", "mm_frame_overlap",
     "text_pipeline_report", "emb_hard_negatives", "ts_anomaly",
     "emb_incremental_assign", "stream_anomaly", "ann_pq", "ann_ivfpq",
-    "sample_importance")
+    "sample_importance", "etl_nearest_intersection")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {
