@@ -175,11 +175,63 @@ object DedupQueries {
       .orderBy(col("span_digest"))
   }
 
+  /** #20b Asymmetric containment near-subset pairs — the case Jaccard
+    * structurally misses: a short document quoted wholesale inside a long
+    * one has Jaccard |A∩B|/|A∪B| ≈ |A|/|B| (tiny) but containment
+    * |A∩B|/|A| ≈ 1. Real training corpora are full of these (boilerplate
+    * wrappers, doc-in-doc aggregation pages, quote farms), and they evade
+    * both the banded-Jaccard and the exact-hash families.
+    *
+    * Candidates come from an INVERTED SHINGLE INDEX with a document-
+    * frequency cap, not bands: a shingle occurring in ≤ [[ContainDfCap]]
+    * docs pairs every pair of its holders; ubiquitous shingles (stop-
+    * phrase boilerplate) carry no identity signal and are dropped — which
+    * both bounds the pair mass (Σ_g df(g)² ≤ cap · Σ_g df(g), linear in
+    * corpus size × cap) and is the declared metric: containment over RARE
+    * shingles. That makes the operator exact w.r.t. its metric, so the
+    * oracle is a FULL replay (no recall argument needed, unlike LSH).
+    *
+    * Scale: explode → df count (map-side combinable) → semi-filter → the
+    * g-keyed self-join fans out ≤ cap per key with uniform keys → pair
+    * count aggregate. No broadcast requirement, no driver state; the
+    * df-cap is the knob that keeps the self-join linear at 100 TB.
+    * Docs under [[ContainMinShingles]] rare shingles are excluded — a
+    * 2-shingle doc "contained" anywhere is noise, not duplication. */
+  def containment(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) >= ContainMinShingles)
+    // persist: the exploded index feeds the df count AND the rare join —
+    // without it the corpus is scanned and re-shingled twice
+    val inv = graft.CacheRegistry.track(
+      d.select(col("doc_id"), explode(col("sh")).as("g")))
+    val dfCapped = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= ContainDfCap).select("g")
+    // persist: three consumers (per-doc rare counts + both self-join sides)
+    val rare = graft.CacheRegistry.track(inv.join(dfCapped, Seq("g")))
+    val rareN = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_rare"))
+    val a = rare.select(col("doc_id").as("a_id"), col("g"))
+    val b = rare.select(col("doc_id").as("b_id"), col("g"))
+    a.join(b, Seq("g")).filter(col("a_id") =!= col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("shared"))
+      .join(rareN.withColumnRenamed("doc_id", "a_id"), Seq("a_id"))
+      .withColumn("containment", col("shared").cast("double") / col("n_rare"))
+      .filter(col("containment") >= ContainTau)
+      .select("a_id", "b_id", "shared", "containment")
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val ContainDfCap = 20L
+  val ContainMinShingles = 8
+  val ContainTau = 0.5
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_spans"            -> (spans _),
     "dedup_exact"            -> (exact _),
     "text_decontaminate"     -> (decontaminate _),
     "dedup_ngram_jaccard"    -> (ngramJaccard _),
+    "dedup_containment"      -> (containment _),
     "dedup_embedding_cosine" -> (embeddingCosine _),
     "dedup_embedding_lsh"    -> (embeddingLsh _))
 
@@ -222,6 +274,19 @@ object DedupQueries {
          | round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
          |FROM d a JOIN d b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
          |WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.10
+         |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH d AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+         |inv AS (SELECT doc_id, unnest(sh) AS g FROM d WHERE len(sh) >= $ContainMinShingles),
+         |dft AS (SELECT g FROM inv GROUP BY g HAVING count(*) <= $ContainDfCap),
+         |rare AS (SELECT inv.doc_id, inv.g FROM inv JOIN dft USING (g)),
+         |rn AS (SELECT doc_id, count(*)::BIGINT AS n_rare FROM rare GROUP BY doc_id),
+         |sh2 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*)::BIGINT AS shared
+         | FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id != b.doc_id
+         | GROUP BY a.doc_id, b.doc_id)
+         |SELECT a_id, b_id, shared, shared::DOUBLE / n_rare AS containment
+         |FROM sh2 JOIN rn ON rn.doc_id = sh2.a_id
+         |WHERE shared::DOUBLE / n_rare >= $ContainTau
          |ORDER BY a_id, b_id""".stripMargin,
     "dedup_embedding_cosine" ->
       s"""WITH ${graft.sim.Kmeans.chainSql}
