@@ -13,6 +13,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational.CoreQueries.queries ++ etl.EtlQueries.queries ++ etl.NearestJoin.queries ++
+      etl.FuzzyMatch.queries ++
       text.TextQueries.queries ++ text.ImportanceResample.queries ++ text.PiiScrub.queries ++ text.BpeTrain.queries ++
       text.CorpusPipeline.queries ++
       dedup.DedupQueries.queries ++
@@ -33,6 +34,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     relational.CoreQueries.oracles ++ etl.EtlQueries.oracles ++ etl.NearestJoin.oracles ++
+      etl.FuzzyMatch.oracles ++
       text.TextQueries.oracles ++ text.ImportanceResample.oracles ++
       text.PiiScrub.oracles ++
       text.CorpusPipeline.oracles ++ dedup.DedupQueries.oracles ++

@@ -114,11 +114,11 @@ object Synth {
   private val V3 = Seq("motorcycle", "e-scooter", "truck", "tractor", "golfcart",
     "", "", "", "", "", "")
 
-  private def pick(id: Column, vocab: Seq[String]): Column =
+  private[etl] def pick(id: Column, vocab: Seq[String]): Column =
     vocab.zipWithIndex.tail.foldLeft(when(id % vocab.size === 0, lit(vocab.head))) {
       case (acc, (v, i)) => acc.when(id % vocab.size === i, lit(v))
     }
-  private def pickSql(id: String, vocab: Seq[String]): String =
+  private[etl] def pickSql(id: String, vocab: Seq[String]): String =
     vocab.zipWithIndex.map { case (v, i) => s"WHEN $id % ${vocab.size} = $i THEN '$v'" }
       .mkString("(CASE ", " ", " END)")
 

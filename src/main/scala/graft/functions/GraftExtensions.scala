@@ -26,7 +26,7 @@ object GraftExtensions {
     "haversine_m", "point_in_polygon", "point_in_multipolygon",
     "minhash_sig", "simhash64", "shingles3", "bigrams_all",
     "cosine_sim", "jaccard_sim", "hyperplane_bands", "top_cells", "rep_stats",
-    "sig_match_count", "phash64", "pq_score", "vec_sub")
+    "sig_match_count", "phash64", "pq_score", "vec_sub", "del_neighbors")
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -73,5 +73,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => PqScore(exprs(0), exprs(1))))
     ext.injectFunction(fn("vec_sub", classOf[VecSub],
       exprs => VecSub(exprs(0), exprs(1))))
+    ext.injectFunction(fn("del_neighbors", classOf[DelNeighbors],
+      HashExprs.buildDelNeighbors))
   }
 }

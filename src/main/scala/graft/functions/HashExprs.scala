@@ -76,6 +76,22 @@ object HashExprs {
       exprs => PqScore(exprs(0), exprs(1)), "built-in")
     r.createOrReplaceTempFunction("vec_sub",
       exprs => VecSub(exprs(0), exprs(1)), "built-in")
+    r.createOrReplaceTempFunction("del_neighbors", buildDelNeighbors, "built-in")
+  }
+
+  /** Builder requiring a literal maxDel (the neighborhood depth is a
+    * plan-time constant baked into the generated code). */
+  val buildDelNeighbors: Seq[Expression] => Expression = { exprs =>
+    val d = exprs(1) match {
+      case e if e.foldable => e.eval(null) match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long => l.intValue
+        case other => throw new IllegalArgumentException(
+          s"del_neighbors maxDel must be an integer literal, got $other")
+      }
+      case _ => throw new IllegalArgumentException("del_neighbors maxDel must be a literal")
+    }
+    DelNeighbors(exprs.head, d)
   }
 
   /** Builder with numeric coercion (SQL decimal literals → double arrays). */
@@ -118,6 +134,8 @@ object HashExprs {
   def phash64(c: Column): Column = call_function("phash64", c)
   def pqScore(codes: Column, lut: Column): Column = call_function("pq_score", codes, lut)
   def vecSub(a: Column, b: Column): Column = call_function("vec_sub", a, b)
+  def delNeighbors(c: Column, maxDel: Int): Column =
+    call_function("del_neighbors", c, org.apache.spark.sql.functions.lit(maxDel))
 }
 
 /** The one implementation of every sketch, called by BOTH the interpreted
@@ -229,6 +247,37 @@ object HashRuntime {
       while (it.hasNext) { out(p) = UTF8String.fromString(it.next()); p += 1 }
       new GenericArrayData(out)
     }
+  }
+
+  /** See DelNeighbors. */
+  def delNeighbors(input: UTF8String, maxDel: Int): ArrayData = {
+    val s = input.toString
+    val seen = new java.util.LinkedHashSet[String]
+    seen.add(s)
+    var frontier: Array[String] = Array(s)
+    var round = 0
+    while (round < maxDel) {
+      val next = new java.util.ArrayList[String]
+      var i = 0
+      while (i < frontier.length) {
+        val t = frontier(i)
+        var j = 0
+        while (j < t.length) {
+          val v = new java.lang.StringBuilder(t.length - 1)
+            .append(t, 0, j).append(t, j + 1, t.length).toString
+          if (seen.add(v)) next.add(v)
+          j += 1
+        }
+        i += 1
+      }
+      frontier = next.toArray(new Array[String](next.size))
+      round += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = UTF8String.fromString(it.next()); p += 1 }
+    new GenericArrayData(out)
   }
 
   /** See CosineSim. */
@@ -502,6 +551,34 @@ case class Shingles(child: Expression, k: Int, distinct: Boolean = true)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       c => s"graft.functions.HashRuntime.shingles($c, $k, $distinct)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct strings reachable from the input by deleting at most `maxDel`
+  * characters, the input itself included — the FastSS deletion neighborhood
+  * (Bocek, Hunt & Stiller, "Fast Similarity Search in Large Dictionaries",
+  * 2007). Guarantee: two strings with Levenshtein distance ≤ d always share
+  * a common ≤d-deletion variant (each edit consumes at most one deletion on
+  * each side), so equality on the exploded neighborhood is an EXACT
+  * candidate generator for dist ≤ d — no character-q-gram length caveats,
+  * no missed pairs. |del≤2(s)| = 1 + n + n(n−1)/2, bounded by string
+  * length, never by corpus size. */
+case class DelNeighbors(child: Expression, maxDel: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "del_neighbors"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"del_neighbors needs string, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HashRuntime.delNeighbors(input.asInstanceOf[UTF8String], maxDel)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashRuntime.delNeighbors($c, $maxDel)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -101,10 +101,49 @@ object TsQueries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** #34d Calendar densification with LINEAR interpolation: each gap day
+    * takes the straight line between its two enclosing observations —
+    * `ts_resample`'s last-observation-carried-forward is the step-function
+    * sibling (the locf/interpolate pair every timeseries store exposes).
+    * Interpolation arithmetic runs on the ROUNDED daily values
+    * (determinism checklist: the raw groupBy sum carries summation-order
+    * noise; rounding first makes every downstream IEEE op bit-identical
+    * across engines, because +,−,×,÷ on identical doubles are exactly
+    * specified). The calendar spans each type's first..last observed day,
+    * so every gap day has both neighbors by construction — no edge
+    * extrapolation case exists. Same scale posture as the family: windows
+    * run on the |types × days| aggregate, never on facts. */
+  def interpolate(s: SparkSession, dir: String): DataFrame = {
+    val d = daily(s, dir, minValue = Some(200.0))
+      .select(col("event_type"), col("day"), round(col("raw_value"), 2).as("v"))
+    val calendar = d.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val j = calendar.join(d, Seq("event_type", "day"), "left")
+      .withColumn("epoch_day", datediff(col("day"), lit("1970-01-01")).cast("long"))
+    val wPrev = Window.partitionBy(col("event_type")).orderBy(col("epoch_day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy(col("event_type")).orderBy(col("epoch_day"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val obsDay = when(col("v").isNotNull, col("epoch_day"))
+    val pd = last(obsDay, ignoreNulls = true).over(wPrev)
+    val pv = last(col("v"), ignoreNulls = true).over(wPrev)
+    val nd = first(obsDay, ignoreNulls = true).over(wNext)
+    val nv = first(col("v"), ignoreNulls = true).over(wNext)
+    j.select(col("event_type"), col("day"), col("v").isNull.as("is_gap"),
+        when(col("v").isNotNull, col("v"))
+          .otherwise(round(pv + (nv - pv) * (col("epoch_day") - pd) / (nd - pd), 4))
+          .as("value_interp"),
+        when(col("v").isNull, nd - pd).as("span_days"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_resample"   -> (resampleDaily _),
     "ts_moving_avg" -> (movingAvg _),
-    "ts_anomaly"    -> (anomaly _))
+    "ts_anomaly"    -> (anomaly _),
+    "ts_interpolate" -> (interpolate _))
 
   private def dailySqlWhere(where: String = "") =
     s"""SELECT event_type, ts::DATE AS day, count(*) AS n_events,
@@ -156,5 +195,32 @@ object TsQueries {
          | FROM s)
          |SELECT event_type, day, raw_value, hist_days, z,
          | (z IS NOT NULL AND abs(z) >= $AnomZ) AS is_anomaly
-         |FROM zt ORDER BY event_type, day""".stripMargin)
+         |FROM zt ORDER BY event_type, day""".stripMargin,
+    "ts_interpolate" ->
+      s"""WITH d0 AS ($sparseDailySql),
+         |r AS (SELECT event_type, day, round(raw_value, 2) AS v FROM d0),
+         |cal AS (
+         | SELECT event_type, unnest(generate_series(min(day), max(day), INTERVAL 1 DAY))::DATE AS day
+         | FROM r GROUP BY event_type),
+         |j AS (
+         | SELECT cal.event_type, cal.day,
+         |  (cal.day - DATE '1970-01-01')::BIGINT AS epoch_day, r.v
+         | FROM cal LEFT JOIN r ON cal.event_type = r.event_type AND cal.day = r.day),
+         |w AS (
+         | SELECT *,
+         |  last_value(CASE WHEN v IS NOT NULL THEN epoch_day END IGNORE NULLS) OVER wp AS pd,
+         |  last_value(v IGNORE NULLS) OVER wp AS pv,
+         |  first_value(CASE WHEN v IS NOT NULL THEN epoch_day END IGNORE NULLS) OVER wn AS nd,
+         |  first_value(v IGNORE NULLS) OVER wn AS nv
+         | FROM j
+         | WINDOW
+         |  wp AS (PARTITION BY event_type ORDER BY epoch_day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |  wn AS (PARTITION BY event_type ORDER BY epoch_day
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT event_type, day, v IS NULL AS is_gap,
+         | CASE WHEN v IS NOT NULL THEN v
+         |      ELSE round(pv + (nv - pv) * (epoch_day - pd) / (nd - pd), 4) END AS value_interp,
+         | CASE WHEN v IS NULL THEN nd - pd END AS span_days
+         |FROM w ORDER BY event_type, day""".stripMargin)
 }

@@ -39,7 +39,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "dedup_incremental", "mm_phash_neardup", "mm_frame_overlap",
     "text_pipeline_report", "emb_hard_negatives", "ts_anomaly",
     "emb_incremental_assign", "stream_anomaly", "ann_pq", "ann_ivfpq",
-    "sample_importance", "etl_nearest_intersection")
+    "sample_importance", "etl_nearest_intersection",
+    "etl_fuzzy_crosswalk", "ts_interpolate")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {

@@ -49,7 +49,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "SELECT sig_match_count(array(1L, 2L, 3L), array(1L, 9L, 3L))",
       "SELECT phash64(encode('a long enough media payload', 'UTF-8'))",
       "SELECT pq_score(array(0L, 1L), array(array(1.0D, 2.0D), array(3.0D, 4.0D)))",
-      "SELECT vec_sub(array(1.0D, 2.0D), array(0.5D, 0.25D))")
+      "SELECT vec_sub(array(1.0D, 2.0D), array(0.5D, 0.25D))",
+      "SELECT del_neighbors('abc', 2)")
     assert(exercised.size == GraftExtensions.InjectedNames.size)
     // every function is SQL-callable end to end (builder + type coercion)
     exercised.foreach { q =>

@@ -31,7 +31,8 @@ class HashExprsCodegenSpec extends AnyFunSuite {
           HashExprs.minhashSig(HashExprs.shingles3(col("text"))).as("sig"),
           HashExprs.simhash64(HashExprs.bigramsAll(col("text"))).as("sh"),
           HashExprs.repStats(col("text")).as("rs"),
-          HashExprs.phash64(encode(col("text"), "UTF-8")).as("ph"))
+          HashExprs.phash64(encode(col("text"), "UTF-8")).as("ph"),
+          HashExprs.delNeighbors(substring(col("text"), 1, 6), 2).as("dn"))
         .withColumn("m", HashExprs.sigMatchCount(col("sig"), col("sig")))
         .withColumn("j", HashExprs.jaccardSim(HashExprs.shingles3(lit("a b c d")),
           HashExprs.shingles3(lit("a b c e"))))
@@ -39,6 +40,12 @@ class HashExprsCodegenSpec extends AnyFunSuite {
       assert(docRows.length == 50)
       // self-match: all 64 signature slots equal
       assert(docRows.forall(_.getAs[Int]("m") == 64))
+      // ≤2-deletion neighborhood of a 6-char string: at most 1 + 6 + 15
+      // distinct variants, the original always first (insertion order)
+      assert(docRows.forall { r =>
+        val dn = r.getAs[scala.collection.Seq[String]]("dn")
+        dn.nonEmpty && dn.size <= 22 && dn.head.length == 6
+      })
 
       val embDf = Tables.embeddings(spark, sf).limit(50)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))

@@ -91,6 +91,34 @@ class TsQueriesSpec extends AnyFunSuite {
     assert(flagged.toSeq == Seq(("type_0", "2024-01-30")), s"got ${flagged.toSeq}")
   }
 
+  test("interpolate: observed days keep their value, gap days sit on the straight line") {
+    val rows = TsQueries.interpolate(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getBoolean(2),
+        r.getDouble(3), if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(rows.exists(_._3), "test signal must contain gap days")
+    rows.groupBy(_._1).foreach { case (tpe, days) =>
+      val sorted = days.sortBy(_._2)
+      // dense calendar, data on both boundaries
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._2 == a._2.plusDays(1), s"$tpe: hole at ${a._2}")
+        case _ =>
+      }
+      assert(!sorted.head._3 && !sorted.last._3)
+      val observed = sorted.filter(!_._3).map(d => (d._2.toEpochDay, d._4))
+      sorted.filter(_._3).foreach { case (_, day, _, v, span) =>
+        val d = day.toEpochDay
+        val (pd, pv) = observed.filter(_._1 < d).maxBy(_._1)
+        val (nd, nv) = observed.filter(_._1 > d).minBy(_._1)
+        val expect = BigDecimal(pv + (nv - pv) * (d - pd) / (nd - pd))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(v - expect) < 1e-9, s"$tpe $day: $v != $expect")
+        assert(span.contains(nd - pd), s"$tpe $day: span $span != ${nd - pd}")
+      }
+      // observed days: exact rounded daily value, no span
+      sorted.filter(!_._3).foreach { case (_, _, _, _, span) => assert(span.isEmpty) }
+    }
+  }
+
   test("resample touches the fact table once: explode runs on aggregated rows") {
     val p = TsQueries.resampleDaily(spark, sf).queryExecution.executedPlan.toString
     // the calendar explode must sit above the per-type min/max aggregate,
