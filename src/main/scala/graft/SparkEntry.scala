@@ -27,7 +27,7 @@ object SparkEntry {
       streaming.StreamDedup.queries ++ streaming.StreamNearDup.queries ++
       streaming.StreamAnomaly.queries ++
       timeseries.TsQueries.queries ++
-      stats.SketchQueries.queries ++ stats.HeavyHitters.queries ++
+      stats.SketchQueries.queries ++ stats.HeavyHitters.queries ++ stats.KmvSketch.queries ++
       analytics.FunnelQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -46,6 +46,6 @@ object SparkEntry {
       sim.VectorOps.oracles ++ streaming.StreamQueries.oracles ++
       streaming.StreamDedup.oracles ++ streaming.StreamAnomaly.oracles ++
       timeseries.TsQueries.oracles ++
-      stats.SketchQueries.oracles ++ stats.HeavyHitters.oracles ++
+      stats.SketchQueries.oracles ++ stats.HeavyHitters.oracles ++ stats.KmvSketch.oracles ++
       analytics.FunnelQueries.oracles
 }
