@@ -25,7 +25,7 @@ object SparkEntry {
       multimodal.MultimodalQueries.queries ++ multimodal.PhashNearDup.queries ++
       streaming.StreamQueries.queries ++
       streaming.StreamDedup.queries ++ streaming.StreamNearDup.queries ++
-      streaming.StreamAnomaly.queries ++
+      streaming.StreamAnomaly.queries ++ streaming.StreamTopK.queries ++
       timeseries.TsQueries.queries ++
       stats.SketchQueries.queries ++ stats.HeavyHitters.queries ++ stats.KmvSketch.queries ++
       analytics.FunnelQueries.queries
@@ -45,6 +45,7 @@ object SparkEntry {
       multimodal.MultimodalQueries.oracles ++
       sim.VectorOps.oracles ++ streaming.StreamQueries.oracles ++
       streaming.StreamDedup.oracles ++ streaming.StreamAnomaly.oracles ++
+      streaming.StreamTopK.oracles ++
       timeseries.TsQueries.oracles ++
       stats.SketchQueries.oracles ++ stats.HeavyHitters.oracles ++ stats.KmvSketch.oracles ++
       analytics.FunnelQueries.oracles
