@@ -28,6 +28,7 @@ object SparkEntry {
       streaming.StreamAnomaly.queries ++ streaming.StreamTopK.queries ++
       timeseries.TsQueries.queries ++
       stats.SketchQueries.queries ++ stats.HeavyHitters.queries ++ stats.KmvSketch.queries ++
+      graph.PageRank.queries ++
       analytics.FunnelQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -48,5 +49,6 @@ object SparkEntry {
       streaming.StreamTopK.oracles ++
       timeseries.TsQueries.oracles ++
       stats.SketchQueries.oracles ++ stats.HeavyHitters.oracles ++ stats.KmvSketch.oracles ++
+      graph.PageRank.oracles ++
       analytics.FunnelQueries.oracles
 }

@@ -40,7 +40,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "text_pipeline_report", "emb_hard_negatives", "ts_anomaly",
     "emb_incremental_assign", "stream_anomaly", "ann_pq", "ann_ivfpq",
     "sample_importance", "etl_nearest_intersection",
-    "etl_fuzzy_crosswalk", "ts_interpolate", "stats_kmv_distinct", "stream_topk")
+    "etl_fuzzy_crosswalk", "ts_interpolate", "stats_kmv_distinct", "stream_topk",
+    "graph_pagerank")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {
