@@ -139,11 +139,39 @@ object TsQueries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** #34e Weekday seasonal decomposition (STL-lite): v = trend + seasonal
+    * + residual, where trend is the ±3-day centered moving average and the
+    * seasonal term is each weekday's mean detrended deviation — the
+    * decomposition that separates "Mondays are always slow" from "this
+    * Monday was genuinely slow" (the reference's crash series has exactly
+    * this weekday texture; `etl_dow_heatmap` shows the raw pattern, this
+    * quantifies and removes it). Weekday index is pure integer arithmetic
+    * ((epoch_day + 3) % 7, 0 = Monday) because the two engines disagree on
+    * dayofweek() numbering; every averaged column is rounded per the
+    * determinism checklist. Windows run on the |types × days| aggregate. */
+  def seasonality(s: SparkSession, dir: String): DataFrame = {
+    val d = daily(s, dir)
+      .withColumn("epoch_day", datediff(col("day"), lit("1970-01-01")).cast("long"))
+      .withColumn("dow", (col("epoch_day") + 3) % 7)
+      .withColumn("v", round(col("raw_value"), 2))
+    val wTrend = Window.partitionBy(col("event_type")).orderBy(col("epoch_day"))
+      .rangeBetween(-3, 3)
+    val wDow = Window.partitionBy(col("event_type"), col("dow"))
+    val trend = round(avg(col("v")).over(wTrend), 4)
+    val t = d.withColumn("trend", trend)
+      .withColumn("resid", col("v") - col("trend"))
+    t.select(col("event_type"), col("day"), col("dow"), col("v"), col("trend"),
+        round(avg(col("resid")).over(wDow), 4).as("seasonal"))
+      .withColumn("deseasonal", round(col("v") - col("seasonal"), 4))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_resample"   -> (resampleDaily _),
     "ts_moving_avg" -> (movingAvg _),
     "ts_anomaly"    -> (anomaly _),
-    "ts_interpolate" -> (interpolate _))
+    "ts_interpolate" -> (interpolate _),
+    "ts_seasonality" -> (seasonality _))
 
   private def dailySqlWhere(where: String = "") =
     s"""SELECT event_type, ts::DATE AS day, count(*) AS n_events,
@@ -222,5 +250,21 @@ object TsQueries {
          | CASE WHEN v IS NOT NULL THEN v
          |      ELSE round(pv + (nv - pv) * (epoch_day - pd) / (nd - pd), 4) END AS value_interp,
          | CASE WHEN v IS NULL THEN nd - pd END AS span_days
-         |FROM w ORDER BY event_type, day""".stripMargin)
+         |FROM w ORDER BY event_type, day""".stripMargin,
+    "ts_seasonality" ->
+      s"""WITH d0 AS ($dailySql),
+         |d AS (SELECT event_type, day,
+         |  (day - DATE '1970-01-01')::BIGINT AS epoch_day,
+         |  ((day - DATE '1970-01-01')::BIGINT + 3) % 7 AS dow,
+         |  round(raw_value, 2) AS v
+         | FROM d0),
+         |t AS (SELECT *,
+         |  round(avg(v) OVER (PARTITION BY event_type ORDER BY epoch_day
+         |    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING), 4) AS trend
+         | FROM d),
+         |r AS (SELECT *, v - trend AS resid FROM t)
+         |SELECT event_type, day, dow, v, trend,
+         | round(avg(resid) OVER (PARTITION BY event_type, dow), 4) AS seasonal,
+         | round(v - round(avg(resid) OVER (PARTITION BY event_type, dow), 4), 4) AS deseasonal
+         |FROM r ORDER BY event_type, day""".stripMargin)
 }
