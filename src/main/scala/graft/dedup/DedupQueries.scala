@@ -226,8 +226,62 @@ object DedupQueries {
   val ContainMinShingles = 8
   val ContainTau = 0.5
 
+  /** #20f Corpus rewrite after span dedup — the step arXiv:2107.06499
+    * actually ships: duplicated passages are REMOVED from the corpus and
+    * the surviving text is re-emitted (detection alone — `dedup_spans` —
+    * only tells you where the duplication is). Each document is cut into
+    * consecutive disjoint [[RewriteSpan]]-word chunks; a chunk instance
+    * survives iff it is the global FIRST occurrence of its digest (the
+    * (doc_id, position) lexicographic minimum — so repeated boilerplate
+    * keeps exactly one copy corpus-wide, including within-document
+    * repeats), and each document's cleaned text is the ordered join of
+    * its surviving chunks.
+    *
+    * Scale: explode is the only row multiplier (×n_chunks on documents,
+    * the same mass as the corpus itself), the keeper choice is one
+    * map-side-combinable min-aggregate on the digest (the (doc_id, pos)
+    * pair packs into one BIGINT — [[RewritePosCap]] bounds chunk position,
+    * a per-DOCUMENT length bound, not a corpus bound), and reassembly is
+    * one groupBy(doc_id) whose state is bounded by document length. Two
+    * uniform shuffles total; no driver state, no self-join. */
+  val RewriteSpan = 8
+  val RewritePosCap = 1000000L // chunks per doc; 8M-word docs before overflow
+
+  def rewrite(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ws = split(col("text"), "\\s+")
+    val chunks = docs
+      .select(col("doc_id"), ws.as("w"))
+      .withColumn("nc", ceil(size(col("w")).cast("double") / RewriteSpan).cast("long"))
+      .filter(col("nc") >= 1L) // sequence(0, -1) would step backwards
+      .select(col("doc_id"), col("w"), posexplode(sequence(lit(0L), col("nc") - 1L)))
+      .select(col("doc_id"), col("pos"),
+        array_join(slice(col("w"), (col("pos") * RewriteSpan + 1L).cast("int"),
+          lit(RewriteSpan)), " ").as("chunk"))
+      .withColumn("digest", md5(col("chunk")))
+      .withColumn("k", col("doc_id") * RewritePosCap + col("pos"))
+    // persist: feeds the global keeper aggregate AND the survivor join
+    val inst = graft.CacheRegistry.track(chunks)
+    val keeper = inst.groupBy(col("digest")).agg(min(col("k")).as("k0"))
+    val kept = inst.join(keeper,
+      inst("digest") === keeper("digest") && col("k") === col("k0"))
+      .select(col("doc_id"), col("pos"), col("chunk"))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+          x => x.getField("chunk")), " ").as("cleaned_text"))
+    docs.select(col("doc_id"),
+        ceil(size(ws).cast("double") / RewriteSpan).cast("long").as("n_chunks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_spans"            -> (spans _),
+    "dedup_rewrite"          -> (rewrite _),
     "dedup_exact"            -> (exact _),
     "text_decontaminate"     -> (decontaminate _),
     "dedup_ngram_jaccard"    -> (ngramJaccard _),
@@ -256,6 +310,26 @@ object DedupQueries {
          | min(doc_id) AS min_doc, max(doc_id) AS max_doc
          |FROM pd GROUP BY span_digest HAVING count(*) > 1
          |ORDER BY span_digest""".stripMargin,
+    "dedup_rewrite" ->
+      s"""WITH ww AS (SELECT doc_id, $w AS w FROM documents),
+         |ch AS (SELECT doc_id, w,
+         |  unnest(range(0, CAST(ceil(len(w) / ${RewriteSpan}.0) AS BIGINT))) AS pos
+         | FROM ww),
+         |d AS (SELECT doc_id, pos,
+         |  array_to_string(list_slice(w, pos * $RewriteSpan + 1, pos * $RewriteSpan + $RewriteSpan), ' ') AS chunk
+         | FROM ch),
+         |i AS (SELECT *, md5(chunk) AS digest, doc_id * $RewritePosCap + pos AS k FROM d),
+         |keep AS (SELECT digest, min(k) AS k0 FROM i GROUP BY digest),
+         |kept AS (SELECT i.doc_id, i.pos, i.chunk
+         | FROM i JOIN keep ON keep.digest = i.digest AND i.k = keep.k0),
+         |rb AS (SELECT doc_id, count(*) AS n_kept,
+         |  string_agg(chunk, ' ' ORDER BY pos) AS cleaned_text
+         | FROM kept GROUP BY doc_id)
+         |SELECT ww.doc_id, CAST(ceil(len(ww.w) / ${RewriteSpan}.0) AS BIGINT) AS n_chunks,
+         | coalesce(rb.n_kept, 0)::BIGINT AS n_kept,
+         | coalesce(rb.cleaned_text, '') AS cleaned_text
+         |FROM ww LEFT JOIN rb ON rb.doc_id = ww.doc_id
+         |ORDER BY ww.doc_id""".stripMargin,
     "text_decontaminate" ->
       s"""WITH d AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
          |bench AS (SELECT list_distinct(flatten(list(sh))) AS bench_sh FROM d WHERE doc_id < 10)

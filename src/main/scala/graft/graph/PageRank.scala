@@ -42,8 +42,9 @@ object PageRank {
   val Damp = 85 // /100
   val OutDeg = 3
 
-  /** The 3-out-degree citation list, identically derivable in SQL. */
-  private def citationEdges(docs: DataFrame, n: Long): DataFrame =
+  /** The 3-out-degree citation list, identically derivable in SQL (shared
+    * with [[Triangles]] so both operators analyze the same graph). */
+  private[graph] def citationEdges(docs: DataFrame, n: Long): DataFrame =
     docs.select(col("doc_id").as("src"), explode(array(
       (col("doc_id") * 2654435761L) % n,
       (col("doc_id") % 100L) % n,
@@ -82,12 +83,21 @@ object PageRank {
     } finally s.conf.set("spark.sql.codegen.wholeStage", prevWsc)
   }
 
+  /** DuckDB CTEs `n` (corpus count) and `e` (the citation edge list) —
+    * the one shared SQL definition of the graph, used by every graph
+    * oracle so the engines can never analyze different edge lists. */
+  private[graph] val graphSqlCtes: String =
+    """n AS (SELECT count(*)::BIGINT AS cnt FROM documents),
+      |e AS (
+      | SELECT doc_id AS src, (doc_id * 2654435761) % (SELECT cnt FROM n) AS dst FROM documents
+      | UNION ALL SELECT doc_id, (doc_id % 100) % (SELECT cnt FROM n) FROM documents
+      | UNION ALL SELECT doc_id, (doc_id // 7) % (SELECT cnt FROM n) FROM documents)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (pagerank _))
 
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> {
-      val cnt = "(SELECT cnt FROM n)"
       val baseSql = s"(SELECT (15 * ($Scale // cnt)) // 100 FROM n)"
       val iterCtes = (1 to Iters).map { k =>
         s"""s$k AS (SELECT e.dst AS doc_id, sum(p.r // $OutDeg) AS m
@@ -96,12 +106,8 @@ object PageRank {
            |  $baseSql + ($Damp * coalesce(s$k.m, 0)) // 100 AS r
            | FROM v LEFT JOIN s$k USING (doc_id))""".stripMargin
       }.mkString(",\n")
-      s"""WITH n AS (SELECT count(*)::BIGINT AS cnt FROM documents),
+      s"""WITH $graphSqlCtes,
          |v AS (SELECT doc_id FROM documents),
-         |e AS (
-         | SELECT doc_id AS src, (doc_id * 2654435761) % $cnt AS dst FROM documents
-         | UNION ALL SELECT doc_id, (doc_id % 100) % $cnt FROM documents
-         | UNION ALL SELECT doc_id, (doc_id // 7) % $cnt FROM documents),
          |pr0 AS (SELECT doc_id, (SELECT $Scale // cnt FROM n) AS r FROM v),
          |$iterCtes
          |SELECT doc_id, r::BIGINT AS rank_scaled,

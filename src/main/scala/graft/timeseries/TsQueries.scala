@@ -154,19 +154,79 @@ object TsQueries {
       .withColumn("epoch_day", datediff(col("day"), lit("1970-01-01")).cast("long"))
       .withColumn("dow", (col("epoch_day") + 3) % 7)
       .withColumn("v", round(col("raw_value"), 2))
+      // cent-scaled BIGINT twin of v: window SUMS of integers are exact
+      // and order-independent, where a window avg() of doubles carries
+      // summation-order noise that can flip the 4th-decimal rounding on a
+      // knife-edge (observed once the driver regenerated the test data)
+      .withColumn("vi", round(col("v") * 100).cast("long"))
     val wTrend = Window.partitionBy(col("event_type")).orderBy(col("epoch_day"))
       .rangeBetween(-3, 3)
     val wDow = Window.partitionBy(col("event_type"), col("dow"))
-    val trend = round(avg(col("v")).over(wTrend), 4)
+    val trend = round(sum(col("vi")).over(wTrend).cast("double") /
+      count(lit(1)).over(wTrend) / 100.0, 4)
     val t = d.withColumn("trend", trend)
       .withColumn("resid", col("v") - col("trend"))
+      // resid is a deterministic IEEE difference of two cross-engine-
+      // identical doubles with ≤4 decimals; scale it exact
+      .withColumn("ri", round(col("resid") * 10000).cast("long"))
+    val seasonal = round(sum(col("ri")).over(wDow).cast("double") /
+      count(lit(1)).over(wDow) / 10000.0, 4)
     t.select(col("event_type"), col("day"), col("dow"), col("v"), col("trend"),
-        round(avg(col("resid")).over(wDow), 4).as("seasonal"))
+        seasonal.as("seasonal"))
       .withColumn("deseasonal", round(col("v") - col("seasonal"), 4))
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** #34f Truncated exponential moving average per (type, day) — the
+    * recency-weighted smoother every monitoring stack pairs with the flat
+    * `ts_moving_avg` (decay ratio 3/4 ⇒ α = 1/4, truncated at
+    * [[EwmaWindow]] days, renormalized over the days actually present so
+    * gaps don't drag the estimate toward zero).
+    *
+    * The recursive EWMA definition is inherently sequential; this is its
+    * exact truncated-window expansion, made order-independent by integer
+    * arithmetic: weights are the common-denominator integers
+    * 3^k · 4^(W−1−k) (so no float powers anywhere), daily values enter as
+    * rounded cents (BIGINT), and each day's numerator/denominator are
+    * plain integer sums — bit-exact under any partitioning, and the
+    * oracle replays the identical weight table from one shared literal
+    * list. Division happens once at the end on exactly-representable
+    * integers (< 2^53), so the rounded quotient is also cross-engine
+    * deterministic (the `sample_importance` common-denominator trick on a
+    * time axis).
+    *
+    * Plan shape: the contribution fan-out is an explode(×W) on the
+    * |types × days| AGGREGATE, never on facts, followed by one map-side
+    * combinable groupBy on (type, target_day) and a join back to observed
+    * days — at 100 TB the fact table is still touched exactly once. */
+  val EwmaWindow = 14
+  /** w(k) = 3^k · 4^(W−1−k), k = days back — one shared definition. */
+  val EwmaWeights: Seq[Long] =
+    (0 until EwmaWindow).map(k => math.pow(3, k).toLong * math.pow(4, EwmaWindow - 1 - k).toLong)
+
+  def ewma(s: SparkSession, dir: String): DataFrame = {
+    val d = daily(s, dir)
+      .withColumn("epoch_day", datediff(col("day"), lit("1970-01-01")).cast("long"))
+      .withColumn("vc", round(col("raw_value") * 100).cast("long"))
+    val wArr = array(EwmaWeights.map(lit): _*)
+    val contrib = d.select(col("event_type"), col("epoch_day"), col("vc"))
+      .withColumn("k", explode(sequence(lit(0), lit(EwmaWindow - 1))))
+      .select(col("event_type"), (col("epoch_day") + col("k")).as("ted"),
+        (col("vc") * element_at(wArr, col("k") + 1)).as("wv"),
+        element_at(wArr, col("k") + 1).as("w"))
+      .groupBy(col("event_type"), col("ted"))
+      .agg(sum(col("wv")).as("num"), sum(col("w")).as("den"),
+        count(lit(1)).as("days_present"))
+      .withColumnRenamed("event_type", "c_type")
+    d.join(contrib, col("c_type") === col("event_type") && col("epoch_day") === col("ted"))
+      .select(col("event_type"), col("day"), round(col("raw_value"), 2).as("raw_value"),
+        round(col("num").cast("double") / col("den") / 100.0, 4).as("ewma14"),
+        col("days_present"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_ewma"       -> (ewma _),
     "ts_resample"   -> (resampleDaily _),
     "ts_moving_avg" -> (movingAvg _),
     "ts_anomaly"    -> (anomaly _),
@@ -182,6 +242,22 @@ object TsQueries {
   private val sparseDailySql = dailySqlWhere("WHERE value >= 200.0")
 
   val oracles: Map[String, String] = Map(
+    "ts_ewma" -> {
+      val wvals = EwmaWeights.zipWithIndex
+        .map { case (w, k) => s"($k, ${w}::BIGINT)" }.mkString(", ")
+      s"""WITH d AS ($dailySql),
+         |r AS (SELECT event_type, day, (day - DATE '1970-01-01')::BIGINT AS ed,
+         |  CAST(round(raw_value * 100) AS BIGINT) AS vc,
+         |  round(raw_value, 2) AS rv FROM d),
+         |wt(k, w) AS (VALUES $wvals),
+         |g AS (SELECT r.event_type, r.ed + wt.k AS ted, sum(r.vc * wt.w) AS num,
+         |  sum(wt.w) AS den, count(*) AS days_present
+         | FROM r CROSS JOIN wt GROUP BY 1, 2)
+         |SELECT r.event_type, r.day, r.rv AS raw_value,
+         | round((num::DOUBLE / den) / 100.0, 4) AS ewma14, days_present
+         |FROM r JOIN g ON g.event_type = r.event_type AND g.ted = r.ed
+         |ORDER BY r.event_type, r.day""".stripMargin
+    },
     "ts_resample" ->
       s"""WITH d AS ($sparseDailySql),
          |cal AS (
@@ -256,15 +332,21 @@ object TsQueries {
          |d AS (SELECT event_type, day,
          |  (day - DATE '1970-01-01')::BIGINT AS epoch_day,
          |  ((day - DATE '1970-01-01')::BIGINT + 3) % 7 AS dow,
-         |  round(raw_value, 2) AS v
+         |  round(raw_value, 2) AS v,
+         |  CAST(round(round(raw_value, 2) * 100) AS BIGINT) AS vi
          | FROM d0),
          |t AS (SELECT *,
-         |  round(avg(v) OVER (PARTITION BY event_type ORDER BY epoch_day
-         |    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING), 4) AS trend
+         |  round((sum(vi) OVER (PARTITION BY event_type ORDER BY epoch_day
+         |    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING))::DOUBLE /
+         |   (count(*) OVER (PARTITION BY event_type ORDER BY epoch_day
+         |    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)) / 100.0, 4) AS trend
          | FROM d),
-         |r AS (SELECT *, v - trend AS resid FROM t)
-         |SELECT event_type, day, dow, v, trend,
-         | round(avg(resid) OVER (PARTITION BY event_type, dow), 4) AS seasonal,
-         | round(v - round(avg(resid) OVER (PARTITION BY event_type, dow), 4), 4) AS deseasonal
-         |FROM r ORDER BY event_type, day""".stripMargin)
+         |r AS (SELECT *, v - trend AS resid,
+         |  CAST(round((v - trend) * 10000) AS BIGINT) AS ri FROM t),
+         |sn AS (SELECT *,
+         |  round((sum(ri) OVER wd)::DOUBLE / (count(*) OVER wd) / 10000.0, 4) AS seasonal
+         | FROM r WINDOW wd AS (PARTITION BY event_type, dow))
+         |SELECT event_type, day, dow, v, trend, seasonal,
+         | round(v - seasonal, 4) AS deseasonal
+         |FROM sn ORDER BY event_type, day""".stripMargin)
 }

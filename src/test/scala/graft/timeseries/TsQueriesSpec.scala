@@ -119,6 +119,39 @@ class TsQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("ewma equals a driver-side replay of the integer-weight definition") {
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.to_date(org.apache.spark.sql.functions.col("ts")).as("day"))
+      .agg(org.apache.spark.sql.functions.sum("value").as("raw_value"))
+      .collect()
+      .map(r => ((r.getString(0), r.getDate(1).toLocalDate.toEpochDay),
+        BigDecimal(r.getDouble(2) * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+      .toMap
+    val w = TsQueries.EwmaWeights
+    val got = TsQueries.ewma(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getDate(1).toLocalDate.toEpochDay),
+        (r.getDouble(3), r.getLong(4))))
+    assert(got.length == daily.size, "one ewma row per observed (type, day)")
+    got.foreach { case ((tpe, ed), (ewma, present)) =>
+      val contribs = (0 until TsQueries.EwmaWindow)
+        .flatMap(k => daily.get((tpe, ed - k)).map(vc => (vc, w(k))))
+      assert(present == contribs.size.toLong)
+      val num = contribs.map { case (vc, wk) => vc * wk }.sum
+      val den = contribs.map(_._2).sum
+      val expect = BigDecimal(num.toDouble / den / 100.0)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(ewma == expect, s"$tpe day $ed: $ewma != $expect")
+    }
+    // convexity: a normalized positive-weight average stays inside the
+    // envelope of its contributing values
+    got.foreach { case ((tpe, ed), (ewma, _)) =>
+      val vs = (0 until TsQueries.EwmaWindow)
+        .flatMap(k => daily.get((tpe, ed - k))).map(_ / 100.0)
+      assert(ewma >= vs.min - 0.01 && ewma <= vs.max + 0.01)
+    }
+  }
+
   test("resample touches the fact table once: explode runs on aggregated rows") {
     val p = TsQueries.resampleDaily(spark, sf).queryExecution.executedPlan.toString
     // the calendar explode must sit above the per-type min/max aggregate,
