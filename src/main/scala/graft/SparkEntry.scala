@@ -13,7 +13,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational.CoreQueries.queries ++ etl.EtlQueries.queries ++ etl.NearestJoin.queries ++
-      etl.FuzzyMatch.queries ++
+      etl.FuzzyMatch.queries ++ etl.Anonymize.queries ++
       text.TextQueries.queries ++ text.ImportanceResample.queries ++ text.PiiScrub.queries ++ text.BpeTrain.queries ++
       text.CorpusPipeline.queries ++
       dedup.DedupQueries.queries ++
@@ -21,7 +21,7 @@ object SparkEntry {
       dedup.DedupClusters.queries ++ dedup.IncrementalNearDup.queries ++
       sim.SimQueries.queries ++ sim.AnnLsh.queries ++ sim.AnnIvf.queries ++
       sim.AnnPq.queries ++ sim.AnnIvfPq.queries ++
-      sim.VectorOps.queries ++ sim.Kmeans.queries ++
+      sim.VectorOps.queries ++ sim.Kmeans.queries ++ sim.Pca.queries ++
       multimodal.MultimodalQueries.queries ++ multimodal.PhashNearDup.queries ++
       streaming.StreamQueries.queries ++
       streaming.StreamDedup.queries ++ streaming.StreamNearDup.queries ++
@@ -35,7 +35,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     relational.CoreQueries.oracles ++ etl.EtlQueries.oracles ++ etl.NearestJoin.oracles ++
-      etl.FuzzyMatch.oracles ++
+      etl.FuzzyMatch.oracles ++ etl.Anonymize.oracles ++
       text.TextQueries.oracles ++ text.ImportanceResample.oracles ++
       text.PiiScrub.oracles ++
       text.CorpusPipeline.oracles ++ dedup.DedupQueries.oracles ++

@@ -1,0 +1,85 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** #14d k-anonymity suppression over quasi-identifiers (SURVEY.md §2).
+  *
+  * Event logs released for analytics or model training leak identity
+  * through quasi-identifier (QI) combinations even with direct ids
+  * removed (Sweeney 2002: 87% of the US population is unique on
+  * {zip, birthdate, sex}). This operator enforces k-anonymity with a
+  * two-level generalization ladder, the standard privacy gate before a
+  * log stream enters a training corpus — the reference publishes crash
+  * records with fine-grained location+time QIs, which is exactly the
+  * release shape that needs this gate at scale.
+  *
+  * QI here: (event_type, day, cohort) with cohort = user_id div
+  * [[CohortWidth]]. Ladder:
+  *   - level `full`: the row's exact QI group has ≥ [[K]] members;
+  *   - level `coarse`: otherwise, the cohort column is generalized away
+  *     and the row survives if its residual (event_type, day) group —
+  *     counted over the rows that NEEDED coarsening — has ≥ [[K]]
+  *     members;
+  *   - suppressed: residual group still < K ⇒ the row is dropped
+  *     entirely (standard suppression, the bounded information-loss
+  *     fallback of Mondrian-style recoding).
+  *
+  * Scale posture: two map-side-combinable groupBy counts on uniform QI
+  * keys plus fact⋈aggregate hash joins back (the aggregate side is
+  * |distinct QI| rows, but no broadcast is assumed — the join keys are
+  * the group keys themselves, so co-partitioning is free). One fact
+  * scan feeds the level-0 count and the tagging join via the tracked
+  * cache; no windows over the full fact stream, no driver state. */
+object Anonymize {
+
+  val K = 5L
+  /** Narrow enough that the test corpora (user_id range is small there)
+    * exercise all three ladder outcomes — full, coarse, suppressed. */
+  val CohortWidth = 5L
+
+  def kAnonymize(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), to_date(col("ts")).as("day"),
+        (expr(s"user_id div $CohortWidth")).as("cohort"))
+    // persist: feeds the level-0 group count and the tagging join
+    val base = graft.CacheRegistry.track(ev)
+    val g0 = base.groupBy(col("event_type"), col("day"), col("cohort"))
+      .agg(count(lit(1)).as("n0"))
+    val tagged = base.join(g0, Seq("event_type", "day", "cohort"))
+    val full = tagged.filter(col("n0") >= K)
+      .select(col("event_id"), col("event_type"), col("day"), col("cohort"),
+        lit("full").as("anon_level"))
+    val needCoarse = tagged.filter(col("n0") < K)
+    val g1 = needCoarse.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n1"))
+    val coarse = needCoarse.join(g1, Seq("event_type", "day"))
+      .filter(col("n1") >= K)
+      .select(col("event_id"), col("event_type"), col("day"),
+        lit(null).cast("long").as("cohort"), lit("coarse").as("anon_level"))
+    full.unionByName(coarse).orderBy(col("event_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_k_anonymize" -> (kAnonymize _))
+
+  val oracles: Map[String, String] = Map(
+    "etl_k_anonymize" ->
+      s"""WITH ev AS (SELECT event_id, event_type, ts::DATE AS day,
+         |  user_id // $CohortWidth AS cohort FROM events),
+         |g0 AS (SELECT event_type, day, cohort, count(*) AS n0
+         | FROM ev GROUP BY 1, 2, 3),
+         |t AS (SELECT ev.*, g0.n0 FROM ev
+         | JOIN g0 USING (event_type, day, cohort)),
+         |nc AS (SELECT * FROM t WHERE n0 < $K),
+         |g1 AS (SELECT event_type, day, count(*) AS n1 FROM nc GROUP BY 1, 2)
+         |SELECT event_id, event_type, day, cohort, 'full' AS anon_level
+         | FROM t WHERE n0 >= $K
+         |UNION ALL
+         |SELECT nc.event_id, nc.event_type, nc.day, NULL::BIGINT AS cohort,
+         |  'coarse' AS anon_level
+         | FROM nc JOIN g1 USING (event_type, day) WHERE g1.n1 >= $K
+         |ORDER BY event_id""".stripMargin)
+}

@@ -41,7 +41,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "emb_incremental_assign", "stream_anomaly", "ann_pq", "ann_ivfpq",
     "sample_importance", "etl_nearest_intersection",
     "etl_fuzzy_crosswalk", "ts_interpolate", "stats_kmv_distinct", "stream_topk",
-    "graph_pagerank", "graph_triangles")
+    "graph_pagerank", "graph_triangles", "etl_k_anonymize", "ts_ewma",
+    "dedup_rewrite", "emb_pca")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {
