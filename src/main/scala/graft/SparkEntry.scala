@@ -28,7 +28,8 @@ object SparkEntry {
       streaming.StreamAnomaly.queries ++ streaming.StreamTopK.queries ++
       timeseries.TsQueries.queries ++
       stats.SketchQueries.queries ++ stats.HeavyHitters.queries ++ stats.KmvSketch.queries ++
-      graph.PageRank.queries ++ graph.Triangles.queries ++
+      stats.Correlation.queries ++
+      graph.PageRank.queries ++ graph.Triangles.queries ++ graph.Neighbors.queries ++
       analytics.FunnelQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -49,6 +50,7 @@ object SparkEntry {
       streaming.StreamTopK.oracles ++
       timeseries.TsQueries.oracles ++
       stats.SketchQueries.oracles ++ stats.HeavyHitters.oracles ++ stats.KmvSketch.oracles ++
-      graph.PageRank.oracles ++ graph.Triangles.oracles ++
+      stats.Correlation.oracles ++
+      graph.PageRank.oracles ++ graph.Triangles.oracles ++ graph.Neighbors.oracles ++
       analytics.FunnelQueries.oracles
 }

@@ -279,9 +279,40 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** #20g Content-defined-chunk dedup — the boundary-shift-resistant
+    * sibling of `dedup_spans`/`dedup_rewrite`. Fixed word windows break
+    * when one word is inserted: every downstream window shifts and no
+    * digest matches again. Chunking on CONTENT-derived boundaries
+    * ([[graft.functions.CdcChunks]]: gear rolling hash, boundary where the
+    * low bits vanish — FastCDC at word granularity) re-synchronizes right
+    * after an edit, so near-identical documents still share most chunk
+    * digests. Same report shape as `dedup_spans` for direct comparison.
+    *
+    * Scale: the chunker is one compiled call per row inside whole-stage
+    * codegen; explode is the only multiplier and the digest groupBy is
+    * map-side combinable — identical posture to the span pass. The rolling
+    * recurrence is sequential per document, which is why it lives in a
+    * compiled Expression and NOT in SQL: no DuckDB oracle exists (rows-
+    * only), CdcChunksSpec replays the recurrence driver-side instead. */
+  def cdcDedup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.HashExprs.cdcChunks(col("text"))).as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("chunk_digest"))
+      .groupBy(col("chunk_digest"), col("doc_id"))
+      .agg(count(lit(1)).as("occ"))
+      .groupBy(col("chunk_digest"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("occ")).as("n_occurrences"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("chunk_digest"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_spans"            -> (spans _),
     "dedup_rewrite"          -> (rewrite _),
+    "dedup_cdc_chunks"       -> (cdcDedup _),
     "dedup_exact"            -> (exact _),
     "text_decontaminate"     -> (decontaminate _),
     "dedup_ngram_jaccard"    -> (ngramJaccard _),

@@ -26,7 +26,8 @@ object GraftExtensions {
     "haversine_m", "point_in_polygon", "point_in_multipolygon",
     "minhash_sig", "simhash64", "shingles3", "bigrams_all",
     "cosine_sim", "jaccard_sim", "hyperplane_bands", "top_cells", "rep_stats",
-    "sig_match_count", "phash64", "pq_score", "vec_sub", "del_neighbors")
+    "sig_match_count", "phash64", "pq_score", "vec_sub", "del_neighbors",
+    "cdc_chunks")
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -75,5 +76,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => VecSub(exprs(0), exprs(1))))
     ext.injectFunction(fn("del_neighbors", classOf[DelNeighbors],
       HashExprs.buildDelNeighbors))
+    ext.injectFunction(fn("cdc_chunks", classOf[CdcChunks],
+      exprs => CdcChunks(exprs.head)))
   }
 }

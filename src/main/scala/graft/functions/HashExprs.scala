@@ -77,6 +77,8 @@ object HashExprs {
     r.createOrReplaceTempFunction("vec_sub",
       exprs => VecSub(exprs(0), exprs(1)), "built-in")
     r.createOrReplaceTempFunction("del_neighbors", buildDelNeighbors, "built-in")
+    r.createOrReplaceTempFunction("cdc_chunks",
+      exprs => CdcChunks(exprs.head), "built-in")
   }
 
   /** Builder requiring a literal maxDel (the neighborhood depth is a
@@ -136,6 +138,7 @@ object HashExprs {
   def vecSub(a: Column, b: Column): Column = call_function("vec_sub", a, b)
   def delNeighbors(c: Column, maxDel: Int): Column =
     call_function("del_neighbors", c, org.apache.spark.sql.functions.lit(maxDel))
+  def cdcChunks(c: Column): Column = call_function("cdc_chunks", c)
 }
 
 /** The one implementation of every sketch, called by BOTH the interpreted
@@ -247,6 +250,34 @@ object HashRuntime {
       while (it.hasNext) { out(p) = UTF8String.fromString(it.next()); p += 1 }
       new GenericArrayData(out)
     }
+  }
+
+  /** See CdcChunks. */
+  def cdcChunks(input: UTF8String, avgBits: Int, minWords: Int, maxWords: Int): ArrayData = {
+    val words = input.toString.split("\\s+", -1)
+    val mask = (1L << avgBits) - 1L
+    val out = new java.util.ArrayList[Any](words.length / minWords + 1)
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < words.length) {
+      h = (h << 1) + HashExprs.fnv64(words(i).getBytes("UTF-8"))
+      val len = i - start + 1
+      if ((len >= minWords && (h & mask) == 0L) || len >= maxWords || i == words.length - 1) {
+        val sb = new java.lang.StringBuilder(64)
+        var j = start
+        while (j <= i) {
+          if (j > start) sb.append(' ')
+          sb.append(words(j))
+          j += 1
+        }
+        out.add(UTF8String.fromString(sb.toString))
+        start = i + 1
+        h = 0L
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
   }
 
   /** See DelNeighbors. */
@@ -535,6 +566,39 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   * (transform(sequence, i -> element_at(split(text), i) ...)) re-splits the
   * text for every index under interpreted HOF eval — O(words²) regex work
   * per document. */
+/** Content-defined chunking of a word stream (the gear-hash / FastCDC idea
+  * of Xia et al., USENIX ATC 2016, at word granularity): a rolling hash
+  * accumulates `h = (h << 1) + fnv64(word)` from the current chunk start,
+  * and a chunk boundary falls after any word where the low `avgBits` bits
+  * of h are zero (expected chunk ≈ minWords + 2^avgBits), subject to
+  * [min, max] word guards; the hash resets at each boundary. Boundaries
+  * therefore depend only on LOCAL content — an insertion or deletion
+  * perturbs chunks near the edit and the chunking re-synchronizes at the
+  * next surviving boundary, which is exactly the property fixed-width
+  * windows (dedup_rewrite) lack: there a one-word insertion shifts every
+  * downstream chunk. One JVM call per row, inside whole-stage codegen. */
+case class CdcChunks(child: Expression,
+    avgBits: Int = 3, minWords: Int = 4, maxWords: Int = 16)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"cdc_chunks needs string, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HashRuntime.cdcChunks(input.asInstanceOf[UTF8String], avgBits, minWords, maxWords)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashRuntime.cdcChunks($c, $avgBits, $minWords, $maxWords)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class Shingles(child: Expression, k: Int, distinct: Boolean = true)
     extends UnaryExpression {
 

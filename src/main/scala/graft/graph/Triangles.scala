@@ -44,16 +44,27 @@ object Triangles {
     * ≤ 6 by construction plus hub in-links). */
   val KeyScale = 100000000000L
 
+  /** The undirected simple graph (self-loops dropped, parallel edges
+    * collapsed) — shared with [[Neighbors]]; [[simpleEdgesSqlCte]] is its
+    * SQL twin. */
+  private[graph] def simpleEdges(docs: org.apache.spark.sql.DataFrame, n: Long): org.apache.spark.sql.DataFrame =
+    PageRank.citationEdges(docs, n)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+
+  /** DuckDB CTE `se` over [[PageRank.graphSqlCtes]]'s `e`. */
+  private[graph] val simpleEdgesSqlCte: String =
+    """se AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      | FROM e WHERE src != dst)""".stripMargin
+
   def triangles(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"))
     val n = docs.count() // bounded scalar, mirrored as a subquery in SQL
     if (n == 0)
       return docs.select(col("doc_id"), lit(0L).as("degree"), lit(0L).as("n_triangles"))
-    val undirected = PageRank.citationEdges(docs, n)
-      .filter(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .distinct()
+    val undirected = simpleEdges(docs, n)
     // persist: the simple edge list feeds the degree count and both
     // orientation join sides — one edge shuffle, three consumers
     val simple = graft.CacheRegistry.track(undirected)
@@ -92,8 +103,7 @@ object Triangles {
   val oracles: Map[String, String] = Map(
     "graph_triangles" ->
       s"""WITH ${PageRank.graphSqlCtes},
-         |se AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-         | FROM e WHERE src != dst),
+         |$simpleEdgesSqlCte,
          |dg AS (SELECT node, count(*)::BIGINT AS deg FROM
          | (SELECT u AS node FROM se UNION ALL SELECT v FROM se) GROUP BY node),
          |ork AS (SELECT se.u, se.v,

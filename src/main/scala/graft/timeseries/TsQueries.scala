@@ -205,9 +205,12 @@ object TsQueries {
     (0 until EwmaWindow).map(k => math.pow(3, k).toLong * math.pow(4, EwmaWindow - 1 - k).toLong)
 
   def ewma(s: SparkSession, dir: String): DataFrame = {
-    val d = daily(s, dir)
+    // persist: the daily aggregate feeds both the contribution fan-out and
+    // the observed-day join-back — without it the FACT table is scanned and
+    // re-aggregated twice (plan-checked in TsQueriesSpec)
+    val d = graft.CacheRegistry.track(daily(s, dir)
       .withColumn("epoch_day", datediff(col("day"), lit("1970-01-01")).cast("long"))
-      .withColumn("vc", round(col("raw_value") * 100).cast("long"))
+      .withColumn("vc", round(col("raw_value") * 100).cast("long")))
     val wArr = array(EwmaWeights.map(lit): _*)
     val contrib = d.select(col("event_type"), col("epoch_day"), col("vc"))
       .withColumn("k", explode(sequence(lit(0), lit(EwmaWindow - 1))))
@@ -225,7 +228,50 @@ object TsQueries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** #34g Offline changepoint scoring per type — "did this series' level
+    * shift, and when?" (the reference's tallies change regime when a data
+    * source is added; ingest monitoring needs the day). For every split
+    * day t the statistic is the scaled mean-shift
+    * |mean(≤t) − mean(>t)| · √(nl·nr/n) — the CUSUM-equivalent two-sample
+    * form whose argmax is the standard single-changepoint estimator
+    * (Hinkley 1970). The peak day per type is flagged.
+    *
+    * Determinism: daily values are whole-unit BIGINTs; left sums come
+    * from one cumulative integer window, right sums by subtraction from
+    * the per-type total — all exact — and the score is one fixed-form
+    * IEEE expression over exact integers, so both engines compute
+    * identical doubles. Peak choice is (score desc, day asc), total.
+    *
+    * Scale: windows run on the |types × days| aggregate, never facts. */
+  def changepoint(s: SparkSession, dir: String): DataFrame = {
+    val d = daily(s, dir)
+      .withColumn("epoch_day", datediff(col("day"), lit("1970-01-01")).cast("long"))
+      .withColumn("vi", round(col("raw_value")).cast("long"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("epoch_day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(col("event_type"))
+    val t = d
+      .withColumn("nl", count(lit(1)).over(wCum))
+      .withColumn("sl", sum(col("vi")).over(wCum))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("st", sum(col("vi")).over(wAll))
+      .withColumn("nr", col("n") - col("nl"))
+      .filter(col("nr") >= 1L)
+    val meanL = col("sl").cast("double") / col("nl")
+    val meanR = (col("st") - col("sl")).cast("double") / col("nr")
+    val score = round(abs(meanL - meanR) *
+      sqrt((col("nl") * col("nr")).cast("double") / col("n")), 4)
+    val scored = t.select(col("event_type"), col("day"), col("nl"), col("nr"),
+      score.as("shift_score"))
+    val wPeak = Window.partitionBy(col("event_type"))
+      .orderBy(col("shift_score").desc, col("day"))
+    scored
+      .withColumn("is_peak", row_number().over(wPeak) === 1)
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_changepoint" -> (changepoint _),
     "ts_ewma"       -> (ewma _),
     "ts_resample"   -> (resampleDaily _),
     "ts_moving_avg" -> (movingAvg _),
@@ -242,6 +288,25 @@ object TsQueries {
   private val sparseDailySql = dailySqlWhere("WHERE value >= 200.0")
 
   val oracles: Map[String, String] = Map(
+    "ts_changepoint" ->
+      s"""WITH d AS ($dailySql),
+         |r AS (SELECT event_type, day, (day - DATE '1970-01-01')::BIGINT AS ed,
+         |  CAST(round(raw_value) AS BIGINT) AS vi FROM d),
+         |c AS (SELECT event_type, day,
+         |  count(*) OVER wc AS nl, sum(vi) OVER wc AS sl,
+         |  count(*) OVER wa AS n, sum(vi) OVER wa AS st
+         | FROM r WINDOW
+         |  wc AS (PARTITION BY event_type ORDER BY ed
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |  wa AS (PARTITION BY event_type)),
+         |sc AS (SELECT event_type, day, nl, (n - nl) AS nr,
+         |  round(abs(sl::DOUBLE / nl - (st - sl)::DOUBLE / (n - nl)) *
+         |   sqrt((nl * (n - nl))::DOUBLE / n), 4) AS shift_score
+         | FROM c WHERE (n - nl) >= 1)
+         |SELECT event_type, day, nl, nr, shift_score,
+         | (row_number() OVER (PARTITION BY event_type
+         |   ORDER BY shift_score DESC, day) = 1) AS is_peak
+         |FROM sc ORDER BY event_type, day""".stripMargin,
     "ts_ewma" -> {
       val wvals = EwmaWeights.zipWithIndex
         .map { case (w, k) => s"($k, ${w}::BIGINT)" }.mkString(", ")

@@ -42,7 +42,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "sample_importance", "etl_nearest_intersection",
     "etl_fuzzy_crosswalk", "ts_interpolate", "stats_kmv_distinct", "stream_topk",
     "graph_pagerank", "graph_triangles", "etl_k_anonymize", "ts_ewma",
-    "dedup_rewrite", "emb_pca")
+    "dedup_rewrite", "emb_pca", "dedup_cdc_chunks", "stats_corr",
+    "graph_neighbor_jaccard", "ts_changepoint")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {

@@ -32,7 +32,8 @@ class HashExprsCodegenSpec extends AnyFunSuite {
           HashExprs.simhash64(HashExprs.bigramsAll(col("text"))).as("sh"),
           HashExprs.repStats(col("text")).as("rs"),
           HashExprs.phash64(encode(col("text"), "UTF-8")).as("ph"),
-          HashExprs.delNeighbors(substring(col("text"), 1, 6), 2).as("dn"))
+          HashExprs.delNeighbors(substring(col("text"), 1, 6), 2).as("dn"),
+          HashExprs.cdcChunks(col("text")).as("cdc"))
         .withColumn("m", HashExprs.sigMatchCount(col("sig"), col("sig")))
         .withColumn("j", HashExprs.jaccardSim(HashExprs.shingles3(lit("a b c d")),
           HashExprs.shingles3(lit("a b c e"))))
@@ -46,6 +47,8 @@ class HashExprsCodegenSpec extends AnyFunSuite {
         val dn = r.getAs[scala.collection.Seq[String]]("dn")
         dn.nonEmpty && dn.size <= 22 && dn.head.length == 6
       })
+      // chunks partition the text losslessly
+      assert(docRows.forall(_.getAs[scala.collection.Seq[String]]("cdc").nonEmpty))
 
       val embDf = Tables.embeddings(spark, sf).limit(50)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))

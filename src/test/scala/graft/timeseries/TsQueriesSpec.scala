@@ -152,6 +152,59 @@ class TsQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("changepoint equals a driver-side replay and nails a planted level shift") {
+    import org.apache.spark.sql.functions.{col, to_date, sum => ssum}
+    // replay on the real corpus
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(ssum("value").as("raw"))
+      .collect()
+      .map(r => ((r.getString(0), r.getDate(1).toLocalDate.toEpochDay),
+        BigDecimal(r.getDouble(2)).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+      .toMap
+    val got = TsQueries.changepoint(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getDate(1).toLocalDate.toEpochDay),
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5))))
+    val byType = daily.keys.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq.sorted).toMap
+    got.foreach { case ((tpe, ed), (nl, nr, score, _)) =>
+      val days = byType(tpe)
+      val vs = days.map(d => daily((tpe, d)))
+      val i = days.indexOf(ed)
+      assert(nl == i + 1L && nr == days.size - i - 1L)
+      val (l, rr) = vs.splitAt(i + 1)
+      val expect = BigDecimal(math.abs(l.sum.toDouble / l.size - rr.sum.toDouble / rr.size) *
+        math.sqrt(l.size.toLong * rr.size.toDouble / vs.size))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(score == expect, s"$tpe@$ed: $score != $expect")
+    }
+    // exactly one peak per type, at the max score (ties → earliest day)
+    got.groupBy(_._1._1).foreach { case (tpe, rows) =>
+      val peaks = rows.filter(_._2._4)
+      assert(peaks.length == 1, s"$tpe: ${peaks.length} peaks")
+      val best = rows.maxBy { case ((_, d), (_, _, s2, _)) => (s2, -d) }
+      assert(peaks.head._1 == best._1)
+    }
+    // planted shift: a stable series that jumps at a known day must peak
+    // exactly at the jump under the implemented statistic
+    val vs = (0 until 40).map(d => if (d < 20) 100.0 else 500.0)
+    val scores = (0 until 39).map { i =>
+      val (l, rr) = vs.splitAt(i + 1)
+      math.abs(l.sum / l.size - rr.sum / rr.size) * math.sqrt(l.size * rr.size.toDouble / vs.size)
+    }
+    assert(scores.indexOf(scores.max) == 19, "statistic must peak at the planted shift")
+  }
+
+  test("ewma touches the fact table once: both consumers read the cached daily aggregate") {
+    try {
+      val p = TsQueries.ewma(spark, sf).queryExecution.executedPlan.toString
+      // both consumers (contribution fan-out + observed-day join-back) must
+      // read the cached daily aggregate; FileScan lines inside the cached
+      // plan's build subtree still print, so count consumers, not scans
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) == 2)
+    } finally graft.CacheRegistry.releaseAll()
+  }
+
   test("resample touches the fact table once: explode runs on aggregated rows") {
     val p = TsQueries.resampleDaily(spark, sf).queryExecution.executedPlan.toString
     // the calendar explode must sit above the per-type min/max aggregate,
