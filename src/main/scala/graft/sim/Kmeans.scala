@@ -226,14 +226,50 @@ object Kmeans {
       .orderBy(col("vec_id"))
   }
 
+  /** #25g `emb_outliers`: distance-to-centroid outlier flagging — the
+    * embedding-space data-cleaning pass that precedes SemDeDup in real
+    * pipelines (mislabeled/garbage vectors sit far from every cluster
+    * center and poison both dedup blocks and ANN training). A vector's
+    * score is its round-4 cosine to its own trained centroid (the shared
+    * `assigned` definition); the bottom [[OutlierPct]]% by exact global
+    * (score, vec_id) rank are flagged. The exact global rank is the
+    * oracle-able toy-scale tail — at 100 TB the swap is an
+    * approxQuantile threshold + filter (the `sample_importance` quota
+    * pattern), which drops the single-partition window for one sketch
+    * pass. */
+  val OutlierPct = 5L // percent, via rank * (100/pct) <= n
+
+  def outlierFlags(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val asgn = run(s, dir, Iters).select(col("vec_id"), col("cluster"), col("cos_center"))
+    val wRank = Window.orderBy(col("cos_center"), col("vec_id"))
+    val wAll = Window.partitionBy()
+    asgn
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .select(col("vec_id"), col("cluster"), col("cos_center"),
+        (col("rk") * (100L / OutlierPct) <= col("n")).as("is_outlier"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_kmeans" -> (embKmeans _),
+    "emb_outliers" -> (outlierFlags _),
     "dedup_semantic" -> (semanticDedup _),
     "emb_incremental_assign" -> (incrementalAssign _))
 
   private val splitSql = "(SELECT ((max(vec_id) + 1) * 4) // 5 FROM embeddings)"
 
   val oracles: Map[String, String] = Map(
+    "emb_outliers" ->
+      s"""WITH $chainSql,
+         |r AS (SELECT vec_id, cluster,
+         |  round(${cosineSql("emb", "c_emb")}, 4) AS cos_center FROM asgn),
+         |k AS (SELECT *, row_number() OVER (ORDER BY cos_center, vec_id) AS rk,
+         |  count(*) OVER () AS n FROM r)
+         |SELECT vec_id, cluster, cos_center,
+         | (rk * ${100L / OutlierPct} <= n) AS is_outlier
+         |FROM k ORDER BY vec_id""".stripMargin,
     "emb_kmeans" ->
       s"""WITH $chainSql
          |SELECT vec_id, cluster,

@@ -19,6 +19,22 @@ class KmeansSpec extends AnyFunSuite {
     assert(a.map(_.getLong(1)).distinct.length > 1, "more than one cluster must survive")
   }
 
+  test("outlier flags mark exactly the bottom tail of the score order") {
+    val rows = Kmeans.outlierFlags(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    val n = rows.length
+    val expectFlagged = n * Kmeans.OutlierPct / 100
+    val flagged = rows.filter(_._3)
+    assert(flagged.length == expectFlagged,
+      s"${flagged.length} flagged, expected $expectFlagged of $n")
+    // the flagged set IS the bottom of the (score, id) order — every
+    // flagged score ≤ every kept score, ties broken by id
+    val sorted = rows.sortBy(r => (r._2, r._1))
+    assert(sorted.take(expectFlagged.toInt).forall(_._3))
+    assert(sorted.drop(expectFlagged.toInt).forall(!_._3))
+  }
+
   test("Lloyd iterations improve mean cosine-to-centroid over the init assignment") {
     def meanCos(iters: Int): Double = {
       val rows = Kmeans.run(spark, sf, iters).collect()
