@@ -270,8 +270,12 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
           x => x.getField("chunk")), " ").as("cleaned_text"))
-    docs.select(col("doc_id"),
-        ceil(size(ws).cast("double") / RewriteSpan).cast("long").as("n_chunks"))
+    // the doc roster and chunk counts come from the cached instance frame
+    // (every doc has ≥1 chunk instance), NOT a second corpus scan — a doc
+    // that loses every chunk to earlier keepers still gets its empty row
+    val perDoc = inst.groupBy(col("doc_id"))
+      .agg((max(col("pos")) + 1L).as("n_chunks"))
+    perDoc
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chunks"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),

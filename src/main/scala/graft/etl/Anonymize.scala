@@ -48,7 +48,10 @@ object Anonymize {
     val base = graft.CacheRegistry.track(ev)
     val g0 = base.groupBy(col("event_type"), col("day"), col("cohort"))
       .agg(count(lit(1)).as("n0"))
-    val tagged = base.join(g0, Seq("event_type", "day", "cohort"))
+    // persist: the fact-sized tagging join has two consumers (full +
+    // needCoarse) — untracked, the join AND the g0 aggregate run twice
+    val tagged = graft.CacheRegistry.track(
+      base.join(g0, Seq("event_type", "day", "cohort")))
     val full = tagged.filter(col("n0") >= K)
       .select(col("event_id"), col("event_type"), col("day"), col("cohort"),
         lit("full").as("anon_level"))
