@@ -13,7 +13,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational.CoreQueries.queries ++ etl.EtlQueries.queries ++ etl.NearestJoin.queries ++
-      etl.FuzzyMatch.queries ++ etl.Anonymize.queries ++
+      etl.FuzzyMatch.queries ++ etl.Anonymize.queries ++ etl.DqReport.queries ++
       text.TextQueries.queries ++ text.ImportanceResample.queries ++ text.PiiScrub.queries ++ text.BpeTrain.queries ++
       text.CorpusPipeline.queries ++
       dedup.DedupQueries.queries ++
@@ -30,13 +30,14 @@ object SparkEntry {
       stats.SketchQueries.queries ++ stats.HeavyHitters.queries ++ stats.KmvSketch.queries ++
       stats.Correlation.queries ++
       graph.PageRank.queries ++ graph.Triangles.queries ++ graph.Neighbors.queries ++
+      graph.Bfs.queries ++
       analytics.FunnelQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     relational.CoreQueries.oracles ++ etl.EtlQueries.oracles ++ etl.NearestJoin.oracles ++
-      etl.FuzzyMatch.oracles ++ etl.Anonymize.oracles ++
+      etl.FuzzyMatch.oracles ++ etl.Anonymize.oracles ++ etl.DqReport.oracles ++
       text.TextQueries.oracles ++ text.ImportanceResample.oracles ++
       text.PiiScrub.oracles ++
       text.CorpusPipeline.oracles ++ dedup.DedupQueries.oracles ++
@@ -52,5 +53,6 @@ object SparkEntry {
       stats.SketchQueries.oracles ++ stats.HeavyHitters.oracles ++ stats.KmvSketch.oracles ++
       stats.Correlation.oracles ++
       graph.PageRank.oracles ++ graph.Triangles.oracles ++ graph.Neighbors.oracles ++
+      graph.Bfs.oracles ++
       analytics.FunnelQueries.oracles
 }

@@ -61,8 +61,36 @@ object SimQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** #24g Filtered vector search — top-k cosine among the vectors whose
+    * LABEL matches the query's, the shape every retrieval stack actually
+    * serves ("nearest products in THIS category") and the classic weak
+    * point of post-hoc ANN filtering (filter-after-search starves k when
+    * the predicate is selective). Here the predicate joins in as an
+    * equi-key alongside the broadcast (label IS the join key), so the
+    * corpus is pre-filtered BEFORE scoring: the scan reads only matching
+    * rows, no candidate starvation, and the plan story is
+    * predicate-before-distance rather than distance-then-predicate. At
+    * 100 TB, with label a partition column, this prunes partitions
+    * outright. */
+  def annFiltered(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label"), col("embedding").as("q_emb"))
+    val c = e.select(col("vec_id").as("n_id"), col("label"), col("embedding").as("n_emb"))
+    val scored = c.join(broadcast(q), Seq("label"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", round(cosine(col("q_emb"), col("n_emb")), 4))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select("q_id", "label", "n_id", "rank", "cosine")
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_brute" -> (annTopkBrute _),
+    "ann_filtered" -> (annFiltered _),
     "emb_hard_negatives" -> (hardNegatives _))
 
   val oracles: Map[String, String] = Map(
@@ -83,6 +111,17 @@ object SimQueries {
          |  round(${cosineSql("q.emb", "c.emb")}, 4) AS cosine
          | FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id != c.vec_id)
          |SELECT q_id, n_id, rank, cosine FROM (
+         | SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+         | FROM scored) t
+         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "ann_filtered" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+         |scored AS (
+         | SELECT q.vec_id AS q_id, q.label, c.vec_id AS n_id,
+         |  round(${cosineSql("q.emb", "c.emb")}, 4) AS cosine
+         | FROM e q JOIN e c ON q.vec_id < 10 AND q.label = c.label
+         |  AND q.vec_id != c.vec_id)
+         |SELECT q_id, label, n_id, rank, cosine FROM (
          | SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
          | FROM scored) t
          |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)

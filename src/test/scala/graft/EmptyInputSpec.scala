@@ -43,7 +43,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "etl_fuzzy_crosswalk", "ts_interpolate", "stats_kmv_distinct", "stream_topk",
     "graph_pagerank", "graph_triangles", "etl_k_anonymize", "ts_ewma",
     "dedup_rewrite", "emb_pca", "dedup_cdc_chunks", "stats_corr",
-    "graph_neighbor_jaccard", "ts_changepoint", "emb_outliers")
+    "graph_neighbor_jaccard", "ts_changepoint", "emb_outliers", "ann_filtered",
+    "etl_dq_report", "graph_bfs")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {

@@ -139,6 +139,25 @@ class HashExprsPropSpec extends AnyFunSuite {
       "two null positions must NOT count as a match (zip_with parity)")
   }
 
+  test("cdc_chunks: lossless partition, guard bounds, determinism on generated docs") {
+    val docs = samples(Gen.listOfN(60, word).map(_.mkString(" ")), 20)
+    val rows = docs.toDF("t")
+      .selectExpr("t", "cdc_chunks(t) AS c1", "cdc_chunks(t) AS c2").collect()
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val c1 = r.getSeq[String](1)
+      val c2 = r.getSeq[String](2)
+      assert(c1 == c2, "chunking must be deterministic")
+      assert(c1.mkString(" ") == t.split("\\s+", -1).mkString(" "),
+        "chunks must reassemble to the original word stream")
+      c1.dropRight(1).foreach { c =>
+        val n = c.split(" ").length
+        assert(n >= 4 && n <= 16, s"interior chunk of $n words outside [4,16]")
+      }
+      assert(c1.last.split(" ").length <= 16)
+    }
+  }
+
   test("haversine is symmetric, non-negative, zero on self") {
     val pt = for {
       lat <- Gen.choose(-85.0, 85.0); lng <- Gen.choose(-179.0, 179.0)
