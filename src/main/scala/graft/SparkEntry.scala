@@ -14,7 +14,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational.CoreQueries.queries ++ etl.EtlQueries.queries ++ etl.NearestJoin.queries ++
       etl.FuzzyMatch.queries ++ etl.Anonymize.queries ++ etl.DqReport.queries ++
+      etl.Survivorship.queries ++
       text.TextQueries.queries ++ text.ImportanceResample.queries ++ text.PiiScrub.queries ++ text.BpeTrain.queries ++
+      text.LmScore.queries ++
       text.CorpusPipeline.queries ++
       dedup.DedupQueries.queries ++
       dedup.MinHashLsh.queries ++ dedup.SimHash.queries ++
@@ -38,8 +40,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     relational.CoreQueries.oracles ++ etl.EtlQueries.oracles ++ etl.NearestJoin.oracles ++
       etl.FuzzyMatch.oracles ++ etl.Anonymize.oracles ++ etl.DqReport.oracles ++
+      etl.Survivorship.oracles ++
       text.TextQueries.oracles ++ text.ImportanceResample.oracles ++
-      text.PiiScrub.oracles ++
+      text.PiiScrub.oracles ++ text.LmScore.oracles ++
       text.CorpusPipeline.oracles ++ dedup.DedupQueries.oracles ++
       dedup.DedupClusters.oracles ++
       sim.SimQueries.oracles ++ sim.AnnIvf.oracles ++ sim.AnnPq.oracles ++

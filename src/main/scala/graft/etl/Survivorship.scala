@@ -1,0 +1,69 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** #12c Golden-record survivorship merge (SURVEY.md §2).
+  *
+  * The master-data-management step after dedup: collapse an entity's
+  * record versions into ONE golden row, each field taking its value from
+  * the best surviving version under a declared rule. The reference's
+  * upsert keeps the FIRST arrival forever (`main.py:368-371`); real MDM
+  * wants recency-with-completeness — "latest version where the field is
+  * actually populated" — which is exactly what a per-field `max_by` over
+  * a validity-gated ordering key expresses.
+  *
+  * Per user_id: latest event_type, latest VALIDATED value (≥ 200, the
+  * corpus' sparse-signal threshold — the ts family's convention), and
+  * latest props carrying a real payload (the `{"k": 0}` sentinel is the
+  * empty-payload case). Each field's ordering key is nulled where the
+  * field is invalid, so `max_by`/`arg_max` skip those versions — both
+  * engines define the aggregate to ignore null ordering keys — plus
+  * first/last seen and version count. The ordering key packs (event
+  * micros, event_id) into one BIGINT so ties at equal timestamps stay
+  * total — determinism checklist.
+  *
+  * Scale: ONE map-side-combinable groupBy over the fact stream — no
+  * windows, no joins, no second pass. The survivorship rule evaluates
+  * per-row before the aggregate, so at 100 TB this is a plain partial
+  * aggregate. */
+object Survivorship {
+
+  /** (micros since 2024-01-01) · 2^20 + event_id mod 2^20 — total order
+    * for any corpus with < 1M colliding-microsecond events per instant. */
+  private def orderKey = (unix_micros(col("ts")) - lit(1704067200000000L)) * 1048576L +
+    pmod(col("event_id"), lit(1048576L))
+
+  def goldenRecords(s: SparkSession, dir: String): DataFrame = {
+    val k = orderKey
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_versions"),
+        min(col("ts")).as("first_seen"),
+        max(col("ts")).as("last_seen"),
+        max_by(col("event_type"), k).as("latest_type"),
+        round(max_by(col("value"), when(col("value") >= 200.0, k)), 2).as("latest_valid_value"),
+        max_by(col("props"), when(col("props").isNotNull && col("props") =!= ""
+          && col("props") =!= """{"k": 0}""", k)).as("latest_payload_props"))
+      .orderBy(col("user_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_survivorship" -> (goldenRecords _))
+
+  val oracles: Map[String, String] = Map(
+    "etl_survivorship" ->
+      """WITH ev AS (SELECT *,
+        |  (epoch_us(ts) - 1704067200000000) * 1048576 + (event_id % 1048576) AS k
+        | FROM events)
+        |SELECT user_id, count(*) AS n_versions,
+        | min(ts) AS first_seen, max(ts) AS last_seen,
+        | arg_max(event_type, k) AS latest_type,
+        | round(arg_max(value, CASE WHEN value >= 200.0 THEN k END), 2) AS latest_valid_value,
+        | arg_max(props, CASE WHEN props IS NOT NULL AND props != ''
+        |   AND props != '{"k": 0}' THEN k END) AS latest_payload_props
+        |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin)
+}
