@@ -30,9 +30,9 @@ object SparkEntry {
       streaming.StreamAnomaly.queries ++ streaming.StreamTopK.queries ++
       timeseries.TsQueries.queries ++
       stats.SketchQueries.queries ++ stats.HeavyHitters.queries ++ stats.KmvSketch.queries ++
-      stats.Correlation.queries ++
+      stats.Correlation.queries ++ stats.CountMin.queries ++
       graph.PageRank.queries ++ graph.Triangles.queries ++ graph.Neighbors.queries ++
-      graph.Bfs.queries ++
+      graph.Bfs.queries ++ graph.KCore.queries ++
       analytics.FunnelQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -54,8 +54,8 @@ object SparkEntry {
       streaming.StreamTopK.oracles ++
       timeseries.TsQueries.oracles ++
       stats.SketchQueries.oracles ++ stats.HeavyHitters.oracles ++ stats.KmvSketch.oracles ++
-      stats.Correlation.oracles ++
+      stats.Correlation.oracles ++ stats.CountMin.oracles ++
       graph.PageRank.oracles ++ graph.Triangles.oracles ++ graph.Neighbors.oracles ++
-      graph.Bfs.oracles ++
+      graph.Bfs.oracles ++ graph.KCore.oracles ++
       analytics.FunnelQueries.oracles
 }

@@ -270,7 +270,50 @@ object TsQueries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** #34h Lag-k autocorrelation (ACF) per type over the daily series — the
+    * periodicity detector that complements `ts_seasonality`'s fixed weekday
+    * decomposition (a 7-day cycle shows as an ACF peak at lag 7 with no
+    * prior knowledge of the period). Observed-pairs ACF: for each lag the
+    * series joins itself on (type, epoch_day + lag) — an equi-join on the
+    * |types × days| aggregate, never on facts — and the correlation uses
+    * the `stats_corr` determinism contract verbatim: whole-unit BIGINT
+    * daily values, five exact integer moment sums (order-independent under
+    * any partitioning, fixed-point range n·Σab < 2^63 declared there), one
+    * fixed-form IEEE expression at the end. The lag explode multiplies the
+    * AGGREGATE ×7, not the fact table. */
+  val AcfMaxLag = 7L
+  val AcfMinPairs = 8L
+
+  def autocorr(s: SparkSession, dir: String): DataFrame = {
+    // persist: both sides of the lag self-join read the same daily aggregate
+    val d = graft.CacheRegistry.track(
+      daily(s, dir).select(col("event_type"),
+        datediff(col("day"), lit("1970-01-01")).cast("long").as("ed"),
+        round(col("raw_value")).cast("long").as("vi")))
+    val a = d.select(col("event_type"), col("ed"), col("vi").as("va"))
+      .withColumn("lag", explode(sequence(lit(1L), lit(AcfMaxLag))))
+      .withColumn("jed", col("ed") + col("lag"))
+    val b = d.select(col("event_type"), col("ed").as("jed"), col("vi").as("vb"))
+    val m = a.join(b, Seq("event_type", "jed"))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("va")).as("sa"), sum(col("vb")).as("sb"),
+        sum(col("va") * col("vb")).as("sab"),
+        sum(col("va") * col("va")).as("saa"),
+        sum(col("vb") * col("vb")).as("sbb"))
+    val n = col("n_pairs")
+    val num = (n * col("sab") - col("sa") * col("sb")).cast("double")
+    val varA = (n * col("saa") - col("sa") * col("sa")).cast("double")
+    val varB = (n * col("sbb") - col("sb") * col("sb")).cast("double")
+    m.filter(n >= AcfMinPairs)
+      .select(col("event_type"), col("lag"), n,
+        when(varA > 0 && varB > 0,
+          round(num / sqrt(varA) / sqrt(varB), 4)).as("acf"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_autocorr"   -> (autocorr _),
     "ts_changepoint" -> (changepoint _),
     "ts_ewma"       -> (ewma _),
     "ts_resample"   -> (resampleDaily _),
@@ -288,6 +331,24 @@ object TsQueries {
   private val sparseDailySql = dailySqlWhere("WHERE value >= 200.0")
 
   val oracles: Map[String, String] = Map(
+    "ts_autocorr" ->
+      s"""WITH d AS ($dailySql),
+         |r AS (SELECT event_type, (day - DATE '1970-01-01')::BIGINT AS ed,
+         |  CAST(round(raw_value) AS BIGINT) AS vi FROM d),
+         |l AS (SELECT unnest(range(1, ${AcfMaxLag + 1})) AS lag),
+         |p AS (SELECT a.event_type, l.lag, count(*)::BIGINT AS n_pairs,
+         |  sum(a.vi) AS sa, sum(b.vi) AS sb, sum(a.vi * b.vi) AS sab,
+         |  sum(a.vi * a.vi) AS saa, sum(b.vi * b.vi) AS sbb
+         | FROM r a CROSS JOIN l
+         | JOIN r b ON b.event_type = a.event_type AND b.ed = a.ed + l.lag
+         | GROUP BY 1, 2)
+         |SELECT event_type, lag, n_pairs,
+         | CASE WHEN (n_pairs * saa - sa * sa) > 0 AND (n_pairs * sbb - sb * sb) > 0
+         |  THEN round((n_pairs * sab - sa * sb)::DOUBLE
+         |    / sqrt((n_pairs * saa - sa * sa)::DOUBLE)
+         |    / sqrt((n_pairs * sbb - sb * sb)::DOUBLE), 4) END AS acf
+         |FROM p WHERE n_pairs >= $AcfMinPairs
+         |ORDER BY event_type, lag""".stripMargin,
     "ts_changepoint" ->
       s"""WITH d AS ($dailySql),
          |r AS (SELECT event_type, day, (day - DATE '1970-01-01')::BIGINT AS ed,

@@ -44,7 +44,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "graph_pagerank", "graph_triangles", "etl_k_anonymize", "ts_ewma",
     "dedup_rewrite", "emb_pca", "dedup_cdc_chunks", "stats_corr",
     "graph_neighbor_jaccard", "ts_changepoint", "emb_outliers", "ann_filtered",
-    "etl_dq_report", "graph_bfs", "etl_survivorship", "text_lm_score")
+    "etl_dq_report", "graph_bfs", "etl_survivorship", "text_lm_score",
+    "stats_cms", "ts_autocorr", "graph_kcore")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {

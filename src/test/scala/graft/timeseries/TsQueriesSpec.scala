@@ -205,6 +205,63 @@ class TsQueriesSpec extends AnyFunSuite {
     } finally graft.CacheRegistry.releaseAll()
   }
 
+  test("autocorr equals a driver-side replay and nails a planted period") {
+    import org.apache.spark.sql.functions.{col, datediff, lit, to_date, sum => ssum}
+    // epoch day computed in-query (datediff, the operator's own definition)
+    // — r.getDate round-trips through the JVM default TZ and can shift days
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(ssum("value").as("raw"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("1970-01-01")).cast("long").as("ed"), col("raw"))
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        BigDecimal(r.getDouble(2)).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+      .toMap
+    val got = TsQueries.autocorr(spark, sf).collect().map(r =>
+      ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+    graft.CacheRegistry.releaseAll()
+    assert(got.nonEmpty)
+    got.foreach { case ((tpe, lag), (nPairs, acf)) =>
+      // note: .toSeq BEFORE collect — collecting (va, vb) tuples out of a
+      // Map would rebuild a Map keyed on va and silently dedup pairs
+      val pairs = daily.toSeq.collect {
+        case ((t, d), va) if t == tpe && daily.contains((t, d + lag)) =>
+          (va, daily((t, d + lag)))
+      }
+      assert(nPairs == pairs.size.toLong, s"$tpe lag $lag: pair count")
+      assert(nPairs >= TsQueries.AcfMinPairs)
+      val n = pairs.size.toLong
+      val sa = pairs.map(_._1).sum; val sb = pairs.map(_._2).sum
+      val sab = pairs.map(p => p._1 * p._2).sum
+      val saa = pairs.map(p => p._1 * p._1).sum
+      val sbb = pairs.map(p => p._2 * p._2).sum
+      val va = n * saa - sa * sa; val vb = n * sbb - sb * sb
+      if (va > 0 && vb > 0) {
+        val expect = BigDecimal((n * sab - sa * sb).toDouble /
+          math.sqrt(va.toDouble) / math.sqrt(vb.toDouble))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(acf.contains(expect), s"$tpe lag $lag: $acf != $expect")
+        assert(math.abs(expect) <= 1.0001)
+      } else assert(acf.isEmpty)
+    }
+    // a planted alternating series must show strong negative lag-1 and
+    // strong positive lag-2 autocorrelation (same nanos-long write shape
+    // as the anomaly spec)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ts_acf").toString
+    spark.range(30)
+      .selectExpr("'t' AS event_type",
+        "(1704110400L + id * 86400L) * 1000000000L AS ts",
+        "CASE WHEN id % 2 = 0 THEN 100.0 ELSE 200.0 END AS value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val planted = TsQueries.autocorr(spark, dir).collect()
+      .map(r => r.getLong(1) -> (if (r.isNullAt(3)) 0.0 else r.getDouble(3))).toMap
+    graft.CacheRegistry.releaseAll()
+    assert(planted(1L) < -0.9, s"lag-1 on alternating series: ${planted(1L)}")
+    assert(planted(2L) > 0.9, s"lag-2 on alternating series: ${planted(2L)}")
+  }
+
   test("resample touches the fact table once: explode runs on aggregated rows") {
     val p = TsQueries.resampleDaily(spark, sf).queryExecution.executedPlan.toString
     // the calendar explode must sit above the per-type min/max aggregate,
