@@ -247,10 +247,13 @@ object DedupQueries {
   val RewriteSpan = 8
   val RewritePosCap = 1000000L // chunks per doc; 8M-word docs before overflow
 
-  def rewrite(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  /** Disjoint [[RewriteSpan]]-word chunk instances (doc_id, pos, chunk,
+    * digest, k) — the one shared chunking definition behind
+    * `dedup_rewrite` and `text_boilerplate` (the two removal rules differ,
+    * the cut points must not). */
+  private def chunkInstances(docs: DataFrame): DataFrame = {
     val ws = split(col("text"), "\\s+")
-    val chunks = docs
+    docs
       .select(col("doc_id"), ws.as("w"))
       .withColumn("nc", ceil(size(col("w")).cast("double") / RewriteSpan).cast("long"))
       .filter(col("nc") >= 1L) // sequence(0, -1) would step backwards
@@ -260,8 +263,12 @@ object DedupQueries {
           lit(RewriteSpan)), " ").as("chunk"))
       .withColumn("digest", md5(col("chunk")))
       .withColumn("k", col("doc_id") * RewritePosCap + col("pos"))
+  }
+
+  def rewrite(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
     // persist: feeds the global keeper aggregate AND the survivor join
-    val inst = graft.CacheRegistry.track(chunks)
+    val inst = graft.CacheRegistry.track(chunkInstances(docs))
     val keeper = inst.groupBy(col("digest")).agg(min(col("k")).as("k0"))
     val kept = inst.join(keeper,
       inst("digest") === keeper("digest") && col("k") === col("k0"))
@@ -279,6 +286,45 @@ object DedupQueries {
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chunks"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** #20h Boilerplate removal by document frequency — the CCNet/RefinedWeb
+    * cleaning rule (Wenzek et al. 2020 dedup §4.1; Penedo et al. 2023 line
+    * dedup): a segment that recurs across ≥ [[BoilerMinDocs]] DISTINCT
+    * documents is template text (header/footer/nav), and EVERY instance is
+    * dropped — including the first. The deliberate contrast with
+    * `dedup_rewrite`: first-occurrence-wins keeps one copy of genuinely
+    * duplicated content; boilerplate must not survive even once. Same
+    * shared [[chunkInstances]] cut points.
+    *
+    * Scale: the df count is the two-level (digest, doc) → digest aggregate
+    * (no distinct expand), the boilerplate digest set is the df-filtered
+    * tail (tiny relative to the corpus), and instances drop via one
+    * left-anti hash join on uniform digest keys — at 100 TB the anti-join
+    * build side rides a broadcast or Bloom sketch (`etl_ingest_bloom`'s
+    * path). Reassembly state is bounded by document length. */
+  val BoilerMinDocs = 3L
+
+  def boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // persist: feeds the df aggregate, the anti-join probe side, and the
+    // per-doc chunk roster
+    val inst = graft.CacheRegistry.track(chunkInstances(docs))
+    val boiler = inst.groupBy(col("digest"), col("doc_id")).agg(count(lit(1)).as("occ"))
+      .groupBy(col("digest")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= BoilerMinDocs).select(col("digest"))
+    val kept = inst.join(boiler, Seq("digest"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+          x => x.getField("chunk")), " ").as("cleaned_text"))
+    val perDoc = inst.groupBy(col("doc_id")).agg((max(col("pos")) + 1L).as("n_chunks"))
+    perDoc.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
         coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
       .orderBy(col("doc_id"))
   }
@@ -316,6 +362,7 @@ object DedupQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_spans"            -> (spans _),
     "dedup_rewrite"          -> (rewrite _),
+    "text_boilerplate"       -> (boilerplate _),
     "dedup_cdc_chunks"       -> (cdcDedup _),
     "dedup_exact"            -> (exact _),
     "text_decontaminate"     -> (decontaminate _),
@@ -362,6 +409,28 @@ object DedupQueries {
          | FROM kept GROUP BY doc_id)
          |SELECT ww.doc_id, CAST(ceil(len(ww.w) / ${RewriteSpan}.0) AS BIGINT) AS n_chunks,
          | coalesce(rb.n_kept, 0)::BIGINT AS n_kept,
+         | coalesce(rb.cleaned_text, '') AS cleaned_text
+         |FROM ww LEFT JOIN rb ON rb.doc_id = ww.doc_id
+         |ORDER BY ww.doc_id""".stripMargin,
+    "text_boilerplate" ->
+      s"""WITH ww AS (SELECT doc_id, $w AS w FROM documents),
+         |ch AS (SELECT doc_id, w,
+         |  unnest(range(0, CAST(ceil(len(w) / ${RewriteSpan}.0) AS BIGINT))) AS pos
+         | FROM ww),
+         |i AS (SELECT doc_id, pos,
+         |  array_to_string(list_slice(w, pos * $RewriteSpan + 1, pos * $RewriteSpan + $RewriteSpan), ' ') AS chunk,
+         |  md5(array_to_string(list_slice(w, pos * $RewriteSpan + 1, pos * $RewriteSpan + $RewriteSpan), ' ')) AS digest
+         | FROM ch),
+         |bo AS (SELECT digest FROM (
+         |  SELECT digest, count(DISTINCT doc_id) AS nd FROM i GROUP BY digest) t
+         | WHERE nd >= $BoilerMinDocs),
+         |kept AS (SELECT * FROM i WHERE digest NOT IN (SELECT digest FROM bo)),
+         |rb AS (SELECT doc_id, count(*) AS n_kept,
+         |  string_agg(chunk, ' ' ORDER BY pos) AS cleaned_text
+         | FROM kept GROUP BY doc_id)
+         |SELECT ww.doc_id, CAST(ceil(len(ww.w) / ${RewriteSpan}.0) AS BIGINT) AS n_chunks,
+         | coalesce(rb.n_kept, 0)::BIGINT AS n_kept,
+         | (CAST(ceil(len(ww.w) / ${RewriteSpan}.0) AS BIGINT) - coalesce(rb.n_kept, 0))::BIGINT AS n_dropped,
          | coalesce(rb.cleaned_text, '') AS cleaned_text
          |FROM ww LEFT JOIN rb ON rb.doc_id = ww.doc_id
          |ORDER BY ww.doc_id""".stripMargin,
