@@ -252,9 +252,62 @@ object Kmeans {
       .orderBy(col("vec_id"))
   }
 
+  /** #25h `emb_drift`: embedding-distribution drift between history and
+    * the new ingest batch, per cluster of the HISTORY-trained model — the
+    * monitor that tells an embedding pipeline when the train-once model
+    * (`emb_incremental_assign`'s contract) has gone stale and a deliberate
+    * re-train is due (the `ts_anomaly` role, in embedding space). Both
+    * splits are assigned with the SAME frozen model (map-side compiled
+    * argmax, stable cluster ids), then one K-key aggregate counts each
+    * side, and each cluster's new-batch occupancy is scored against its
+    * history share: a per-cluster one-df chi-square term
+    * (o−e)²/e with e = N_new·n_hist/N_hist. All counts are exact BIGINTs,
+    * e and the term are one fixed-form IEEE expression over them
+    * (`stats_corr`'s determinism contract), so the oracle replays the
+    * history-scoped Lloyd chain + both assignments exactly. New mass in a
+    * dead cell (n_hist = 0) is definitionally drift. One embeddings pass;
+    * nothing but K rows ever shuffles. */
+  val DriftChi2 = 8.0
+
+  def drift(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
+    val all = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val maxId = Option(all.agg(max(col("vec_id"))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(-1L)
+    val split = graft.dedup.IncrementalNearDup.splitId(maxId)
+    val cents = trainedCentroids(s, dir, Iters,
+      all.filter(col("vec_id") < split), subset = s"hist$split")
+    if (cents.isEmpty)
+      return all.select(col("vec_id").as("cluster"), lit(0L).as("n_hist"),
+        lit(0L).as("n_new"), lit(0.0).as("share_hist"), lit(0.0).as("share_new"),
+        lit(0.0).as("chi2"), lit(false).as("drifted")).filter(lit(false))
+    val per = all.select(assign(cents).as("cluster"),
+        (col("vec_id") >= split).as("is_new"))
+      .groupBy(col("cluster"))
+      .agg(sum(when(col("is_new"), 0L).otherwise(1L)).as("n_hist"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"))
+    val tot = per.agg(sum(col("n_hist")).as("nh"), sum(col("n_new")).as("nn"))
+    val e = (col("nn") * col("n_hist")).cast("double") / col("nh")
+    per.crossJoin(broadcast(tot))
+      .withColumn("share_hist", round(col("n_hist").cast("double") / col("nh"), 4))
+      .withColumn("share_new",
+        when(col("nn") > 0, round(col("n_new").cast("double") / col("nn"), 4))
+          .otherwise(lit(0.0)))
+      .withColumn("chi2",
+        when(col("n_hist") > 0 && col("nn") > 0,
+          round((col("n_new") - e) * (col("n_new") - e) / e, 4)))
+      .withColumn("drifted",
+        (col("n_hist") === 0 && col("n_new") > 0) ||
+          coalesce(col("chi2") >= DriftChi2, lit(false)))
+      .select("cluster", "n_hist", "n_new", "share_hist", "share_new", "chi2", "drifted")
+      .orderBy(col("cluster"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_kmeans" -> (embKmeans _),
     "emb_outliers" -> (outlierFlags _),
+    "emb_drift" -> (drift _),
     "dedup_semantic" -> (semanticDedup _),
     "emb_incremental_assign" -> (incrementalAssign _))
 
@@ -275,6 +328,32 @@ object Kmeans {
          |SELECT vec_id, cluster,
          | round(${cosineSql("emb", "c_emb")}, 4) AS cos_center
          |FROM asgn ORDER BY vec_id""".stripMargin,
+    "emb_drift" ->
+      s"""WITH ${chainSqlFrom(s"WHERE vec_id < $splitSql")},
+         |eall AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |aall AS (
+         | SELECT vec_id, c_id AS cluster FROM (
+         |  SELECT eall.vec_id, fc.c_id,
+         |   row_number() OVER (PARTITION BY eall.vec_id
+         |     ORDER BY round(${cosineSql("eall.emb", "fc.c_emb")}, 6) DESC, fc.c_id) AS r
+         |  FROM eall CROSS JOIN c$Iters fc) t
+         | WHERE r = 1),
+         |per AS (SELECT cluster,
+         |  sum(CASE WHEN vec_id < $splitSql THEN 1 ELSE 0 END)::BIGINT AS n_hist,
+         |  sum(CASE WHEN vec_id >= $splitSql THEN 1 ELSE 0 END)::BIGINT AS n_new
+         | FROM aall GROUP BY cluster),
+         |tt AS (SELECT sum(n_hist)::BIGINT AS nh, sum(n_new)::BIGINT AS nn FROM per),
+         |sc AS (SELECT cluster, n_hist, n_new,
+         |  round(n_hist::DOUBLE / nh, 4) AS share_hist,
+         |  CASE WHEN nn > 0 THEN round(n_new::DOUBLE / nn, 4) ELSE 0.0 END AS share_new,
+         |  CASE WHEN n_hist > 0 AND nn > 0
+         |   THEN round((n_new - (nn * n_hist)::DOUBLE / nh)
+         |     * (n_new - (nn * n_hist)::DOUBLE / nh)
+         |     / ((nn * n_hist)::DOUBLE / nh), 4) END AS chi2
+         | FROM per, tt)
+         |SELECT cluster, n_hist, n_new, share_hist, share_new, chi2,
+         | ((n_hist = 0 AND n_new > 0) OR coalesce(chi2 >= $DriftChi2, false)) AS drifted
+         |FROM sc ORDER BY cluster""".stripMargin,
     "emb_incremental_assign" ->
       s"""WITH ${chainSqlFrom(s"WHERE vec_id < $splitSql")},
          |b AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
