@@ -88,9 +88,34 @@ object SimQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** #24h Radius (range) vector search — every corpus vector within cosine
+    * ≥ [[RangeTau]] of each probe, the "all sufficiently similar" query
+    * retrieval and dedup tooling serve beside top-k (k-NN bounds the COUNT,
+    * range bounds the QUALITY — a probe with no close neighbors correctly
+    * returns nothing instead of k mediocre hits). Exact by construction:
+    * broadcast probes, one map-side cosine filter over the corpus — no
+    * window, no shuffle at all before the presentation sort, so at 100 TB
+    * it is a pure partition-parallel scan (the sub-linear swaps are the
+    * declared-recall LSH/IVF paths, `ann_lsh_bucketed`/`ann_ivf`). */
+  val RangeTau = 0.25
+
+  def annRangeSearch(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("cosine", round(cosine(col("q_emb"), col("n_emb")), 4))
+      .filter(col("cosine") >= RangeTau)
+      .select("q_id", "n_id", "cosine")
+      .orderBy(col("q_id"), col("n_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_brute" -> (annTopkBrute _),
     "ann_filtered" -> (annFiltered _),
+    "ann_range_search" -> (annRangeSearch _),
     "emb_hard_negatives" -> (hardNegatives _))
 
   val oracles: Map[String, String] = Map(
@@ -114,6 +139,13 @@ object SimQueries {
          | SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
          | FROM scored) t
          |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "ann_range_search" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+         |SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         | round(${cosineSql("q.emb", "c.emb")}, 4) AS cosine
+         |FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id != c.vec_id
+         |WHERE round(${cosineSql("q.emb", "c.emb")}, 4) >= $RangeTau
+         |ORDER BY q_id, n_id""".stripMargin,
     "ann_filtered" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
          |scored AS (

@@ -45,7 +45,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "dedup_rewrite", "emb_pca", "dedup_cdc_chunks", "stats_corr",
     "graph_neighbor_jaccard", "ts_changepoint", "emb_outliers", "ann_filtered",
     "etl_dq_report", "graph_bfs", "etl_survivorship", "text_lm_score",
-    "stats_cms", "ts_autocorr", "graph_kcore", "text_boilerplate", "emb_drift")
+    "stats_cms", "ts_autocorr", "graph_kcore", "text_boilerplate", "emb_drift",
+    "ann_range_search", "stats_ttest")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {
