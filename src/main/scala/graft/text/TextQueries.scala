@@ -330,7 +330,53 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** #29b Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): from each document's k-gram hash
+    * sequence, every [[WinW]]-wide window contributes its MINIMUM hash
+    * (ties to the RIGHTMOST position), and the distinct selected
+    * (position, hash) pairs are the fingerprint — the position-aware local
+    * fingerprinting that guarantees any shared run of ≥ w+k−1 words
+    * produces a shared fingerprint, with expected density 2/(w+1)
+    * (`text_fingerprint` is one whole-doc digest; this is the substring-
+    * match index plagiarism/attribution tooling actually builds).
+    *
+    * Determinism + shape: the gram hash is a 40-bit md5 prefix both
+    * engines compute identically; the rightmost-min-tie argmin is ONE
+    * window min over hash·2^20 + (2^20−1−pos) (min packed = min hash,
+    * ties → larger pos — the `graph_triangles` packed-comparator trick);
+    * explode is the only row multiplier and the single window runs
+    * per-doc ordered by position — one doc-key exchange, no self-joins.
+    * Docs with fewer than w full windows are below fingerprint
+    * granularity and excluded by declaration. */
+  val WinK = 4  // words per gram
+  val WinW = 4  // windows of consecutive gram hashes
+  val WinPosCap = 1048576L // 2^20 gram positions per doc; 40-bit hash ⇒ packed < 2^60
+
+  def winnow(s: SparkSession, dir: String): DataFrame = {
+    val wWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, WinW - 1)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .withColumn("ng", (size(col("w")) - (WinK - 1)).cast("long"))
+      .filter(col("ng") >= WinW)
+      .select(col("doc_id"), col("ng"),
+        posexplode(transform(sequence(lit(0L), col("ng") - 1L),
+          i => array_join(slice(col("w"), (i + 1L).cast("int"), lit(WinK)), " "))))
+      .select(col("doc_id"), col("ng"), col("pos").cast("long").as("pos"),
+        conv(substring(md5(col("col")), 1, 10), 16, 10).cast("long").as("gh"))
+      .withColumn("packed", col("gh") * WinPosCap + (lit(WinPosCap - 1) - col("pos")))
+      .withColumn("m", min(col("packed")).over(wWin))
+      .filter(col("pos") <= col("ng") - WinW) // full windows only
+      .select(col("doc_id"),
+        (lit(WinPosCap - 1) - pmod(col("m"), lit(WinPosCap))).as("gram_pos"),
+        expr(s"m div $WinPosCap").as("ghash"))
+      .distinct()
+      .orderBy(col("doc_id"), col("gram_pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_winnow"       -> (winnow _),
     "text_length_stats" -> (lengthStats _),
     "text_pack"         -> (pack _),
     "text_chunk"        -> (chunk _),
@@ -351,6 +397,25 @@ object TextQueries {
   private val w = "regexp_split_to_array(text, '\\s+')"
 
   val oracles: Map[String, String] = Map(
+    "text_winnow" ->
+      s"""WITH d AS (SELECT doc_id, $w AS w,
+         |  (len($w) - ${WinK - 1})::BIGINT AS ng FROM documents
+         | WHERE (len($w) - ${WinK - 1}) >= $WinW),
+         |g AS (SELECT doc_id, ng, unnest(range(0, ng)) AS pos, w FROM d),
+         |h AS (SELECT doc_id, ng, pos,
+         |  ('0x' || substr(md5(array_to_string(list_slice(w, pos + 1, pos + $WinK), ' ')), 1, 10))::BIGINT AS gh
+         | FROM g),
+         |p AS (SELECT doc_id, ng, pos,
+         |  gh * $WinPosCap + ($WinPosCap - 1 - pos) AS packed FROM h),
+         |m AS (SELECT doc_id, ng, pos,
+         |  min(packed) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS mn
+         | FROM p)
+         |SELECT DISTINCT doc_id,
+         | ($WinPosCap - 1 - (mn % $WinPosCap))::BIGINT AS gram_pos,
+         | (mn // $WinPosCap)::BIGINT AS ghash
+         |FROM m WHERE pos <= ng - $WinW
+         |ORDER BY doc_id, gram_pos""".stripMargin,
     "text_domain_mix" ->
       s"""WITH d AS (SELECT source, len($w)::BIGINT AS nt FROM documents),
          |p AS (SELECT source, count(*) AS n_docs, sum(nt)::BIGINT AS n_tokens
