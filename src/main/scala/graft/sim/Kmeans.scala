@@ -282,11 +282,14 @@ object Kmeans {
       return all.select(col("vec_id").as("cluster"), lit(0L).as("n_hist"),
         lit(0L).as("n_new"), lit(0.0).as("share_hist"), lit(0.0).as("share_new"),
         lit(0.0).as("chi2"), lit(false).as("drifted")).filter(lit(false))
-    val per = all.select(assign(cents).as("cluster"),
-        (col("vec_id") >= split).as("is_new"))
-      .groupBy(col("cluster"))
-      .agg(sum(when(col("is_new"), 0L).otherwise(1L)).as("n_hist"),
-        sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"))
+    // persist: the K-row aggregate feeds the totals AND the cross join —
+    // untracked, the embeddings scan + assignment would run twice
+    val per = graft.CacheRegistry.track(
+      all.select(assign(cents).as("cluster"),
+          (col("vec_id") >= split).as("is_new"))
+        .groupBy(col("cluster"))
+        .agg(sum(when(col("is_new"), 0L).otherwise(1L)).as("n_hist"),
+          sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new")))
     val tot = per.agg(sum(col("n_hist")).as("nh"), sum(col("n_new")).as("nn"))
     val e = (col("nn") * col("n_hist")).cast("double") / col("nh")
     per.crossJoin(broadcast(tot))

@@ -352,7 +352,10 @@ object TextQueries {
   val WinW = 4  // windows of consecutive gram hashes
   val WinPosCap = 1048576L // 2^20 gram positions per doc; 40-bit hash ⇒ packed < 2^60
 
-  def winnow(s: SparkSession, dir: String): DataFrame = {
+  /** The distinct selected (doc_id, gram_pos, ghash) fingerprints — shared
+    * between `text_winnow` (the index itself) and `dedup_winnow_pairs`
+    * (its consumer) so the two cannot drift. */
+  private def winnowFingerprints(s: SparkSession, dir: String): DataFrame = {
     val wWin = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, WinW - 1)
@@ -372,11 +375,41 @@ object TextQueries {
         (lit(WinPosCap - 1) - pmod(col("m"), lit(WinPosCap))).as("gram_pos"),
         expr(s"m div $WinPosCap").as("ghash"))
       .distinct()
-      .orderBy(col("doc_id"), col("gram_pos"))
+  }
+
+  def winnow(s: SparkSession, dir: String): DataFrame =
+    winnowFingerprints(s, dir).orderBy(col("doc_id"), col("gram_pos"))
+
+  /** #29c Cross-document match detection over the winnowing index — the
+    * consumer `text_winnow` exists for (MOSS's pair report): documents
+    * sharing ≥ [[WinMinShared]] distinct fingerprint HASHES, i.e. at least
+    * that many locally-selected k-gram runs in common. The inverted-index
+    * shape with the `dedup_containment` df discipline: a fingerprint hash
+    * held by more than [[WinDfCap]] docs is corpus boilerplate and
+    * generates no pairs (the cap IS the declared metric, so the operator
+    * stays exact w.r.t. it and pair mass is bounded by cap·|fingerprints|).
+    * One fingerprint computation feeds the df count and both self-join
+    * sides. */
+  val WinDfCap = 20L
+  val WinMinShared = 2L
+
+  def winnowPairs(s: SparkSession, dir: String): DataFrame = {
+    val fp = graft.CacheRegistry.track(
+      winnowFingerprints(s, dir).select(col("doc_id"), col("ghash")).distinct())
+    val rare = fp.groupBy(col("ghash")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= WinDfCap).select(col("ghash"))
+    val capped = graft.CacheRegistry.track(fp.join(rare, Seq("ghash")))
+    capped.select(col("ghash"), col("doc_id").as("a_id"))
+      .join(capped.select(col("ghash"), col("doc_id").as("b_id")), Seq("ghash"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= WinMinShared)
+      .orderBy(col("a_id"), col("b_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_winnow"       -> (winnow _),
+    "dedup_winnow_pairs" -> (winnowPairs _),
     "text_length_stats" -> (lengthStats _),
     "text_pack"         -> (pack _),
     "text_chunk"        -> (chunk _),
@@ -396,26 +429,41 @@ object TextQueries {
   private def sqlList(vs: Seq[String]): String = vs.map(v => s"'$v'").mkString("[", ",", "]")
   private val w = "regexp_split_to_array(text, '\\s+')"
 
+  /** The winnow CTE chain through `m` — shared by both winnow oracles. */
+  private lazy val winnowCtes =
+    s"""d AS (SELECT doc_id, $w AS w,
+       |  (len($w) - ${WinK - 1})::BIGINT AS ng FROM documents
+       | WHERE (len($w) - ${WinK - 1}) >= $WinW),
+       |g AS (SELECT doc_id, ng, unnest(range(0, ng)) AS pos, w FROM d),
+       |h AS (SELECT doc_id, ng, pos,
+       |  ('0x' || substr(md5(array_to_string(list_slice(w, pos + 1, pos + $WinK), ' ')), 1, 10))::BIGINT AS gh
+       | FROM g),
+       |p AS (SELECT doc_id, ng, pos,
+       |  gh * $WinPosCap + ($WinPosCap - 1 - pos) AS packed FROM h),
+       |m AS (SELECT doc_id, ng, pos,
+       |  min(packed) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS mn
+       | FROM p)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "text_winnow" ->
-      s"""WITH d AS (SELECT doc_id, $w AS w,
-         |  (len($w) - ${WinK - 1})::BIGINT AS ng FROM documents
-         | WHERE (len($w) - ${WinK - 1}) >= $WinW),
-         |g AS (SELECT doc_id, ng, unnest(range(0, ng)) AS pos, w FROM d),
-         |h AS (SELECT doc_id, ng, pos,
-         |  ('0x' || substr(md5(array_to_string(list_slice(w, pos + 1, pos + $WinK), ' ')), 1, 10))::BIGINT AS gh
-         | FROM g),
-         |p AS (SELECT doc_id, ng, pos,
-         |  gh * $WinPosCap + ($WinPosCap - 1 - pos) AS packed FROM h),
-         |m AS (SELECT doc_id, ng, pos,
-         |  min(packed) OVER (PARTITION BY doc_id ORDER BY pos
-         |    ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS mn
-         | FROM p)
+      s"""WITH $winnowCtes
          |SELECT DISTINCT doc_id,
          | ($WinPosCap - 1 - (mn % $WinPosCap))::BIGINT AS gram_pos,
          | (mn // $WinPosCap)::BIGINT AS ghash
          |FROM m WHERE pos <= ng - $WinW
          |ORDER BY doc_id, gram_pos""".stripMargin,
+    "dedup_winnow_pairs" ->
+      s"""WITH $winnowCtes,
+         |fp AS (SELECT DISTINCT doc_id, (mn // $WinPosCap)::BIGINT AS ghash
+         | FROM m WHERE pos <= ng - $WinW),
+         |rare AS (SELECT ghash FROM fp GROUP BY ghash
+         | HAVING count(*) <= $WinDfCap),
+         |c AS (SELECT fp.doc_id, fp.ghash FROM fp JOIN rare USING (ghash))
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*)::BIGINT AS shared
+         |FROM c a JOIN c b ON a.ghash = b.ghash AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= $WinMinShared
+         |ORDER BY a_id, b_id""".stripMargin,
     "text_domain_mix" ->
       s"""WITH d AS (SELECT source, len($w)::BIGINT AS nt FROM documents),
          |p AS (SELECT source, count(*) AS n_docs, sum(nt)::BIGINT AS n_tokens

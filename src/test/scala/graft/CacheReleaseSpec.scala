@@ -14,7 +14,8 @@ class CacheReleaseSpec extends AnyFunSuite {
   // every query whose plan persists an intermediate
   private val persisting =
     Seq("dedup_ngram_jaccard", "dedup_minhash_lsh", "stream_neardup", "dedup_incremental",
-      "dedup_containment")
+      "dedup_containment", "dedup_winnow_pairs", "text_boilerplate", "ts_autocorr",
+      "stats_ttest", "emb_drift")
 
   persisting.foreach { name =>
     test(s"$name leaves no cached relation behind after releaseAll") {

@@ -59,6 +59,38 @@ class WinnowSpec extends AnyFunSuite {
     assert(mean > 0.25 && mean < 0.55, s"mean density $mean out of band")
   }
 
+  test("winnow pairs equal the driver-side replay") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val perDoc = docs.map { case (id, t) => id -> fingerprints(t).map(_._2) }.toMap
+    val df = perDoc.toSeq.flatMap { case (id, hs) => hs.map(h => (h, id)) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val expect = (for {
+      (a, ha) <- perDoc.toSeq; (b, hb) <- perDoc.toSeq if a < b
+      shared = (ha & hb).count(h => df(h) <= TextQueries.WinDfCap)
+      if shared >= TextQueries.WinMinShared
+    } yield (a, b, shared.toLong)).toSet
+    val got = TextQueries.winnowPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    graft.CacheRegistry.releaseAll()
+    assert(got == expect)
+  }
+
+  test("a fingerprint held by more docs than the df cap generates no pairs") {
+    import spark.implicits._
+    val shared = (1 to W + K - 1).map(i => s"cap$i").mkString(" ")
+    val docs = (0L until TextQueries.WinDfCap + 5L).map { id =>
+      val tail = (1 to 8).map(i => s"t${id}_$i").mkString(" ")
+      (id, s"$shared $tail")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_winnow_cap").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val rows = TextQueries.winnowPairs(spark, dir).collect()
+    graft.CacheRegistry.releaseAll()
+    assert(rows.isEmpty, s"boilerplate fingerprints paired: ${rows.length} rows")
+  }
+
   test("a shared run of >= w+k-1 words yields a shared fingerprint hash") {
     val shared = (1 to W + K - 1).map(i => s"run$i").mkString(" ")
     val a = s"alpha1 alpha2 alpha3 alpha4 $shared omega1 omega2 omega3"
