@@ -312,7 +312,57 @@ object TsQueries {
       .orderBy(col("event_type"), col("lag"))
   }
 
+  /** #34i Seasonal-naive forecast — the capacity-planning readout on top
+    * of the decomposition family (`ts_seasonality` explains the past, this
+    * projects the next [[ForecastH]] days): forecast(d) = level +
+    * seasonal(weekday(d)), where level is the mean of the last
+    * [[LevelDays]] OBSERVED daily values and seasonal is the weekday mean's
+    * deviation from the all-history mean. Everything reduces to exact
+    * cent-scaled BIGINT sums (order-independent) with the divisions and the
+    * final add in one fixed-form IEEE expression — the determinism
+    * checklist — so the oracle replays it exactly. An unobserved weekday
+    * contributes zero seasonal. All windows/joins run on the
+    * |types × days| aggregate, never facts; the horizon explode multiplies
+    * the |types|-row level frame ×7. */
+  val ForecastH = 7L
+  val LevelDays = 7L
+
+  def forecast(s: SparkSession, dir: String): DataFrame = {
+    // persist: three consumers (recency level, weekday means, all-history mean)
+    val base = graft.CacheRegistry.track(
+      daily(s, dir).select(col("event_type"),
+        datediff(col("day"), lit("1970-01-01")).cast("long").as("ed"),
+        round(round(col("raw_value"), 2) * 100).cast("long").as("vi")))
+    val wRank = Window.partitionBy(col("event_type")).orderBy(col("ed").desc)
+    val lvl = base.withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= LevelDays)
+      .groupBy(col("event_type"))
+      .agg(sum(col("vi")).as("sl"), count(lit(1)).as("nl"), max(col("ed")).as("last_ed"))
+    val dowAgg = base.withColumn("dow", (col("ed") + 3) % 7)
+      .groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("vi")).as("sd"), count(lit(1)).as("nd"))
+    val allAgg = base.groupBy(col("event_type"))
+      .agg(sum(col("vi")).as("sa"), count(lit(1)).as("na"))
+    val level = col("sl").cast("double") / col("nl") / 100.0
+    val seasonal = coalesce(
+      col("sd").cast("double") / col("nd") / 100.0 -
+        col("sa").cast("double") / col("na") / 100.0, lit(0.0))
+    lvl.join(allAgg, Seq("event_type"))
+      .withColumn("h", explode(sequence(lit(1L), lit(ForecastH))))
+      .withColumn("fed", col("last_ed") + col("h"))
+      .withColumn("dow", (col("fed") + 3) % 7)
+      .join(dowAgg, Seq("event_type", "dow"), "left")
+      .select(col("event_type"),
+        expr("date_add(date '1970-01-01', cast(fed as int))").as("day"),
+        col("h"), col("dow"),
+        round(level, 4).as("level"),
+        round(seasonal, 4).as("seasonal"),
+        round(level + seasonal, 4).as("forecast"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_forecast"   -> (forecast _),
     "ts_autocorr"   -> (autocorr _),
     "ts_changepoint" -> (changepoint _),
     "ts_ewma"       -> (ewma _),
@@ -331,6 +381,33 @@ object TsQueries {
   private val sparseDailySql = dailySqlWhere("WHERE value >= 200.0")
 
   val oracles: Map[String, String] = Map(
+    "ts_forecast" ->
+      s"""WITH d0 AS ($dailySql),
+         |b AS (SELECT event_type, (day - DATE '1970-01-01')::BIGINT AS ed,
+         |  CAST(round(round(raw_value, 2) * 100) AS BIGINT) AS vi FROM d0),
+         |lvl AS (SELECT event_type, sum(vi)::BIGINT AS sl, count(*)::BIGINT AS nl,
+         |  max(ed)::BIGINT AS last_ed FROM (
+         |   SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY ed DESC) AS rn
+         |   FROM b) t WHERE rn <= $LevelDays GROUP BY event_type),
+         |dw AS (SELECT event_type, (ed + 3) % 7 AS dow,
+         |  sum(vi)::BIGINT AS sd, count(*)::BIGINT AS nd FROM b GROUP BY 1, 2),
+         |al AS (SELECT event_type, sum(vi)::BIGINT AS sa, count(*)::BIGINT AS na
+         | FROM b GROUP BY 1),
+         |f AS (SELECT lvl.event_type, lvl.sl, lvl.nl, lvl.last_ed, al.sa, al.na,
+         |  unnest(range(1, ${ForecastH + 1})) AS h
+         | FROM lvl JOIN al USING (event_type)),
+         |j AS (SELECT f.*, (f.last_ed + f.h) AS fed,
+         |  ((f.last_ed + f.h) + 3) % 7 AS dow FROM f)
+         |SELECT j.event_type,
+         | DATE '1970-01-01' + fed::INT AS day,
+         | h, j.dow AS dow,
+         | round(sl::DOUBLE / nl / 100.0, 4) AS level,
+         | round(coalesce(dw.sd::DOUBLE / dw.nd / 100.0
+         |   - sa::DOUBLE / na / 100.0, 0.0), 4) AS seasonal,
+         | round(sl::DOUBLE / nl / 100.0 + coalesce(dw.sd::DOUBLE / dw.nd / 100.0
+         |   - sa::DOUBLE / na / 100.0, 0.0), 4) AS forecast
+         |FROM j LEFT JOIN dw ON dw.event_type = j.event_type AND dw.dow = j.dow
+         |ORDER BY j.event_type, h""".stripMargin,
     "ts_autocorr" ->
       s"""WITH d AS ($dailySql),
          |r AS (SELECT event_type, (day - DATE '1970-01-01')::BIGINT AS ed,

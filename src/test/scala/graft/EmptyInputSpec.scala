@@ -46,7 +46,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "graph_neighbor_jaccard", "ts_changepoint", "emb_outliers", "ann_filtered",
     "etl_dq_report", "graph_bfs", "etl_survivorship", "text_lm_score",
     "stats_cms", "ts_autocorr", "graph_kcore", "text_boilerplate", "emb_drift",
-    "ann_range_search", "stats_ttest", "text_winnow", "dedup_winnow_pairs")
+    "ann_range_search", "stats_ttest", "text_winnow", "dedup_winnow_pairs",
+    "ts_forecast")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {

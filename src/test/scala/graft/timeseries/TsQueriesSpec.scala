@@ -262,6 +262,51 @@ class TsQueriesSpec extends AnyFunSuite {
     assert(planted(2L) > 0.9, s"lag-2 on alternating series: ${planted(2L)}")
   }
 
+  test("forecast equals a driver-side replay and reproduces a pure weekly cycle") {
+    import org.apache.spark.sql.functions.{col, datediff, lit, to_date, sum => ssum, round => sround}
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sround(sround(ssum(col("value")), 2) * 100).cast("long").as("vi"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("1970-01-01")).cast("long").as("ed"), col("vi"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = TsQueries.forecast(spark, sf).collect().map(r =>
+      ((r.getString(0), r.getLong(2)), (r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+    graft.CacheRegistry.releaseAll()
+    assert(got.nonEmpty)
+    val byType = daily.groupBy(_._1)
+    got.foreach { case ((tpe, h), (dow, level, seasonal, fc)) =>
+      val series = byType(tpe).map(t => (t._2, t._3)).sortBy(_._1)
+      val lastEd = series.map(_._1).max
+      assert(dow == (lastEd + h + 3) % 7)
+      val last7 = series.sortBy(-_._1).take(TsQueries.LevelDays.toInt).map(_._2)
+      val lvl = last7.sum.toDouble / last7.size / 100.0
+      val all = series.map(_._2)
+      val mAll = all.sum.toDouble / all.size / 100.0
+      val dowVals = series.filter(t => (t._1 + 3) % 7 == dow).map(_._2)
+      val seas = if (dowVals.isEmpty) 0.0 else dowVals.sum.toDouble / dowVals.size / 100.0 - mAll
+      def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(level == r4(lvl), s"$tpe h$h level")
+      assert(seasonal == r4(seas), s"$tpe h$h seasonal")
+      assert(fc == r4(lvl + seas), s"$tpe h$h forecast")
+    }
+    assert(got.count(_._1._2 == 1L) == byType.size, "one h=1 row per type")
+    // a pure weekly cycle must forecast itself: v(day) = 100 + 10*dow
+    val dir = java.nio.file.Files.createTempDirectory("graft_ts_fc").toString
+    spark.range(28)
+      .selectExpr("'t' AS event_type",
+        "(1704110400L + id * 86400L) * 1000000000L AS ts",
+        "100.0 + 10.0 * ((19723 + id + 3) % 7) AS value") // 19723 = 2024-01-01 epoch day
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val planted = TsQueries.forecast(spark, dir).collect()
+      .map(r => r.getLong(3) -> r.getDouble(6)).toMap
+    graft.CacheRegistry.releaseAll()
+    (0L until 7L).foreach { d =>
+      assert(math.abs(planted(d) - (100.0 + 10.0 * d)) < 1e-9,
+        s"dow $d: ${planted(d)} != ${100.0 + 10.0 * d}")
+    }
+  }
+
   test("resample touches the fact table once: explode runs on aggregated rows") {
     val p = TsQueries.resampleDaily(spark, sf).queryExecution.executedPlan.toString
     // the calendar explode must sit above the per-type min/max aggregate,
