@@ -65,10 +65,75 @@ object Anonymize {
     full.unionByName(coarse).orderBy(col("event_id"))
   }
 
+  /** #14e l-diversity release audit (Machanavajjhala et al., ICDE 2006):
+    * k-anonymity alone is open to the homogeneity attack — a QI group of
+    * k rows that all share ONE sensitive value identifies the sensitive
+    * value of everyone in it. This audits each QI group (day, cohort) for
+    * distinct l-diversity over the sensitive attribute (event_type —
+    * "what the user did"): released iff the group has ≥ [[K]] rows AND
+    * ≥ [[DivL]] distinct sensitive values. The group-level gate a release
+    * pipeline runs AFTER `etl_k_anonymize`'s row-level ladder.
+    *
+    * Scale: the distinct count is the two-level (QI, sensitive) → QI
+    * aggregate (no distinct expand — `etl_dq_report`'s uniqueness trick),
+    * both levels map-side combinable on uniform keys; output is
+    * |distinct QI| rows. One fact scan, no joins. */
+  val DivL = 3L
+
+  def lDiversity(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"),
+        expr(s"user_id div $CohortWidth").as("cohort"), col("event_type"))
+      .groupBy(col("day"), col("cohort"), col("event_type"))
+      .agg(count(lit(1)).as("nv"))
+      .groupBy(col("day"), col("cohort"))
+      .agg(sum(col("nv")).as("n_rows"), count(lit(1)).as("n_sensitive"))
+      .withColumn("released", col("n_rows") >= K && col("n_sensitive") >= DivL)
+      .orderBy(col("day"), col("cohort"))
+  }
+
+  /** #14f Deterministic pseudonymization — the direct-identifier step the
+    * QI gates above assume has already happened: user_id is replaced by a
+    * salted-hash token that is STABLE (same user ⇒ same token on every
+    * engine and every run, so joins and session analyses still line up
+    * across released tables) yet not reversible without the salt. Pure
+    * map-side codegen projection, zero shuffle at any scale; the salt is
+    * a release-version literal, so rotating it re-keys the whole release
+    * (the GDPR-style unlinkability knob). The spec pins injectivity on
+    * the test corpus (a collision in 128-bit md5 space is a data bug, not
+    * a birthday risk, at any realistic user count). */
+  val PseudoSalt = "graft-release-1"
+
+  def pseudonymize(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        substring(md5(concat(lit(PseudoSalt), lit(":"), col("user_id").cast("string"))), 1, 16)
+          .as("user_pseudo"),
+        col("event_type"), to_date(col("ts")).as("day"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "etl_k_anonymize" -> (kAnonymize _))
+    "etl_k_anonymize" -> (kAnonymize _),
+    "etl_l_diversity" -> (lDiversity _),
+    "etl_pseudonymize" -> (pseudonymize _))
 
   val oracles: Map[String, String] = Map(
+    "etl_pseudonymize" ->
+      s"""SELECT event_id,
+         | substr(md5('$PseudoSalt' || ':' || user_id::VARCHAR), 1, 16) AS user_pseudo,
+         | event_type, ts::DATE AS day
+         |FROM events ORDER BY event_id""".stripMargin,
+    "etl_l_diversity" ->
+      s"""WITH v AS (SELECT ts::DATE AS day, user_id // $CohortWidth AS cohort,
+         |  event_type, count(*)::BIGINT AS nv
+         | FROM events GROUP BY 1, 2, 3),
+         |g AS (SELECT day, cohort, sum(nv)::BIGINT AS n_rows,
+         |  count(*)::BIGINT AS n_sensitive
+         | FROM v GROUP BY 1, 2)
+         |SELECT day, cohort, n_rows, n_sensitive,
+         | (n_rows >= $K AND n_sensitive >= $DivL) AS released
+         |FROM g ORDER BY day, cohort""".stripMargin,
     "etl_k_anonymize" ->
       s"""WITH ev AS (SELECT event_id, event_type, ts::DATE AS day,
          |  user_id // $CohortWidth AS cohort FROM events),

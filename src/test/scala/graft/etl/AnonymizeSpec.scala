@@ -50,4 +50,47 @@ class AnonymizeSpec extends AnyFunSuite {
     assert(coarse.nonEmpty, "no coarse rows: QI too coarse to test the ladder")
     assert(got.size < source.size, "nothing suppressed: ladder untested")
   }
+
+  test("l-diversity audit equals a driver-side replay and catches homogeneity") {
+    import org.apache.spark.sql.functions.{col, expr, to_date}
+    val rows = graft.Tables.events(spark, sf)
+      .select(to_date(col("ts")).cast("string").as("day"),
+        expr(s"user_id div ${Anonymize.CohortWidth}").as("cohort"), col("event_type"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getString(2))).toSeq
+    val expect = rows.groupBy(_._1).map { case (qi, vs) =>
+      qi -> (vs.size.toLong, vs.map(_._2).distinct.size.toLong)
+    }
+    val got = Anonymize.lDiversity(spark, sf).collect().map(r =>
+      ((r.getDate(0).toString, r.getLong(1)), (r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (qi, (n, nd, released)) =>
+      val (en, end) = expect(qi)
+      assert(n == en && nd == end, s"group $qi counts")
+      assert(released == (n >= Anonymize.K && nd >= Anonymize.DivL), s"group $qi gate")
+    }
+    // the gate must catch at least one k-anonymous-but-homogeneous group —
+    // the attack l-diversity exists for
+    assert(got.values.exists { case (n, nd, rel) =>
+      n >= Anonymize.K && nd < Anonymize.DivL && !rel
+    }, "no homogeneous group blocked on the test corpus")
+    assert(got.values.exists(_._3), "nothing released")
+  }
+
+  test("pseudonymization is stable, injective, and format-bounded") {
+    import org.apache.spark.sql.functions.col
+    val src = graft.Tables.events(spark, sf).select("event_id", "user_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Anonymize.pseudonymize(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet == src.keySet)
+    // same user => same token; distinct users => distinct tokens
+    val byUser = got.toSeq.groupBy(p => src(p._1)).view.mapValues(_.map(_._2).distinct).toMap
+    assert(byUser.values.forall(_.size == 1), "a user mapped to two tokens")
+    val tokens = byUser.values.map(_.head).toSeq
+    assert(tokens.distinct.size == tokens.size, "token collision across users")
+    assert(tokens.forall(t => t.length == 16 && t.forall(c => c.isDigit || ('a' to 'f').contains(c))))
+    // raw ids never appear in the released columns
+    assert(Anonymize.pseudonymize(spark, sf).columns.toSet ==
+      Set("event_id", "user_pseudo", "event_type", "day"))
+  }
 }
