@@ -32,7 +32,7 @@ object SparkEntry {
       stats.SketchQueries.queries ++ stats.HeavyHitters.queries ++ stats.KmvSketch.queries ++
       stats.Correlation.queries ++ stats.CountMin.queries ++
       graph.PageRank.queries ++ graph.Triangles.queries ++ graph.Neighbors.queries ++
-      graph.Bfs.queries ++ graph.KCore.queries ++
+      graph.Bfs.queries ++ graph.KCore.queries ++ graph.Hits.queries ++
       analytics.FunnelQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -56,6 +56,6 @@ object SparkEntry {
       stats.SketchQueries.oracles ++ stats.HeavyHitters.oracles ++ stats.KmvSketch.oracles ++
       stats.Correlation.oracles ++ stats.CountMin.oracles ++
       graph.PageRank.oracles ++ graph.Triangles.oracles ++ graph.Neighbors.oracles ++
-      graph.Bfs.oracles ++ graph.KCore.oracles ++
+      graph.Bfs.oracles ++ graph.KCore.oracles ++ graph.Hits.oracles ++
       analytics.FunnelQueries.oracles
 }

@@ -73,9 +73,34 @@ object VectorOps {
       .orderBy(col("vec_id"))
   }
 
+  /** #28l Balanced-class downsampling over the labeled embedding corpus —
+    * the class-rebalancing step before contrastive/classifier training
+    * (a skewed label mix trains a skewed model; the standard fix caps
+    * every class at the MINORITY class size). Selection is a
+    * content-stable hash order (md5 of vec_id — reproducible on any
+    * engine and cluster size, the `sample_stratified` contract), keeping
+    * exactly min-class-count rows per label. The exact per-label rank is
+    * the oracle-able toy-scale tail; at 100 TB the documented swap is a
+    * per-label hash-threshold from one approx-quantile pass (the
+    * `emb_outliers` pattern), which drops the per-label sort for a
+    * map-side filter. */
+  def sampleBalanced(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    val minc = e.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("min_n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    e.crossJoin(broadcast(minc))
+      .withColumn("pick_rank", row_number().over(w).cast("long"))
+      .filter(col("pick_rank") <= col("min_n"))
+      .select(col("vec_id"), col("label"), col("pick_rank"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_normalize" -> (embNormalize _),
-    "emb_project"   -> (embProject _))
+    "emb_project"   -> (embProject _),
+    "sample_balanced" -> (sampleBalanced _))
 
   private def projSql(k: Int): String =
     "round(" + (0 until EmbDims)
@@ -83,6 +108,16 @@ object VectorOps {
       .mkString(" + ") + s", 6) AS p$k"
 
   val oracles: Map[String, String] = Map(
+    "sample_balanced" ->
+      """WITH c AS (SELECT label, count(*)::BIGINT AS n
+        |  FROM embeddings GROUP BY label),
+        |m AS (SELECT min(n) AS min_n FROM c),
+        |r AS (SELECT vec_id, label,
+        |  row_number() OVER (PARTITION BY label
+        |    ORDER BY md5(vec_id::VARCHAR), vec_id) AS pick_rank
+        | FROM embeddings)
+        |SELECT vec_id, label, pick_rank FROM r, m
+        |WHERE pick_rank <= min_n ORDER BY vec_id""".stripMargin,
     "emb_project" ->
       s"""SELECT vec_id, ${(0 until ProjDims).map(projSql).mkString(",\n ")}
          |FROM embeddings ORDER BY vec_id""".stripMargin,

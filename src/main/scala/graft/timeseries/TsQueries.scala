@@ -361,7 +361,43 @@ object TsQueries {
       .orderBy(col("event_type"), col("h"))
   }
 
+  /** #34j MAD-based robust outlier flags per (type, day) — the
+    * median-absolute-deviation twin of `ts_anomaly`'s z-score: mean/stddev
+    * are themselves dragged by the outliers they should flag (a 100×
+    * spike inflates σ enough to hide a 10× one), medians are not
+    * (breakdown point 50% vs 0). Flag |v − median| > 3 · 1.4826 · MAD
+    * (1.4826 = the consistency constant making MAD estimate σ under
+    * normality). Medians are exact interpolated order statistics over
+    * whole-unit BIGINT daily values — midpoints land on .0/.5, exactly
+    * representable, so both engines agree bit-for-bit (the
+    * `text_length_stats` percentile contract); at 100 TB the documented
+    * swap is `percentile_approx`/reservoir per type. MAD = 0 (over half
+    * the days identical) degenerates to flagging any deviation — the
+    * standard caveat, declared. Two |types|-key aggregates + joins back
+    * to the tracked \|types × days\| aggregate; facts touched once. */
+  val MadK = 3.0
+  val MadC = 1.4826
+
+  def outlierMad(s: SparkSession, dir: String): DataFrame = {
+    // persist: three consumers (median agg, deviation frame, output join)
+    val d = graft.CacheRegistry.track(
+      daily(s, dir).select(col("event_type"), col("day"),
+        round(col("raw_value")).cast("long").as("vi")))
+    val med = d.groupBy(col("event_type"))
+      .agg(expr("percentile(vi, 0.5)").as("med"))
+    val dev = d.join(med, Seq("event_type"))
+      .withColumn("adev", abs(col("vi") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(mad, Seq("event_type"))
+      .select(col("event_type"), col("day"), col("vi"),
+        round(col("med"), 4).as("med"), round(col("mad"), 4).as("mad"),
+        (col("adev") > lit(MadK) * lit(MadC) * col("mad")).as("is_outlier"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_outlier_mad" -> (outlierMad _),
     "ts_forecast"   -> (forecast _),
     "ts_autocorr"   -> (autocorr _),
     "ts_changepoint" -> (changepoint _),
@@ -381,6 +417,18 @@ object TsQueries {
   private val sparseDailySql = dailySqlWhere("WHERE value >= 200.0")
 
   val oracles: Map[String, String] = Map(
+    "ts_outlier_mad" ->
+      s"""WITH d0 AS ($dailySql),
+         |b AS (SELECT event_type, day, CAST(round(raw_value) AS BIGINT) AS vi FROM d0),
+         |md AS (SELECT event_type, quantile_cont(vi, 0.5) AS med FROM b GROUP BY 1),
+         |dv AS (SELECT b.event_type, b.day, b.vi, md.med,
+         |  abs(b.vi - md.med) AS adev FROM b JOIN md USING (event_type)),
+         |md2 AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dv GROUP BY 1)
+         |SELECT dv.event_type, dv.day, dv.vi,
+         | round(dv.med, 4) AS med, round(md2.mad, 4) AS mad,
+         | (dv.adev > $MadK * $MadC * md2.mad) AS is_outlier
+         |FROM dv JOIN md2 USING (event_type)
+         |ORDER BY dv.event_type, dv.day""".stripMargin,
     "ts_forecast" ->
       s"""WITH d0 AS ($dailySql),
          |b AS (SELECT event_type, (day - DATE '1970-01-01')::BIGINT AS ed,

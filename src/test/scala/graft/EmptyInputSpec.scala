@@ -47,7 +47,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "etl_dq_report", "graph_bfs", "etl_survivorship", "text_lm_score",
     "stats_cms", "ts_autocorr", "graph_kcore", "text_boilerplate", "emb_drift",
     "ann_range_search", "stats_ttest", "text_winnow", "dedup_winnow_pairs",
-    "ts_forecast", "etl_l_diversity", "etl_pseudonymize")
+    "ts_forecast", "etl_l_diversity", "etl_pseudonymize", "ts_outlier_mad",
+    "sample_balanced", "graph_hits")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {

@@ -307,6 +307,45 @@ class TsQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("MAD outliers equal a driver-side replay and catch a planted spike z hides less robustly") {
+    import org.apache.spark.sql.functions.{col, to_date, sum => ssum, round => sround}
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).cast("string").as("day"))
+      .agg(sround(ssum(col("value"))).cast("long").as("vi"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toSeq
+    def median(v: Seq[Double]): Double = {
+      val s = v.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val got = TsQueries.outlierMad(spark, sf).collect().map(r =>
+      ((r.getString(0), r.getDate(1).toString),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    graft.CacheRegistry.releaseAll()
+    assert(got.keySet == daily.map(_._1).toSet)
+    daily.groupBy(_._1._1).foreach { case (tpe, rows) =>
+      val vs = rows.map(_._2.toDouble)
+      val med = median(vs)
+      val mad = median(vs.map(v => math.abs(v - med)))
+      rows.foreach { case ((_, day), vi) =>
+        val (gvi, gmed, gmad, flag) = got((tpe, day))
+        assert(gvi == vi && gmed == med && gmad == mad, s"$tpe $day stats")
+        assert(flag == (math.abs(vi - med) > TsQueries.MadK * TsQueries.MadC * mad),
+          s"$tpe $day flag")
+      }
+    }
+    // planted: stable 40..46 + one 5000 spike — MAD flags exactly the spike
+    val dir = java.nio.file.Files.createTempDirectory("graft_ts_mad").toString
+    spark.range(30)
+      .selectExpr("'t' AS event_type",
+        "(1704110400L + id * 86400L) * 1000000000L AS ts",
+        "CASE WHEN id = 17 THEN 5000.0 ELSE 40.0 + (id % 7) END AS value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val flagged = TsQueries.outlierMad(spark, dir).filter("is_outlier").collect()
+      .map(r => r.getDate(1).toString)
+    graft.CacheRegistry.releaseAll()
+    assert(flagged.toSeq == Seq("2024-01-18"), s"got ${flagged.toSeq}")
+  }
+
   test("resample touches the fact table once: explode runs on aggregated rows") {
     val p = TsQueries.resampleDaily(spark, sf).queryExecution.executedPlan.toString
     // the calendar explode must sit above the per-type min/max aggregate,
