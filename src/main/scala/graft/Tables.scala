@@ -63,6 +63,27 @@ object Tables {
       case _ => raw.filter(col("ts") >= cutoff)
     }
   }
+  /** events with `ts <= cutoff`, filtered on the RAW stored column (the
+    * [[eventsSince]] contract mirrored for the time-travel scan): exact
+    * for whole-microsecond cutoffs — floor(ns/1000) <= c_us ⟺
+    * ns < (c_us+1)·1000. */
+  def eventsUntil(s: SparkSession, d: String, cutoff: java.sql.Timestamp): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        val limitNanos = (cutoff.getTime * 1000L + 1L) * 1000L
+        raw.filter(col("ts") < limitNanos)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.filter(col("ts") <= lit(cutoff).cast(TimestampNTZType))
+          .withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw.filter(col("ts") <= cutoff)
+    }
+  }
+
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

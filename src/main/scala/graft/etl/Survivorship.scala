@@ -51,10 +51,50 @@ object Survivorship {
       .orderBy(col("user_id"))
   }
 
+  /** #12d Point-in-time snapshot reconstruction (time travel) — rebuild
+    * the per-entity table state AS OF a timestamp from the raw version
+    * stream: the audit/debug primitive behind every "what did the row
+    * look like when the model trained?" question, and the query engine
+    * half of the reference's CDC pair (`etl_scd2` materializes validity
+    * intervals eagerly; this answers one instant lazily, no interval
+    * table needed). Per entity: the LATEST version at or before
+    * [[AsOfTs]] via `max_by` over the time-gated packed ordering key
+    * (same total-order contract as the golden record above), plus how
+    * many versions existed by then. Entities born after T are absent —
+    * exactly the table state at T. ONE map-side-combinable groupBy over
+    * the version-window scan; at 100 TB the `ts <= T` predicate pushes
+    * into the scan and a time-partitioned layout prunes everything
+    * newer. */
+  val AsOfTs = "2024-01-15 12:00:00"
+
+  def timeTravel(s: SparkSession, dir: String): DataFrame = {
+    val k = orderKey
+    Tables.eventsUntil(s, dir, java.sql.Timestamp.valueOf(AsOfTs))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_versions_asof"),
+        max(col("ts")).as("version_ts"),
+        max_by(col("event_id"), k).as("version_event_id"),
+        max_by(col("event_type"), k).as("as_of_type"),
+        round(max_by(col("value"), k), 2).as("as_of_value"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "etl_survivorship" -> (goldenRecords _))
+    "etl_survivorship" -> (goldenRecords _),
+    "etl_time_travel" -> (timeTravel _))
 
   val oracles: Map[String, String] = Map(
+    "etl_time_travel" ->
+      s"""WITH ev AS (SELECT *,
+         |  (epoch_us(ts) - 1704067200000000) * 1048576 + (event_id % 1048576) AS k
+         | FROM events WHERE ts <= TIMESTAMP '$AsOfTs')
+         |SELECT user_id, count(*) AS n_versions_asof,
+         | max(ts) AS version_ts,
+         | arg_max(event_id, k) AS version_event_id,
+         | arg_max(event_type, k) AS as_of_type,
+         | round(arg_max(value, k), 2) AS as_of_value
+         |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin,
     "etl_survivorship" ->
       """WITH ev AS (SELECT *,
         |  (epoch_us(ts) - 1704067200000000) * 1048576 + (event_id % 1048576) AS k

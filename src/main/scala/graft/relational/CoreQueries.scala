@@ -230,7 +230,32 @@ object CoreQueries {
       .orderBy(col("event_id"))
   }
 
+  /** #5k TPC-H Q15 shape — top supplier by quarterly revenue: the
+    * aggregate-of-aggregate pattern (a revenue "view" + the global max
+    * over it + an equality join back). The max is a one-row broadcast
+    * against the tracked |suppliers|-row revenue aggregate — never a
+    * global window (a single-partition sort at 100 TB) and never a
+    * recompute of the view; ties all return, per the spec's Q15
+    * semantics. */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = graft.CacheRegistry.track(
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("total_revenue")))
+    val mx = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .join(Tables.supplier(s, dir).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q15_top_supplier"   -> (q15TopSupplier _),
     "q8_small_qty"       -> (q8SmallQty _),
     "q9_asof"            -> (q9Asof _),
     "q10_cube"           -> (q10Cube _),
@@ -245,6 +270,17 @@ object CoreQueries {
     "q7_promo_ratio"     -> (q7PromoRatio _))
 
   val oracles: Map[String, String] = Map(
+    "q15_top_supplier" ->
+      """WITH r AS (SELECT l_suppkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |   AND l_shipdate < TIMESTAMP '1996-04-01'
+        | GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, r.total_revenue
+        |FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        |WHERE r.total_revenue = (SELECT max(total_revenue) FROM r)
+        |ORDER BY s.s_suppkey""".stripMargin,
     "q13_sole_late_supplier" ->
       """SELECT l1.l_suppkey, count(*) AS numwait
         |FROM lineitem l1 JOIN orders o ON o.o_orderkey = l1.l_orderkey

@@ -51,4 +51,33 @@ class SurvivorshipSpec extends AnyFunSuite {
     }
     assert(diverges, "corpus never exercises the validity gate; strengthen the rule")
   }
+
+  test("time travel reconstructs the exact per-entity state at T") {
+    val t = java.sql.Timestamp.valueOf(Survivorship.AsOfTs)
+    val versions = graft.Tables.events(spark, sf)
+      .select("user_id", "event_id", "event_type", "value", "ts").collect()
+      .filter(!_.getTimestamp(4).after(t))
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3),
+        r.getTimestamp(4)))
+    val got = Survivorship.timeTravel(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getTimestamp(2), r.getLong(3),
+        r.getString(4), r.getDouble(5))).toMap
+    val byUser = versions.groupBy(_._1)
+    assert(got.keySet == byUser.keySet, "snapshot must hold exactly the entities born by T")
+    byUser.foreach { case (u, vs) =>
+      val (n, vts, vid, tpe, v) = got(u)
+      assert(n == vs.size.toLong)
+      // winner: max (micros, event_id) — the packed-key total order
+      def micros(ts: java.sql.Timestamp) = ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+      val win = vs.maxBy(x => (micros(x._5), x._2))
+      assert(vts == vs.map(_._5).max && vid == win._2 && tpe == win._3, s"user $u winner")
+      assert(v == BigDecimal(win._4).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
+  test("the time-travel cutoff pushes into the parquet scan") {
+    val p = Survivorship.timeTravel(spark, sf).queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(scanLine.contains("LessThan"), s"no pushed ts bound in: $scanLine")
+  }
 }
