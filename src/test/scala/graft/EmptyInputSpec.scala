@@ -48,7 +48,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "stats_cms", "ts_autocorr", "graph_kcore", "text_boilerplate", "emb_drift",
     "ann_range_search", "stats_ttest", "text_winnow", "dedup_winnow_pairs",
     "ts_forecast", "etl_l_diversity", "etl_pseudonymize", "ts_outlier_mad",
-    "sample_balanced", "graph_hits", "q15_top_supplier", "etl_time_travel")
+    "sample_balanced", "graph_hits", "q15_top_supplier", "etl_time_travel",
+    "etl_geo_cluster")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {
