@@ -95,9 +95,37 @@ object MultimodalQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** #30e Media curation gate — the LAION-style keep/drop verdict over the
+    * decoded metadata (the `text_gopher_filter` pattern for media): size
+    * floors, aspect-ratio bounds, payload floor, and exact-duplicate
+    * payloads (digest groupBy, min-id keeper survives — every later copy
+    * is a drop reason). Each failed rule lands in an auditable reasons
+    * list. Scale: metadata rules are pure map-side projections; the dup
+    * check is one map-side-combinable digest aggregate joined back on
+    * uniform md5 keys — the only exchange. */
+  def qualityGate(s: SparkSession, dir: String): DataFrame = {
+    val meta = graft.CacheRegistry.track(
+      binaryMeta(s, dir).select(col("doc_id"), col("media_type"),
+        col("byte_len"), col("width"), col("height"), col("digest")))
+    val dup = meta.groupBy(col("digest"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_id"))
+    meta.join(dup, Seq("digest"))
+      .withColumn("reasons", concat_ws("|",
+        when(col("width") < 64 || col("height") < 40, lit("too_small")),
+        when(col("width") > col("height") * 2 || col("height") > col("width") * 2,
+          lit("bad_aspect")),
+        when(col("byte_len") < 120, lit("payload_too_small")),
+        when(col("n_copies") > 1 && col("doc_id") =!= col("keeper_id"),
+          lit("duplicate_payload"))))
+      .withColumn("keep", col("reasons") === "")
+      .select("doc_id", "media_type", "byte_len", "width", "height", "keep", "reasons")
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (binaryMeta _),
     "mm_frame_sample" -> (frameSample _),
+    "mm_quality_gate" -> (qualityGate _),
     "mm_frame_overlap" -> (frameOverlap _))
 
   val oracles: Map[String, String] = Map(
@@ -108,6 +136,27 @@ object MultimodalQueries {
         | 1 + doc_id % 3 AS n_frames,
         | CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_quality_gate" ->
+      """WITH m AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
+        |   ELSE 'video' END AS media_type,
+        |  octet_length(encode(text))::BIGINT AS byte_len,
+        |  32 + octet_length(encode(text))::BIGINT % 64 AS width,
+        |  32 + doc_id % 48 AS height,
+        |  md5(text) AS digest
+        | FROM documents),
+        |d AS (SELECT digest, count(*) AS n_copies, min(doc_id) AS keeper_id
+        | FROM m GROUP BY digest),
+        |r AS (SELECT m.*, concat_ws('|',
+        |  CASE WHEN m.width < 64 OR m.height < 40 THEN 'too_small' END,
+        |  CASE WHEN m.width > m.height * 2 OR m.height > m.width * 2 THEN 'bad_aspect' END,
+        |  CASE WHEN m.byte_len < 120 THEN 'payload_too_small' END,
+        |  CASE WHEN d.n_copies > 1 AND m.doc_id != d.keeper_id THEN 'duplicate_payload' END
+        | ) AS reasons
+        | FROM m JOIN d USING (digest))
+        |SELECT doc_id, media_type, byte_len, width, height,
+        | (reasons = '') AS keep, reasons
+        |FROM r ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       s"""WITH $frameCteSql
          |SELECT doc_id, frame_idx, n_frames, start_pos, end_pos,

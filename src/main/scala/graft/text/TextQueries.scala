@@ -407,7 +407,38 @@ object TextQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** #27h Blocklist filter — the C4 "bad words" gate (Raffel et al. 2020
+    * §2.2 drop documents containing blocklisted language; RefinedWeb's
+    * URL+content blocklists are the same shape): a STRICT list where one
+    * hit drops the document, plus a frequency rule for the softer list
+    * (occasional use tolerated, saturation is not). Verdict + counts are
+    * auditable like `text_gopher_filter`. Pure map-side single pass —
+    * two codegen'd filtered-size counts per row, no shuffle at any scale;
+    * the lists are literals here and a broadcast lookup at vocabulary
+    * scale. Words chosen from the synthetic vocabulary so both outcomes
+    * fire at test scale. */
+  val BlockedWords = Seq("slow", "dup")
+  val StrictWords = Seq("dup")
+  val BlockFracMax = 0.03
+
+  def blocklist(s: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(ws).cast("long").as("n_words"),
+        countIn(ws, BlockedWords).as("n_blocked"),
+        countIn(ws, StrictWords).as("n_strict"))
+      .withColumn("blocked_frac",
+        round(col("n_blocked").cast("double") / col("n_words"), 4))
+      .withColumn("verdict",
+        when(col("n_strict") > 0, lit("drop_strict"))
+          .when(col("blocked_frac") > BlockFracMax, lit("drop_frequency"))
+          .otherwise(lit("keep")))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_blocklist"    -> (blocklist _),
     "text_winnow"       -> (winnow _),
     "dedup_winnow_pairs" -> (winnowPairs _),
     "text_length_stats" -> (lengthStats _),
@@ -446,6 +477,18 @@ object TextQueries {
        | FROM p)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_blocklist" ->
+      s"""WITH c AS (SELECT doc_id,
+         | len($w)::BIGINT AS n_words,
+         | len(list_filter($w, x -> list_contains(${sqlList(BlockedWords)}, x)))::BIGINT AS n_blocked,
+         | len(list_filter($w, x -> list_contains(${sqlList(StrictWords)}, x)))::BIGINT AS n_strict
+         |FROM documents),
+         |r AS (SELECT *, round(n_blocked::DOUBLE / n_words, 4) AS blocked_frac FROM c)
+         |SELECT doc_id, n_words, n_blocked, n_strict, blocked_frac,
+         | CASE WHEN n_strict > 0 THEN 'drop_strict'
+         |      WHEN blocked_frac > $BlockFracMax THEN 'drop_frequency'
+         |      ELSE 'keep' END AS verdict
+         |FROM r ORDER BY doc_id""".stripMargin,
     "text_winnow" ->
       s"""WITH $winnowCtes
          |SELECT DISTINCT doc_id,
