@@ -113,12 +113,60 @@ object Anonymize {
       .orderBy(col("event_id"))
   }
 
+  /** #14g Right-to-be-forgotten deletion audit — the compliance report a
+    * GDPR/CCPA erasure run must produce BEFORE the rewrite executes: given
+    * the deletion list (here the deterministic `user_id % 50 == 7` cohort
+    * standing in for a request table), per month: rows to erase, rows
+    * retained, affected users, and the erased share. The deletion itself
+    * is the reference's partitioned-rewrite path (`WarehouseSink.merge`
+    * rewrites whole partitions); this operator is the pre-flight scope
+    * audit that sizes it — and at 100 TB the month key IS the partition
+    * key, so the report tells you exactly which partitions get rewritten.
+    * One fact scan, one map-side-combinable month aggregate (the deletion
+    * membership is a per-row predicate here; a real request table joins
+    * broadcast or Bloom, `etl_ingest_bloom`'s path). */
+  val ErasureCohortMod = 50L
+  val ErasureCohortRem = 7L
+
+  def gdprDeleteAudit(s: SparkSession, dir: String): DataFrame = {
+    val isDel = col("user_id") % ErasureCohortMod === ErasureCohortRem
+    // two-level (month, user) → month aggregate: distinct users without a
+    // distinct expand (the etl_dq_report uniqueness trick)
+    Tables.events(s, dir)
+      .select(date_trunc("month", col("ts")).cast("date").as("month"),
+        col("user_id"), isDel.as("del"))
+      .groupBy(col("month"), col("user_id"), col("del"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("month"))
+      .agg(
+        sum(when(col("del"), col("c")).otherwise(0L)).as("n_erase"),
+        sum(when(col("del"), 0L).otherwise(col("c"))).as("n_retain"),
+        sum(when(col("del"), 1L).otherwise(0L)).as("n_users_erased"))
+      .withColumn("erased_share",
+        round(col("n_erase").cast("double") / (col("n_erase") + col("n_retain")), 4))
+      .orderBy(col("month"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_k_anonymize" -> (kAnonymize _),
     "etl_l_diversity" -> (lDiversity _),
-    "etl_pseudonymize" -> (pseudonymize _))
+    "etl_pseudonymize" -> (pseudonymize _),
+    "etl_gdpr_delete" -> (gdprDeleteAudit _))
 
   val oracles: Map[String, String] = Map(
+    "etl_gdpr_delete" ->
+      s"""WITH e AS (SELECT date_trunc('month', ts)::DATE AS month, user_id,
+         |  (user_id % $ErasureCohortMod = $ErasureCohortRem) AS del FROM events),
+         |u AS (SELECT month, user_id, del, count(*)::BIGINT AS c
+         | FROM e GROUP BY 1, 2, 3),
+         |g AS (SELECT month,
+         |  sum(CASE WHEN del THEN c ELSE 0 END)::BIGINT AS n_erase,
+         |  sum(CASE WHEN del THEN 0 ELSE c END)::BIGINT AS n_retain,
+         |  sum(CASE WHEN del THEN 1 ELSE 0 END)::BIGINT AS n_users_erased
+         | FROM u GROUP BY month)
+         |SELECT month, n_erase, n_retain, n_users_erased,
+         | round(n_erase::DOUBLE / (n_erase + n_retain), 4) AS erased_share
+         |FROM g ORDER BY month""".stripMargin,
     "etl_pseudonymize" ->
       s"""SELECT event_id,
          | substr(md5('$PseudoSalt' || ':' || user_id::VARCHAR), 1, 16) AS user_pseudo,

@@ -76,6 +76,26 @@ class AnonymizeSpec extends AnyFunSuite {
     assert(got.values.exists(_._3), "nothing released")
   }
 
+  test("gdpr deletion audit equals a driver-side replay and conserves rows") {
+    import org.apache.spark.sql.functions.{col, date_trunc}
+    val rows = graft.Tables.events(spark, sf)
+      .select(date_trunc("month", col("ts")).cast("date").cast("string").as("m"),
+        col("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val got = Anonymize.gdprDeleteAudit(spark, sf).collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val byMonth = rows.groupBy(_._1)
+    assert(got.keySet == byMonth.keySet)
+    byMonth.foreach { case (m, vs) =>
+      val del = vs.filter(_._2 % Anonymize.ErasureCohortMod == Anonymize.ErasureCohortRem)
+      val (ne, nr, nu) = got(m)
+      assert(ne == del.size.toLong && nr == (vs.size - del.size).toLong, s"month $m counts")
+      assert(nu == del.map(_._2).distinct.size.toLong, s"month $m users")
+      assert(ne + nr == vs.size.toLong, "row conservation")
+    }
+    assert(got.values.exists(_._1 > 0), "erasure cohort empty on the corpus")
+  }
+
   test("pseudonymization is stable, injective, and format-bounded") {
     import org.apache.spark.sql.functions.col
     val src = graft.Tables.events(spark, sf).select("event_id", "user_id").collect()
