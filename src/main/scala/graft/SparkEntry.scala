@@ -28,6 +28,7 @@ object SparkEntry {
       streaming.StreamQueries.queries ++
       streaming.StreamDedup.queries ++ streaming.StreamNearDup.queries ++
       streaming.StreamAnomaly.queries ++ streaming.StreamTopK.queries ++
+      streaming.StreamCdcApply.queries ++
       timeseries.TsQueries.queries ++
       stats.SketchQueries.queries ++ stats.HeavyHitters.queries ++ stats.KmvSketch.queries ++
       stats.Correlation.queries ++ stats.CountMin.queries ++
@@ -51,7 +52,7 @@ object SparkEntry {
       multimodal.MultimodalQueries.oracles ++
       sim.VectorOps.oracles ++ streaming.StreamQueries.oracles ++
       streaming.StreamDedup.oracles ++ streaming.StreamAnomaly.oracles ++
-      streaming.StreamTopK.oracles ++
+      streaming.StreamTopK.oracles ++ streaming.StreamCdcApply.oracles ++
       timeseries.TsQueries.oracles ++
       stats.SketchQueries.oracles ++ stats.HeavyHitters.oracles ++ stats.KmvSketch.oracles ++
       stats.Correlation.oracles ++ stats.CountMin.oracles ++

@@ -32,8 +32,11 @@ import graft.Tables
 object Survivorship {
 
   /** (micros since 2024-01-01) · 2^20 + event_id mod 2^20 — total order
-    * for any corpus with < 1M colliding-microsecond events per instant. */
-  private def orderKey = (unix_micros(col("ts")) - lit(1704067200000000L)) * 1048576L +
+    * for any corpus with < 1M colliding-microsecond events per instant.
+    * Shared with the streaming CDC snapshot so batch and stream order
+    * versions identically. */
+  val OrderEpochMicros = 1704067200000000L
+  private[graft] def orderKey = (unix_micros(col("ts")) - lit(OrderEpochMicros)) * 1048576L +
     pmod(col("event_id"), lit(1048576L))
 
   def goldenRecords(s: SparkSession, dir: String): DataFrame = {

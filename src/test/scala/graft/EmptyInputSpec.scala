@@ -49,7 +49,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "ann_range_search", "stats_ttest", "text_winnow", "dedup_winnow_pairs",
     "ts_forecast", "etl_l_diversity", "etl_pseudonymize", "ts_outlier_mad",
     "sample_balanced", "graph_hits", "q15_top_supplier", "etl_time_travel",
-    "etl_geo_cluster", "text_blocklist", "mm_quality_gate", "etl_gdpr_delete")
+    "etl_geo_cluster", "text_blocklist", "mm_quality_gate", "etl_gdpr_delete",
+    "stream_cdc_apply")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {
