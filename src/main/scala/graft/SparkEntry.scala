@@ -14,7 +14,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational.CoreQueries.queries ++ etl.EtlQueries.queries ++ etl.NearestJoin.queries ++
       etl.FuzzyMatch.queries ++ etl.Anonymize.queries ++ etl.DqReport.queries ++
-      etl.Survivorship.queries ++ etl.GeoCluster.queries ++
+      etl.Survivorship.queries ++ etl.GeoCluster.queries ++ etl.RecordLinkage.queries ++
       text.TextQueries.queries ++ text.ImportanceResample.queries ++ text.PiiScrub.queries ++ text.BpeTrain.queries ++
       text.LmScore.queries ++
       text.CorpusPipeline.queries ++
@@ -41,7 +41,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     relational.CoreQueries.oracles ++ etl.EtlQueries.oracles ++ etl.NearestJoin.oracles ++
       etl.FuzzyMatch.oracles ++ etl.Anonymize.oracles ++ etl.DqReport.oracles ++
-      etl.Survivorship.oracles ++ etl.GeoCluster.oracles ++
+      etl.Survivorship.oracles ++ etl.GeoCluster.oracles ++ etl.RecordLinkage.oracles ++
       text.TextQueries.oracles ++ text.ImportanceResample.oracles ++
       text.PiiScrub.oracles ++ text.LmScore.oracles ++
       text.CorpusPipeline.oracles ++ dedup.DedupQueries.oracles ++
