@@ -15,7 +15,8 @@ object SparkEntry {
     relational.CoreQueries.queries ++ etl.EtlQueries.queries ++ etl.NearestJoin.queries ++
       etl.FuzzyMatch.queries ++ etl.Anonymize.queries ++ etl.DqReport.queries ++
       etl.Survivorship.queries ++ etl.GeoCluster.queries ++ etl.RecordLinkage.queries ++
-      text.TextQueries.queries ++ text.ImportanceResample.queries ++ text.PiiScrub.queries ++ text.BpeTrain.queries ++
+      etl.CompactionPlan.queries ++ etl.SchemaDrift.queries ++
+      text.TextQueries.queries ++ text.ImportanceResample.queries ++ text.SampleSplit.queries ++ text.PiiScrub.queries ++ text.BpeTrain.queries ++
       text.LmScore.queries ++
       text.CorpusPipeline.queries ++
       dedup.DedupQueries.queries ++
@@ -29,9 +30,9 @@ object SparkEntry {
       streaming.StreamDedup.queries ++ streaming.StreamNearDup.queries ++
       streaming.StreamAnomaly.queries ++ streaming.StreamTopK.queries ++
       streaming.StreamCdcApply.queries ++
-      timeseries.TsQueries.queries ++
+      timeseries.TsQueries.queries ++ timeseries.CrossCorr.queries ++
       stats.SketchQueries.queries ++ stats.HeavyHitters.queries ++ stats.KmvSketch.queries ++
-      stats.Correlation.queries ++ stats.CountMin.queries ++
+      stats.Correlation.queries ++ stats.CountMin.queries ++ stats.Concentration.queries ++
       graph.PageRank.queries ++ graph.Triangles.queries ++ graph.Neighbors.queries ++
       graph.Bfs.queries ++ graph.KCore.queries ++ graph.Hits.queries ++
       analytics.FunnelQueries.queries
@@ -42,7 +43,8 @@ object SparkEntry {
     relational.CoreQueries.oracles ++ etl.EtlQueries.oracles ++ etl.NearestJoin.oracles ++
       etl.FuzzyMatch.oracles ++ etl.Anonymize.oracles ++ etl.DqReport.oracles ++
       etl.Survivorship.oracles ++ etl.GeoCluster.oracles ++ etl.RecordLinkage.oracles ++
-      text.TextQueries.oracles ++ text.ImportanceResample.oracles ++
+      etl.CompactionPlan.oracles ++ etl.SchemaDrift.oracles ++
+      text.TextQueries.oracles ++ text.ImportanceResample.oracles ++ text.SampleSplit.oracles ++
       text.PiiScrub.oracles ++ text.LmScore.oracles ++
       text.CorpusPipeline.oracles ++ dedup.DedupQueries.oracles ++
       dedup.DedupClusters.oracles ++
@@ -53,9 +55,9 @@ object SparkEntry {
       sim.VectorOps.oracles ++ streaming.StreamQueries.oracles ++
       streaming.StreamDedup.oracles ++ streaming.StreamAnomaly.oracles ++
       streaming.StreamTopK.oracles ++ streaming.StreamCdcApply.oracles ++
-      timeseries.TsQueries.oracles ++
+      timeseries.TsQueries.oracles ++ timeseries.CrossCorr.oracles ++
       stats.SketchQueries.oracles ++ stats.HeavyHitters.oracles ++ stats.KmvSketch.oracles ++
-      stats.Correlation.oracles ++ stats.CountMin.oracles ++
+      stats.Correlation.oracles ++ stats.CountMin.oracles ++ stats.Concentration.oracles ++
       graph.PageRank.oracles ++ graph.Triangles.oracles ++ graph.Neighbors.oracles ++
       graph.Bfs.oracles ++ graph.KCore.oracles ++ graph.Hits.oracles ++
       analytics.FunnelQueries.oracles

@@ -1,0 +1,141 @@
+package graft.stats
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** #35i `stats_gini` + #35j `stats_ks` — distribution-shape audits
+  * (SURVEY.md §2).
+  *
+  * Two screens a data platform runs on every feed beside `stats_benford`'s
+  * digit forensics: WHO generates the volume (concentration), and whether
+  * the value distribution SHIFTED mid-stream (two-sample drift).
+  *
+  * `stats_gini`: Gini coefficient of per-user activity per event type — the
+  * bot/whale detector (a type where 2% of users produce 90% of rows is a
+  * scraper, not a product surface). Exact integer form on ranked counts:
+  * G = (2·Σᵢ i·cᵢ − (n+1)·Σc) / (n·Σc) with cᵢ ascending — every moment an
+  * exact BIGINT (tie order is irrelevant to Σ i·cᵢ: equal cᵢ make the block
+  * sum invariant under permutation, and the (count, user) order is total
+  * anyway), one final fixed-form IEEE division (the `stats_corr`
+  * determinism contract).
+  *
+  * `stats_ks`: two-sample Kolmogorov–Smirnov between each type's value
+  * distribution in the first vs second half of its observed time range —
+  * the nonparametric "did this feed change shape?" drift test (`ts_anomaly`
+  * flags level; KS catches variance/shape drift at a constant mean). The
+  * statistic is computed EXACTLY in integers: with values as cents,
+  * D·n₁·n₂ = max over distinct values of |cum₁·n₂ − cum₂·n₁| — no float
+  * ECDFs — and only the final display division and the 1.358·√((n₁+n₂)/
+  * (n₁·n₂)) α=0.05 critical value are (fixed-form) IEEE ops.
+  *
+  * Scale posture: each op is one map-side-combinable fact aggregate —
+  * (type, user) counts resp. (type, value) counts — and every window runs
+  * on that aggregate, never on facts. The KS midpoint is a one-row
+  * broadcast. At 100 TB the aggregates are |types|·|users| resp.
+  * |types|·|distinct cents| rows: still cluster-trivial, and the windows
+  * partition by type so no single-task global sort exists. */
+object Concentration {
+
+  /** Concentration flag threshold: G ≥ 0.4 ("top-heavy feed"). */
+  val GiniFlag = 0.4
+
+  def gini(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    val ranked = perUser.withColumn("i",
+      row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("c"), col("user_id"))))
+    val m = ranked.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"), sum(col("c")).as("total_events"),
+        sum(col("i") * col("c")).as("w"))
+    val g = (lit(2) * col("w") - (col("n_users") + 1) * col("total_events"))
+      .cast("double") / (col("n_users") * col("total_events"))
+    m.select(col("event_type"), col("n_users"), col("total_events"),
+        round(g, 4).as("gini"))
+      .withColumn("concentrated", col("gini") >= GiniFlag)
+      .orderBy(col("event_type"))
+  }
+
+  /** KS α=0.05 critical coefficient c(α) = √(−ln(α/2)/2) as a literal. */
+  val KsCoeff = 1.358
+
+  def ks(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .select(col("event_type"), unix_date(to_date(col("ts"))).as("ed"),
+        round(col("value") * 100).cast("long").as("v"))
+    val mid = base.agg(expr("(min(ed) + max(ed)) div 2").as("mid"))
+    val g = base.crossJoin(broadcast(mid))
+      .select(col("event_type"), col("v"),
+        when(col("ed") <= col("mid"), 1L).otherwise(0L).as("in1"))
+      .groupBy(col("event_type"), col("v"))
+      .agg(sum(col("in1")).as("c1"), sum(lit(1L) - col("in1")).as("c2"))
+    val byType = Window.partitionBy(col("event_type"))
+    val w = g
+      .withColumn("cum1", sum(col("c1")).over(byType.orderBy(col("v"))))
+      .withColumn("cum2", sum(col("c2")).over(byType.orderBy(col("v"))))
+      .withColumn("n1", sum(col("c1")).over(byType))
+      .withColumn("n2", sum(col("c2")).over(byType))
+    val d = w.groupBy(col("event_type"))
+      .agg(max(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))).as("dnum"),
+        max(col("n1")).as("n1"), max(col("n2")).as("n2"))
+    val ksD = col("dnum").cast("double") / (col("n1") * col("n2"))
+    val crit = lit(KsCoeff) *
+      sqrt((col("n1") + col("n2")).cast("double") / (col("n1") * col("n2")))
+    d.select(col("event_type"), col("n1"), col("n2"),
+        when(col("n1") > 0 && col("n2") > 0, round(ksD, 4)).as("ks_d"),
+        when(col("n1") > 0 && col("n2") > 0, round(crit, 4)).as("ks_crit"),
+        coalesce(ksD > crit, lit(false)).as("shifted"))
+      .orderBy(col("event_type"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_gini" -> (gini _),
+    "stats_ks" -> (ks _))
+
+  val oracles: Map[String, String] = Map(
+    "stats_gini" ->
+      s"""WITH c AS (SELECT event_type, user_id, count(*)::BIGINT AS c
+         | FROM events GROUP BY 1, 2),
+         |r AS (SELECT event_type, c,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY c, user_id) AS i
+         | FROM c),
+         |m AS (SELECT event_type, count(*)::BIGINT AS n_users,
+         |  sum(c)::BIGINT AS total_events, sum(i * c)::BIGINT AS w
+         | FROM r GROUP BY 1)
+         |SELECT event_type, n_users, total_events,
+         | round((2 * w - (n_users + 1) * total_events)::DOUBLE
+         |   / (n_users * total_events), 4) AS gini,
+         | round((2 * w - (n_users + 1) * total_events)::DOUBLE
+         |   / (n_users * total_events), 4) >= $GiniFlag AS concentrated
+         |FROM m ORDER BY event_type""".stripMargin,
+    "stats_ks" ->
+      s"""WITH b AS (SELECT event_type, (ts::DATE - DATE '1970-01-01') AS ed,
+         |  CAST(round(value * 100) AS BIGINT) AS v FROM events),
+         |m AS (SELECT (min(ed) + max(ed)) // 2 AS mid FROM b),
+         |g AS (SELECT event_type, v,
+         |  sum(CASE WHEN ed <= mid THEN 1 ELSE 0 END)::BIGINT AS c1,
+         |  sum(CASE WHEN ed > mid THEN 1 ELSE 0 END)::BIGINT AS c2
+         | FROM b, m GROUP BY 1, 2),
+         |w AS (SELECT event_type,
+         |  sum(c1) OVER (PARTITION BY event_type ORDER BY v) AS cum1,
+         |  sum(c2) OVER (PARTITION BY event_type ORDER BY v) AS cum2,
+         |  sum(c1) OVER (PARTITION BY event_type) AS n1,
+         |  sum(c2) OVER (PARTITION BY event_type) AS n2
+         | FROM g),
+         |d AS (SELECT event_type,
+         |  max(abs(cum1 * n2 - cum2 * n1))::BIGINT AS dnum,
+         |  max(n1)::BIGINT AS n1, max(n2)::BIGINT AS n2
+         | FROM w GROUP BY 1)
+         |SELECT event_type, n1, n2,
+         | CASE WHEN n1 > 0 AND n2 > 0
+         |  THEN round(dnum::DOUBLE / (n1 * n2), 4) END AS ks_d,
+         | CASE WHEN n1 > 0 AND n2 > 0
+         |  THEN round($KsCoeff * sqrt((n1 + n2)::DOUBLE / (n1 * n2)), 4) END AS ks_crit,
+         | coalesce(dnum::DOUBLE / (n1 * n2)
+         |   > $KsCoeff * sqrt((n1 + n2)::DOUBLE / (n1 * n2)), false) AS shifted
+         |FROM d ORDER BY event_type""".stripMargin)
+}

@@ -50,7 +50,9 @@ class EmptyInputSpec extends AnyFunSuite {
     "ts_forecast", "etl_l_diversity", "etl_pseudonymize", "ts_outlier_mad",
     "sample_balanced", "graph_hits", "q15_top_supplier", "etl_time_travel",
     "etl_geo_cluster", "text_blocklist", "mm_quality_gate", "etl_gdpr_delete",
-    "stream_cdc_apply", "stats_benford", "etl_record_linkage")
+    "stream_cdc_apply", "stats_benford", "etl_record_linkage", "sample_split",
+    "stats_gini", "stats_ks", "ts_cross_corr", "etl_compact_plan",
+    "etl_schema_drift")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {
