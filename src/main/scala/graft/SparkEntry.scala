@@ -22,7 +22,7 @@ object SparkEntry {
       dedup.DedupQueries.queries ++
       dedup.MinHashLsh.queries ++ dedup.SimHash.queries ++
       dedup.DedupClusters.queries ++ dedup.IncrementalNearDup.queries ++
-      sim.SimQueries.queries ++ sim.AnnLsh.queries ++ sim.AnnIvf.queries ++
+      sim.SimQueries.queries ++ sim.Mmr.queries ++ sim.AnnLsh.queries ++ sim.AnnIvf.queries ++
       sim.AnnPq.queries ++ sim.AnnIvfPq.queries ++
       sim.VectorOps.queries ++ sim.Kmeans.queries ++ sim.Pca.queries ++
       multimodal.MultimodalQueries.queries ++ multimodal.PhashNearDup.queries ++
@@ -48,7 +48,7 @@ object SparkEntry {
       text.PiiScrub.oracles ++ text.LmScore.oracles ++
       text.CorpusPipeline.oracles ++ dedup.DedupQueries.oracles ++
       dedup.DedupClusters.oracles ++
-      sim.SimQueries.oracles ++ sim.AnnIvf.oracles ++ sim.AnnPq.oracles ++
+      sim.SimQueries.oracles ++ sim.Mmr.oracles ++ sim.AnnIvf.oracles ++ sim.AnnPq.oracles ++
       sim.AnnIvfPq.oracles ++
       sim.Kmeans.oracles ++
       multimodal.MultimodalQueries.oracles ++

@@ -254,8 +254,28 @@ object CoreQueries {
       .orderBy(col("s_suppkey"))
   }
 
+  /** #5l TPC-H Q13 shape — customer order-count distribution INCLUDING the
+    * zero-order customers an inner join silently drops (the classic
+    * left-outer + double-aggregate pattern). The orders side is
+    * pre-aggregated to a per-custkey count BEFORE the join — map-side
+    * combinable, so the join carries |customers| + |active custkeys| rows
+    * instead of the raw order fan-out, and the histogram aggregate is a
+    * |distinct counts|-key reduction. At 100 TB the join is an equi-join on
+    * the uniform customer key; nothing wide ever shuffles. */
+  def q16CustOrderDist(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    Tables.customer(s, dir).select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_top_supplier"   -> (q15TopSupplier _),
+    "q16_cust_order_dist" -> (q16CustOrderDist _),
     "q8_small_qty"       -> (q8SmallQty _),
     "q9_asof"            -> (q9Asof _),
     "q10_cube"           -> (q10Cube _),
@@ -270,6 +290,12 @@ object CoreQueries {
     "q7_promo_ratio"     -> (q7PromoRatio _))
 
   val oracles: Map[String, String] = Map(
+    "q16_cust_order_dist" ->
+      """WITH pc AS (SELECT o_custkey, count(*)::BIGINT AS n FROM orders
+        | WHERE o_orderpriority <> '1-URGENT' GROUP BY 1)
+        |SELECT coalesce(pc.n, 0)::BIGINT AS c_count, count(*)::BIGINT AS custdist
+        |FROM customer c LEFT JOIN pc ON pc.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q15_top_supplier" ->
       """WITH r AS (SELECT l_suppkey,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
