@@ -29,7 +29,7 @@ object SparkEntry {
       streaming.StreamQueries.queries ++
       streaming.StreamDedup.queries ++ streaming.StreamNearDup.queries ++
       streaming.StreamAnomaly.queries ++ streaming.StreamTopK.queries ++
-      streaming.StreamCdcApply.queries ++
+      streaming.StreamCdcApply.queries ++ streaming.StreamCep.queries ++
       timeseries.TsQueries.queries ++ timeseries.CrossCorr.queries ++
       stats.SketchQueries.queries ++ stats.HeavyHitters.queries ++ stats.KmvSketch.queries ++
       stats.Correlation.queries ++ stats.CountMin.queries ++ stats.Concentration.queries ++
@@ -55,6 +55,7 @@ object SparkEntry {
       sim.VectorOps.oracles ++ streaming.StreamQueries.oracles ++
       streaming.StreamDedup.oracles ++ streaming.StreamAnomaly.oracles ++
       streaming.StreamTopK.oracles ++ streaming.StreamCdcApply.oracles ++
+      streaming.StreamCep.oracles ++
       timeseries.TsQueries.oracles ++ timeseries.CrossCorr.oracles ++
       stats.SketchQueries.oracles ++ stats.HeavyHitters.oracles ++ stats.KmvSketch.oracles ++
       stats.Correlation.oracles ++ stats.CountMin.oracles ++ stats.Concentration.oracles ++
