@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -60,14 +61,15 @@ object MultimodalQueries {
         explode(sequence(lit(0L), col("n_frames") - 1, lit(Stride))).as("frame_idx"))
       .withColumn("start_pos", expr("1 + (frame_idx * chars) div n_frames"))
       .withColumn("end_pos", expr("((frame_idx + 1) * chars) div n_frames"))
-      .withColumn("frame_digest",
-        md5(expr("substring(text, int(start_pos), int(greatest(0, end_pos - start_pos + 1)))")))
+      .withColumn("frame_text",
+        expr("substring(text, int(start_pos), int(greatest(0, end_pos - start_pos + 1)))"))
+      .withColumn("frame_digest", md5(col("frame_text")))
       .select(col("doc_id"), col("frame_idx"), col("n_frames"),
-        col("start_pos"), col("end_pos"), col("frame_digest"))
+        col("start_pos"), col("end_pos"), col("frame_digest"), col("frame_text"))
   }
 
   def frameSample(s: SparkSession, dir: String): DataFrame =
-    sampledFrames(s, dir).orderBy(col("doc_id"), col("frame_idx"))
+    sampledFrames(s, dir).drop("frame_text").orderBy(col("doc_id"), col("frame_idx"))
 
   /** #30d Frame-overlap video near-dup: pairs of "videos" sharing at least
     * `MinSharedFrames` sampled-frame content digests (a shared frame is
@@ -122,10 +124,48 @@ object MultimodalQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** #30f Scene / shot-boundary detection over the sampled frames — the
+    * segmentation pass a video curation pipeline runs between frame
+    * sampling and per-scene dedup/captioning (a real decoder compares
+    * per-frame COLOR histograms; the deterministic stand-in compares
+    * letter-class histograms of the frame payload — same feature shape,
+    * same math). Per consecutive sampled-frame pair within a video:
+    * 4-bucket histogram L1 distance as an exact integer, boundary where
+    * dist > (combined letter mass)/4, the comparison done by integer
+    * cross-multiplication (no float anywhere). The first frame of a video
+    * has no predecessor: dist null, never a boundary.
+    *
+    * Scale: explode is the only row multiplier (shared `sampledFrames`
+    * geometry), histograms are map-side codegen regexp counts, and the lag
+    * window partitions by doc over ≤ n_frames rows — one doc_id exchange. */
+  def sceneDetect(s: SparkSession, dir: String): DataFrame = {
+    def bucket(pat: String) =
+      length(regexp_replace(col("frame_text"), pat, "")).cast("long")
+    val h = sampledFrames(s, dir)
+      .select(col("doc_id"), col("frame_idx"),
+        bucket("[^a-g]").as("h1"), bucket("[^h-n]").as("h2"),
+        bucket("[^o-u]").as("h3"), bucket("[^v-z]").as("h4"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val withPrev = h
+      .withColumn("p1", lag(col("h1"), 1).over(w))
+      .withColumn("p2", lag(col("h2"), 1).over(w))
+      .withColumn("p3", lag(col("h3"), 1).over(w))
+      .withColumn("p4", lag(col("h4"), 1).over(w))
+    withPrev
+      .withColumn("dist", abs(col("h1") - col("p1")) + abs(col("h2") - col("p2")) +
+        abs(col("h3") - col("p3")) + abs(col("h4") - col("p4")))
+      .withColumn("is_boundary", coalesce(
+        lit(4L) * col("dist") > col("h1") + col("h2") + col("h3") + col("h4") +
+          col("p1") + col("p2") + col("p3") + col("p4"), lit(false)))
+      .select(col("doc_id"), col("frame_idx"), col("dist"), col("is_boundary"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (binaryMeta _),
     "mm_frame_sample" -> (frameSample _),
     "mm_quality_gate" -> (qualityGate _),
+    "mm_scene_detect" -> (sceneDetect _),
     "mm_frame_overlap" -> (frameOverlap _))
 
   val oracles: Map[String, String] = Map(
@@ -162,6 +202,26 @@ object MultimodalQueries {
          |SELECT doc_id, frame_idx, n_frames, start_pos, end_pos,
          | md5(substr(text, start_pos::INT, greatest(0, end_pos - start_pos + 1)::INT)) AS frame_digest
          |FROM g ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_scene_detect" ->
+      s"""WITH $frameCteSql,
+         |ft AS (SELECT doc_id, frame_idx,
+         |  substr(text, start_pos::INT, greatest(0, end_pos - start_pos + 1)::INT) AS t
+         | FROM g),
+         |h AS (SELECT doc_id, frame_idx,
+         |  length(regexp_replace(t, '[^a-g]', '', 'g'))::BIGINT AS h1,
+         |  length(regexp_replace(t, '[^h-n]', '', 'g'))::BIGINT AS h2,
+         |  length(regexp_replace(t, '[^o-u]', '', 'g'))::BIGINT AS h3,
+         |  length(regexp_replace(t, '[^v-z]', '', 'g'))::BIGINT AS h4
+         | FROM ft),
+         |p AS (SELECT *,
+         |  lag(h1) OVER w AS p1, lag(h2) OVER w AS p2,
+         |  lag(h3) OVER w AS p3, lag(h4) OVER w AS p4
+         | FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx))
+         |SELECT doc_id, frame_idx,
+         | (abs(h1-p1) + abs(h2-p2) + abs(h3-p3) + abs(h4-p4))::BIGINT AS dist,
+         | coalesce(4 * (abs(h1-p1) + abs(h2-p2) + abs(h3-p3) + abs(h4-p4))
+         |   > h1+h2+h3+h4+p1+p2+p3+p4, false) AS is_boundary
+         |FROM p ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_frame_overlap" ->
       s"""WITH $frameCteSql,
          |fd AS (SELECT DISTINCT doc_id,

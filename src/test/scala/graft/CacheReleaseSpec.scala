@@ -16,7 +16,8 @@ class CacheReleaseSpec extends AnyFunSuite {
     Seq("dedup_ngram_jaccard", "dedup_minhash_lsh", "stream_neardup", "dedup_incremental",
       "dedup_containment", "dedup_winnow_pairs", "text_boilerplate", "ts_autocorr",
       "stats_ttest", "emb_drift", "ts_forecast", "ts_outlier_mad", "q15_top_supplier",
-      "etl_geo_cluster", "mm_quality_gate")
+      "etl_geo_cluster", "mm_quality_gate", "stats_corr", "ts_cross_corr",
+      "etl_schema_drift", "emb_mmr")
 
   persisting.foreach { name =>
     test(s"$name leaves no cached relation behind after releaseAll") {

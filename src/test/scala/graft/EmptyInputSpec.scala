@@ -52,7 +52,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "etl_geo_cluster", "text_blocklist", "mm_quality_gate", "etl_gdpr_delete",
     "stream_cdc_apply", "stats_benford", "etl_record_linkage", "sample_split",
     "stats_gini", "stats_ks", "ts_cross_corr", "etl_compact_plan",
-    "etl_schema_drift", "q16_cust_order_dist", "emb_mmr", "stream_cep")
+    "etl_schema_drift", "q16_cust_order_dist", "emb_mmr", "stream_cep",
+    "mm_scene_detect")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {
