@@ -1,0 +1,102 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** #37g `graph_labelprop` — community detection by synchronous label
+  * propagation (Raghavan et al., Phys. Rev. E 2007) (SURVEY.md §2).
+  *
+  * The mesoscale complement to the family: `dedup_clusters` finds
+  * CONNECTED components, `graph_kcore` finds the dense core,
+  * `graph_pagerank`/`graph_hits` rank individual nodes — LPA finds the
+  * COMMUNITIES (domains that cite each other more than the rest: the
+  * source-grouping signal a crawl scheduler and a dedup blocker both use).
+  * Each round every node adopts the most frequent label among its
+  * neighbors, ties to the smallest label — the classic near-linear
+  * community heuristic.
+  *
+  * Determinism: async LPA is visit-order-dependent (the paper's known
+  * nondeterminism); the SYNCHRONOUS variant with a (count desc, label)
+  * total-order tie-break and a FIXED [[Rounds]] budget is a pure function
+  * of the graph — labels are BIGINTs, counts exact, so the oracle replays
+  * the identical chain as [[Rounds]] unrolled CTEs (the `graph_kcore`
+  * fixed-budget trick; data-dependent convergence loops cannot be
+  * SQL-replayed).
+  *
+  * Scale posture: per round ONE adjacency⋈labels hash join + a map-side
+  * combinable (node, label) count + a per-node window argmax over ≤ deg
+  * rows — the textbook distributed LPA round (edge-proportional work, no
+  * driver state); lineage cut per round with localCheckpoint. */
+object LabelProp {
+
+  val Rounds = 4
+
+  def labelProp(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val n = docs.count()
+    if (n == 0)
+      return docs.select(col("doc_id"), lit(0L).as("community"),
+        lit(0L).as("community_size")).limit(0)
+    val und = Triangles.simpleEdges(docs, n)
+    val adj = und.select(col("u").as("node"), col("v").as("nb"))
+      .unionByName(und.select(col("v").as("node"), col("u").as("nb")))
+    propagate(docs, adj)
+  }
+
+  /** The LPA core over an explicit undirected adjacency (node, nb) — split
+    * out so the spec can drive planted topologies. */
+  private[graph] def propagate(docs: DataFrame, adjIn: DataFrame): DataFrame = {
+    val adj = adjIn.localCheckpoint(true)
+    var labels = docs.select(col("doc_id").as("node"), col("doc_id").as("lbl"))
+      .localCheckpoint(true)
+    for (_ <- 1 to Rounds) {
+      val counted = adj
+        .join(labels.select(col("node").as("nb"), col("lbl").as("nl")), Seq("nb"))
+        .groupBy(col("node"), col("nl")).agg(count(lit(1)).as("cnt"))
+      val pick = counted
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("node")).orderBy(col("cnt").desc, col("nl"))))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("nl"))
+      labels = labels.join(pick, Seq("node"), "left")
+        .select(col("node"), coalesce(col("nl"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, Seq("lbl"))
+      .select(col("node").as("doc_id"), col("lbl").as("community"),
+        col("community_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_labelprop" -> (labelProp _))
+
+  val oracles: Map[String, String] = Map(
+    "graph_labelprop" -> {
+      val rounds = (1 to Rounds).map { k =>
+        s"""c$k AS (SELECT adj.node, l.lbl AS nl, count(*) AS cnt
+           | FROM adj JOIN l${k - 1} l ON l.node = adj.nb
+           | GROUP BY 1, 2),
+           |p$k AS (SELECT node, nl FROM (
+           |  SELECT node, nl, row_number() OVER (PARTITION BY node
+           |    ORDER BY cnt DESC, nl) AS rn FROM c$k) t WHERE rn = 1),
+           |l$k AS (SELECT l.node, coalesce(p.nl, l.lbl)::BIGINT AS lbl
+           | FROM l${k - 1} l LEFT JOIN p$k p ON p.node = l.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${PageRank.graphSqlCtes},
+         |${Triangles.simpleEdgesSqlCte},
+         |adj AS (SELECT u AS node, v AS nb FROM se
+         | UNION ALL SELECT v AS node, u AS nb FROM se),
+         |l0 AS (SELECT doc_id AS node, doc_id AS lbl FROM documents),
+         |$rounds,
+         |sz AS (SELECT lbl, count(*)::BIGINT AS community_size
+         | FROM l$Rounds GROUP BY lbl)
+         |SELECT l.node AS doc_id, l.lbl AS community, sz.community_size
+         |FROM l$Rounds l JOIN sz ON sz.lbl = l.lbl
+         |ORDER BY doc_id""".stripMargin
+    })
+}

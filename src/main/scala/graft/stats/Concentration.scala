@@ -92,11 +92,48 @@ object Concentration {
       .orderBy(col("event_type"))
   }
 
+  /** #35k `stats_equidepth` — equi-depth (equi-height) histogram per event
+    * type: [[EqBuckets]] buckets of (near-)equal row count with their value
+    * bounds, the optimizer-statistics / data-profiling primitive beside
+    * `stats_histogram`'s fixed-WIDTH bins (equi-width starves skewed
+    * tails; equi-depth puts the resolution where the rows are). Bucket
+    * assignment is standard NTILE over the total (value, event_id) order —
+    * both engines give the first n mod B buckets one extra row, so the
+    * split is identical; bounds/counts are exact BIGINTs. At 100 TB the
+    * per-type sort inside the window is the cost — the documented swap is
+    * `approx_percentile`-derived bounds (the `text_length_stats` pattern);
+    * the exact form IS the oracle-able contract. */
+  val EqBuckets = 8
+
+  def equidepth(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("v"),
+        col("event_id"))
+    base
+      .withColumn("bucket", ntile(EqBuckets).over(
+        Window.partitionBy(col("event_type")).orderBy(col("v"), col("event_id")))
+        .cast("long"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_gini" -> (gini _),
-    "stats_ks" -> (ks _))
+    "stats_ks" -> (ks _),
+    "stats_equidepth" -> (equidepth _))
 
   val oracles: Map[String, String] = Map(
+    "stats_equidepth" ->
+      s"""WITH b AS (SELECT event_type,
+         |  CAST(round(value * 100) AS BIGINT) AS v, event_id FROM events),
+         |t AS (SELECT event_type, v,
+         |  ntile($EqBuckets) OVER (PARTITION BY event_type ORDER BY v, event_id)
+         |   ::BIGINT AS bucket
+         | FROM b)
+         |SELECT event_type, bucket, count(*)::BIGINT AS n,
+         | min(v) AS lo, max(v) AS hi
+         |FROM t GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
     "stats_gini" ->
       s"""WITH c AS (SELECT event_type, user_id, count(*)::BIGINT AS c
          | FROM events GROUP BY 1, 2),
