@@ -64,9 +64,10 @@ object Concentration {
   val KsCoeff = 1.358
 
   def ks(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.events(s, dir)
+    // persist: the midpoint aggregate and the (type, v) counts both read it
+    val base = graft.CacheRegistry.track(Tables.events(s, dir)
       .select(col("event_type"), unix_date(to_date(col("ts"))).as("ed"),
-        round(col("value") * 100).cast("long").as("v"))
+        round(col("value") * 100).cast("long").as("v")))
     val mid = base.agg(expr("(min(ed) + max(ed)) div 2").as("mid"))
     val g = base.crossJoin(broadcast(mid))
       .select(col("event_type"), col("v"),

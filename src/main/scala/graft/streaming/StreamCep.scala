@@ -47,9 +47,11 @@ object StreamCep {
 
   /** Batch twin: every completed anchor, declaratively. */
   def cepBatch(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
+    // persist: the three stage slices and both join-backs all read this
+    val ev = graft.CacheRegistry.track(Tables.events(s, dir)
+      .filter(col("event_type").isin(StageA, StageB, StageC))
       .select(col("user_id"), col("event_type"), col("event_id"),
-        unix_micros(col("ts")).as("m"), graft.etl.Survivorship.orderKey.as("k"))
+        unix_micros(col("ts")).as("m"), graft.etl.Survivorship.orderKey.as("k")))
     val a = ev.filter(col("event_type") === StageA)
       .select(col("user_id"), col("k").as("ak"), col("m").as("am"), col("event_id").as("aid"))
     val b = ev.filter(col("event_type") === StageB)

@@ -17,7 +17,7 @@ class CacheReleaseSpec extends AnyFunSuite {
       "dedup_containment", "dedup_winnow_pairs", "text_boilerplate", "ts_autocorr",
       "stats_ttest", "emb_drift", "ts_forecast", "ts_outlier_mad", "q15_top_supplier",
       "etl_geo_cluster", "mm_quality_gate", "stats_corr", "ts_cross_corr",
-      "etl_schema_drift", "emb_mmr")
+      "etl_schema_drift", "emb_mmr", "stats_ks", "stream_cep")
 
   persisting.foreach { name =>
     test(s"$name leaves no cached relation behind after releaseAll") {
