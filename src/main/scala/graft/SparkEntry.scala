@@ -31,6 +31,7 @@ object SparkEntry {
       streaming.StreamAnomaly.queries ++ streaming.StreamTopK.queries ++
       streaming.StreamCdcApply.queries ++ streaming.StreamCep.queries ++
       timeseries.TsQueries.queries ++ timeseries.CrossCorr.queries ++
+      timeseries.RollingQuantile.queries ++
       stats.SketchQueries.queries ++ stats.HeavyHitters.queries ++ stats.KmvSketch.queries ++
       stats.Correlation.queries ++ stats.CountMin.queries ++ stats.Concentration.queries ++
       graph.PageRank.queries ++ graph.Triangles.queries ++ graph.Neighbors.queries ++
@@ -58,6 +59,7 @@ object SparkEntry {
       streaming.StreamTopK.oracles ++ streaming.StreamCdcApply.oracles ++
       streaming.StreamCep.oracles ++
       timeseries.TsQueries.oracles ++ timeseries.CrossCorr.oracles ++
+      timeseries.RollingQuantile.oracles ++
       stats.SketchQueries.oracles ++ stats.HeavyHitters.oracles ++ stats.KmvSketch.oracles ++
       stats.Correlation.oracles ++ stats.CountMin.oracles ++ stats.Concentration.oracles ++
       graph.PageRank.oracles ++ graph.Triangles.oracles ++ graph.Neighbors.oracles ++

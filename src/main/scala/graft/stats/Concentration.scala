@@ -119,12 +119,73 @@ object Concentration {
       .orderBy(col("event_type"), col("bucket"))
   }
 
+  /** #35l `stats_contingency` — categorical-association audit between
+    * event type and day-of-week (the χ² independence layout): per cell,
+    * observed count, expected count under independence, χ² contribution,
+    * and a standardized-residual flag (|o−e|/√e > [[ResidFlag]] — "Tuesday
+    * errors are over-represented"). The per-cell residuals ARE the
+    * actionable output; a single χ² total is deliberately NOT emitted —
+    * summing rounded per-cell doubles is order-dependent, per-cell values
+    * are not (the `graph_hits` float lesson applied in reverse).
+    *
+    * Determinism: d = o·N − rt·ct is an exact BIGINT (fixed-point range:
+    * o·N < 2^63 at any realistic corpus), and every emitted double is one
+    * fixed-form IEEE expression over those integers. The weekday index is
+    * pure integer arithmetic ((ed+3)%7, the `ts_seasonality` convention)
+    * because the engines disagree on dayofweek() numbering.
+    *
+    * Scale posture: ONE map-side (type, dow) fact aggregate — ≤ |types|·7
+    * rows at any corpus size; totals are window sums over that aggregate. */
+  val ResidFlag = 3.0
+
+  def contingency(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .select(col("event_type"),
+        pmod(unix_date(to_date(col("ts"))) + 3, lit(7)).cast("long").as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("o"))
+    val byType = Window.partitionBy(col("event_type"))
+    val byDow = Window.partitionBy(col("dow"))
+    val t = cells
+      .withColumn("rt", sum(col("o")).over(byType))
+      .withColumn("ct", sum(col("o")).over(byDow))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+    val d = (col("o") * col("n") - col("rt") * col("ct")).cast("double")
+    val e = (col("rt") * col("ct")).cast("double") / col("n")
+    // χ² contribution (o−e)²/e = d²/(N·rt·ct) — also the squared
+    // standardized residual, so the flag reads off the same expression
+    val contrib = d * d / col("n").cast("double") / (col("rt") * col("ct"))
+    t.select(col("event_type"), col("dow"), col("o"),
+        round(e, 4).as("expected"),
+        round(contrib, 4).as("chi2_contrib"),
+        (contrib > ResidFlag * ResidFlag).as("deviant"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_gini" -> (gini _),
     "stats_ks" -> (ks _),
-    "stats_equidepth" -> (equidepth _))
+    "stats_equidepth" -> (equidepth _),
+    "stats_contingency" -> (contingency _))
 
   val oracles: Map[String, String] = Map(
+    "stats_contingency" ->
+      s"""WITH c AS (SELECT event_type,
+         |  ((ts::DATE - DATE '1970-01-01') + 3) % 7 AS dow,
+         |  count(*)::BIGINT AS o
+         | FROM events GROUP BY 1, 2),
+         |t AS (SELECT *,
+         |  sum(o) OVER (PARTITION BY event_type)::BIGINT AS rt,
+         |  sum(o) OVER (PARTITION BY dow)::BIGINT AS ct,
+         |  sum(o) OVER ()::BIGINT AS n
+         | FROM c)
+         |SELECT event_type, dow, o,
+         | round((rt * ct)::DOUBLE / n, 4) AS expected,
+         | round((o * n - rt * ct)::DOUBLE * (o * n - rt * ct)::DOUBLE
+         |   / n::DOUBLE / (rt * ct), 4) AS chi2_contrib,
+         | ((o * n - rt * ct)::DOUBLE * (o * n - rt * ct)::DOUBLE
+         |   / n::DOUBLE / (rt * ct)) > ${ResidFlag * ResidFlag} AS deviant
+         |FROM t ORDER BY event_type, dow""".stripMargin,
     "stats_equidepth" ->
       s"""WITH b AS (SELECT event_type,
          |  CAST(round(value * 100) AS BIGINT) AS v, event_id FROM events),

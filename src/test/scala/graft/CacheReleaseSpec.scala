@@ -17,7 +17,8 @@ class CacheReleaseSpec extends AnyFunSuite {
       "dedup_containment", "dedup_winnow_pairs", "text_boilerplate", "ts_autocorr",
       "stats_ttest", "emb_drift", "ts_forecast", "ts_outlier_mad", "q15_top_supplier",
       "etl_geo_cluster", "mm_quality_gate", "stats_corr", "ts_cross_corr",
-      "etl_schema_drift", "emb_mmr", "stats_ks", "stream_cep")
+      "etl_schema_drift", "emb_mmr", "stats_ks", "stream_cep",
+      "ts_rolling_quantile")
 
   persisting.foreach { name =>
     test(s"$name leaves no cached relation behind after releaseAll") {

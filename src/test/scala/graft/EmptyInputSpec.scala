@@ -53,7 +53,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "stream_cdc_apply", "stats_benford", "etl_record_linkage", "sample_split",
     "stats_gini", "stats_ks", "ts_cross_corr", "etl_compact_plan",
     "etl_schema_drift", "q16_cust_order_dist", "emb_mmr", "stream_cep",
-    "mm_scene_detect", "stats_equidepth", "graph_labelprop")
+    "mm_scene_detect", "stats_equidepth", "graph_labelprop",
+    "stats_contingency", "ts_rolling_quantile")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {
