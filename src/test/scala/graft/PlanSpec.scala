@@ -51,6 +51,49 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate explode"), "span starts explode map-side")
   }
 
+  test("q16 pre-aggregates orders before the left join (no wide fan-out)") {
+    val p = plan("q16_cust_order_dist")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(scanCount(p, "orders") == 1 && scanCount(p, "customer") == 1)
+    // the aggregate must sit BELOW the join: the join carries per-custkey
+    // counts, never raw order rows
+    val joinIdx = p.linesIterator.indexWhere(_.contains("LeftOuter"))
+    val aggIdx = p.linesIterator.indexWhere(l =>
+      l.contains("HashAggregate(keys=[o_custkey"))
+    assert(joinIdx >= 0 && aggIdx > joinIdx,
+      "per-custkey pre-aggregate must feed the join side")
+  }
+
+  test("stream_cep joins stay hash joins over one cached fact read") {
+    val p = plan("stream_cep")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "forward as-of decomposition must never range-explode")
+    assert(p.contains("InMemoryTableScan"),
+      "stage slices and join-backs must read the tracked projection")
+    CacheRegistry.releaseAll()
+  }
+
+  test("compact_plan and scene_detect are single-scan plans") {
+    assert(scanCount(plan("etl_compact_plan"), "events") == 1)
+    val sd = plan("mm_scene_detect")
+    assert(scanCount(sd, "documents") == 1)
+    assert(sd.linesIterator.count(_.contains("Generate explode")) == 1,
+      "frame explode is the only row multiplier")
+  }
+
+  test("sample_split is a pure map-side projection (no exchange before sort)") {
+    val p = plan("sample_split")
+    assert(scanCount(p, "documents") == 1)
+    // the only Exchange is the presentation sort's range partitioning
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1 &&
+      p.contains("rangepartitioning"), "split assignment must not shuffle")
+  }
+
+  test("labelprop and mmr never degenerate to cartesian products") {
+    assert(!plan("graph_labelprop").contains("CartesianProduct"))
+    assert(!plan("emb_mmr").contains("CartesianProduct"))
+  }
+
   test("q2 broadcasts dimension tables") {
     val p = plan("q2_revenue_topn")
     assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
