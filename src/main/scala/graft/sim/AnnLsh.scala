@@ -59,6 +59,45 @@ object AnnLsh {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** #25g Multi-probe LSH (Lv et al., VLDB 2007): recall without more
+    * hash tables. Single-probe LSH only finds neighbours whose band value
+    * matches EXACTLY; a near neighbour one sign-bit away in every band is
+    * invisible, and the classic fix — more tables — multiplies the
+    * corpus-side index size. Multi-probe instead perturbs the QUERY's band
+    * values: each band probes its own bucket plus all [[BandBits]]
+    * Hamming-1 perturbations (5 keys per band), because the buckets most
+    * likely to hold a missed neighbour are exactly the ones whose key
+    * differs in the single least-confident bit. The corpus side — the
+    * expensive side at 100 TB — is hashed and laid out IDENTICALLY to
+    * `ann_lsh_bucketed`: same one-pass compiled `HyperplaneBands` index,
+    * same (band, key) equi-join; only the tiny broadcast probe set fans
+    * out ×5. Candidate recall is therefore a strict superset of
+    * single-probe's (spec-pinned, along with the recall@10 ordering). */
+  def annTopkMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    HashExprs.register(s)
+    val banded = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .select(col("vec_id"), col("emb"),
+        posexplode(HashExprs.hyperplaneBands(col("emb"))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bkey"))
+    val q = banded.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("band"),
+        explode(expr("array(bkey, bkey ^ 1, bkey ^ 2, bkey ^ 4, bkey ^ 8)")).as("bkey"))
+    val c = banded.select(col("vec_id").as("n_id"), col("emb").as("n_emb"), col("band"), col("bkey"))
+    val candidates = c.join(broadcast(q), Seq("band", "bkey"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", round(cosine(col("q_emb"), col("n_emb")), 4))
+      .select("q_id", "n_id", "cosine")
+      .dropDuplicates("q_id", "n_id")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
+    candidates
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select("q_id", "n_id", "rank", "cosine")
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ann_lsh_bucketed" -> (annTopkLsh _))
+    "ann_lsh_bucketed" -> (annTopkLsh _),
+    "ann_multiprobe" -> (annTopkMultiprobe _))
 }

@@ -54,7 +54,7 @@ class EmptyInputSpec extends AnyFunSuite {
     "stats_gini", "stats_ks", "ts_cross_corr", "etl_compact_plan",
     "etl_schema_drift", "q16_cust_order_dist", "emb_mmr", "stream_cep",
     "mm_scene_detect", "stats_equidepth", "graph_labelprop",
-    "stats_contingency", "ts_rolling_quantile")
+    "stats_contingency", "ts_rolling_quantile", "ann_multiprobe")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {

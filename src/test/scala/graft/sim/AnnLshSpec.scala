@@ -20,6 +20,23 @@ class AnnLshSpec extends AnyFunSuite {
     assert(recall >= 0.10, s"recall@10 = $recall")
   }
 
+  test("multi-probe recall@10 >= single-probe, with exact cosines on shared pairs") {
+    val brute = SimQueries.annTopkBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val single = AnnLsh.annTopkLsh(spark, sf)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = AnnLsh.annTopkMultiprobe(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val rSingle = (brute.keySet & single).size.toDouble / brute.size
+    val rMulti = (brute.keySet & multi.keySet).size.toDouble / brute.size
+    assert(rMulti >= rSingle, s"multi-probe recall $rMulti < single-probe $rSingle")
+    assert(rMulti > 0.10, s"recall@10 = $rMulti")
+    // scoring is the same exact cosine: any pair both report agrees bit-for-bit
+    (multi.keySet & brute.keySet).foreach { k =>
+      assert(multi(k) == brute(k), s"cosine mismatch on $k")
+    }
+  }
+
   test("LSH ANN ranks are contiguous per query starting at 1") {
     val rows = AnnLsh.annTopkLsh(spark, sf).collect()
     rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
