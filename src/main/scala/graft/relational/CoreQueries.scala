@@ -273,9 +273,34 @@ object CoreQueries {
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
+  /** #5m TPC-H Q18 shape — large-volume orders: the HAVING-filtered
+    * semi-join pattern (find the aggregate outliers, then join the
+    * qualifying keys back for their context rows). The per-order quantity
+    * aggregate is map-side combinable and the qualifying-keys frame is a
+    * tiny fraction of orders — broadcast back against orders and customer,
+    * so the fact table is scanned once for the aggregate and the context
+    * join carries only survivors. */
+  val Q18MinQty = 250.0
+
+  def q18BigOrders(s: SparkSession, dir: String): DataFrame = {
+    val qty = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .filter(col("sum_qty") > Q18MinQty)
+    Tables.orders(s, dir)
+      .join(broadcast(qty), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, dir).select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+        col("o_orderdate"), round(col("o_totalprice"), 2).as("o_totalprice"),
+        col("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_top_supplier"   -> (q15TopSupplier _),
     "q16_cust_order_dist" -> (q16CustOrderDist _),
+    "q18_big_orders"     -> (q18BigOrders _),
     "q8_small_qty"       -> (q8SmallQty _),
     "q9_asof"            -> (q9Asof _),
     "q10_cube"           -> (q10Cube _),
@@ -290,6 +315,15 @@ object CoreQueries {
     "q7_promo_ratio"     -> (q7PromoRatio _))
 
   val oracles: Map[String, String] = Map(
+    "q18_big_orders" ->
+      s"""WITH q AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+         | FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 2) > $Q18MinQty)
+         |SELECT o.o_orderkey, c.c_custkey, c.c_name, o.o_orderdate,
+         | round(o.o_totalprice, 2) AS o_totalprice, q.sum_qty
+         |FROM orders o
+         |JOIN q ON o.o_orderkey = q.l_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |ORDER BY q.sum_qty DESC, o.o_orderkey""".stripMargin,
     "q16_cust_order_dist" ->
       """WITH pc AS (SELECT o_custkey, count(*)::BIGINT AS n FROM orders
         | WHERE o_orderpriority <> '1-URGENT' GROUP BY 1)

@@ -54,7 +54,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "stats_gini", "stats_ks", "ts_cross_corr", "etl_compact_plan",
     "etl_schema_drift", "q16_cust_order_dist", "emb_mmr", "stream_cep",
     "mm_scene_detect", "stats_equidepth", "graph_labelprop",
-    "stats_contingency", "ts_rolling_quantile", "ann_multiprobe")
+    "stats_contingency", "ts_rolling_quantile", "ann_multiprobe",
+    "q18_big_orders", "text_hash_embed")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {
