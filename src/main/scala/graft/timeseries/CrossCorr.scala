@@ -68,10 +68,88 @@ object CrossCorr {
       .orderBy(col("type_a"), col("type_b"), col("lag"))
   }
 
+  /** #34m `ts_trend` — OLS linear trend per type over its daily series:
+    * slope (units/day), intercept at the type's FIRST observed day (the
+    * interpretable anchor — an epoch-0 intercept extrapolates 54 years),
+    * and R² — the "is this feed structurally growing, and how fast?"
+    * readout (`ts_changepoint` finds WHERE the level moved; the trend line
+    * says WHETHER there is a sustained drift and its rate). `trending`
+    * flags a fit that explains most variance (R² ≥ [[TrendR2]]) with a
+    * material rate (|slope| ≥ [[TrendSlope]] units/day).
+    *
+    * Determinism (`stats_corr` contract): x is the day offset from the
+    * type's min day (small integers — keeps every moment far from 2^63),
+    * y the whole-unit BIGINT daily value; the five moment sums are exact
+    * integer aggregates and slope/intercept/R² are fixed-form IEEE
+    * expressions over them, flags compared on the unrounded forms
+    * identically in both engines. One fact pass → |types × days|
+    * aggregate; everything else runs on |types| rows. */
+  val TrendR2 = 0.5
+  val TrendSlope = 1.0
+
+  def trend(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(round(sum(col("value"))).cast("long").as("vi"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("1970-01-01")).cast("long").as("ed"), col("vi"))
+    val withX = daily
+      .withColumn("x", col("ed") - min(col("ed")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+    val m = withX.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("vi")).as("sy"),
+        sum(col("x") * col("vi")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("vi") * col("vi")).as("syy"))
+    val n = col("n")
+    val dxx = (n * col("sxx") - col("sx") * col("sx")).cast("double")
+    val dyy = (n * col("syy") - col("sy") * col("sy")).cast("double")
+    val dxy = (n * col("sxy") - col("sx") * col("sy")).cast("double")
+    val slope = dxy / dxx
+    val intercept = (col("sy").cast("double") - slope * col("sx")) / n
+    val r2 = dxy * dxy / dxx / dyy
+    m.filter(n >= 2)
+      .select(col("event_type"), n.as("n_days"),
+        round(slope, 6).as("slope"),
+        round(intercept, 4).as("intercept"),
+        when(dxx > 0 && dyy > 0, round(r2, 4)).as("r2"),
+        // zero-variance y: no trend by definition (and ANSI forbids the /0)
+        coalesce(when(dxx > 0 && dyy > 0,
+          r2 >= TrendR2 && abs(slope) >= TrendSlope), lit(false)).as("trending"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ts_cross_corr" -> (crossCorr _))
+    "ts_cross_corr" -> (crossCorr _),
+    "ts_trend" -> (trend _))
 
   val oracles: Map[String, String] = Map(
+    "ts_trend" ->
+      s"""WITH d AS (SELECT event_type, (ts::DATE - DATE '1970-01-01') AS ed,
+         |  CAST(round(sum(value)) AS BIGINT) AS vi
+         | FROM events GROUP BY event_type, ts::DATE),
+         |x AS (SELECT event_type,
+         |  ed - min(ed) OVER (PARTITION BY event_type) AS x, vi FROM d),
+         |m AS (SELECT event_type, count(*)::BIGINT AS n,
+         |  sum(x)::BIGINT AS sx, sum(vi)::BIGINT AS sy,
+         |  sum(x * vi)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+         |  sum(vi * vi)::BIGINT AS syy
+         | FROM x GROUP BY 1)
+         |SELECT event_type, n AS n_days,
+         | round((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx), 6) AS slope,
+         | round((sy::DOUBLE - (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx) * sx)
+         |   / n, 4) AS intercept,
+         | CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+         |  THEN round((n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy)::DOUBLE
+         |    / (n * sxx - sx * sx) / (n * syy - sy * sy), 4) END AS r2,
+         | coalesce(CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+         |  THEN (n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy)::DOUBLE
+         |    / (n * sxx - sx * sx) / (n * syy - sy * sy) >= $TrendR2
+         |   AND abs((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)) >= $TrendSlope
+         |  END, false) AS trending
+         |FROM m WHERE n >= 2 ORDER BY event_type""".stripMargin,
     "ts_cross_corr" ->
       s"""WITH d AS (SELECT event_type, (ts::DATE - DATE '1970-01-01') AS ed,
          |  CAST(round(sum(value)) AS BIGINT) AS vi
