@@ -31,13 +31,19 @@ import graft.Tables
   * aggregate. */
 object Survivorship {
 
-  /** (micros since 2024-01-01) · 2^20 + event_id mod 2^20 — total order
-    * for any corpus with < 1M colliding-microsecond events per instant.
-    * Shared with the streaming CDC snapshot so batch and stream order
-    * versions identically. */
+  /** (micros since 2024-01-01) · 2^13 + event_id mod 2^13 — total order
+    * for any corpus with < 8192 colliding-microsecond events per instant.
+    * Shared with the streaming CDC snapshot and CEP so batch and stream
+    * order versions identically. The multiplier is 2^13, NOT the 2^20 the
+    * key originally used: 2^63 / 2^20 µs is only ~102 days past the
+    * epoch, and a generative CEP spec tripped ANSI long-overflow on a
+    * 267-day feed — 2^13 extends the exact range to ~35 years while 8192
+    * id slots per microsecond instant still make collisions (same µs AND
+    * same id mod 8192) practically impossible. */
   val OrderEpochMicros = 1704067200000000L
-  private[graft] def orderKey = (unix_micros(col("ts")) - lit(OrderEpochMicros)) * 1048576L +
-    pmod(col("event_id"), lit(1048576L))
+  val OrderIdSlots = 8192L
+  private[graft] def orderKey = (unix_micros(col("ts")) - lit(OrderEpochMicros)) * OrderIdSlots +
+    pmod(col("event_id"), lit(OrderIdSlots))
 
   def goldenRecords(s: SparkSession, dir: String): DataFrame = {
     val k = orderKey
@@ -90,7 +96,7 @@ object Survivorship {
   val oracles: Map[String, String] = Map(
     "etl_time_travel" ->
       s"""WITH ev AS (SELECT *,
-         |  (epoch_us(ts) - 1704067200000000) * 1048576 + (event_id % 1048576) AS k
+         |  (epoch_us(ts) - 1704067200000000) * 8192 + (event_id % 8192) AS k
          | FROM events WHERE ts <= TIMESTAMP '$AsOfTs')
          |SELECT user_id, count(*) AS n_versions_asof,
          | max(ts) AS version_ts,
@@ -100,7 +106,7 @@ object Survivorship {
          |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin,
     "etl_survivorship" ->
       """WITH ev AS (SELECT *,
-        |  (epoch_us(ts) - 1704067200000000) * 1048576 + (event_id % 1048576) AS k
+        |  (epoch_us(ts) - 1704067200000000) * 8192 + (event_id % 8192) AS k
         | FROM events)
         |SELECT user_id, count(*) AS n_versions,
         | min(ts) AS first_seen, max(ts) AS last_seen,

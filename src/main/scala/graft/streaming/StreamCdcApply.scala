@@ -39,8 +39,8 @@ object StreamCdcApply {
 
   private def packedKey(e: Event): Long = {
     val micros = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
-    (micros - graft.etl.Survivorship.OrderEpochMicros) * 1048576L +
-      java.lang.Math.floorMod(e.event_id, 1048576L)
+    (micros - graft.etl.Survivorship.OrderEpochMicros) * graft.etl.Survivorship.OrderIdSlots +
+      java.lang.Math.floorMod(e.event_id, graft.etl.Survivorship.OrderIdSlots)
   }
 
   private def round2(v: Double): Double =
@@ -89,8 +89,8 @@ object StreamCdcApply {
   val oracles: Map[String, String] = Map(
     "stream_cdc_apply" ->
       s"""WITH ev AS (SELECT *,
-         |  (epoch_us(ts) - ${graft.etl.Survivorship.OrderEpochMicros}) * 1048576
-         |   + (event_id % 1048576) AS k
+         |  (epoch_us(ts) - ${graft.etl.Survivorship.OrderEpochMicros}) * 8192
+         |   + (event_id % 8192) AS k
          | FROM events)
          |SELECT user_id,
          | arg_max(event_id, k) AS version_event_id,

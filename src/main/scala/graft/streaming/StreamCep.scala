@@ -105,8 +105,8 @@ object StreamCep {
   private def micros(e: Event): Long =
     e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
   private def packedKey(e: Event): Long =
-    (micros(e) - graft.etl.Survivorship.OrderEpochMicros) * 1048576L +
-      java.lang.Math.floorMod(e.event_id, 1048576L)
+    (micros(e) - graft.etl.Survivorship.OrderEpochMicros) * graft.etl.Survivorship.OrderIdSlots +
+      java.lang.Math.floorMod(e.event_id, graft.etl.Survivorship.OrderIdSlots)
 
   /** Streaming path: greedy in-order automaton per user, bounded state. */
   def cepStream(events: Dataset[Event]): Dataset[CepMatch] = {
@@ -157,8 +157,8 @@ object StreamCep {
   val oracles: Map[String, String] = Map(
     "stream_cep" ->
       s"""WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS m,
-         |  (epoch_us(ts) - ${graft.etl.Survivorship.OrderEpochMicros}) * 1048576
-         |   + (event_id % 1048576) AS k
+         |  (epoch_us(ts) - ${graft.etl.Survivorship.OrderEpochMicros}) * 8192
+         |   + (event_id % 8192) AS k
          | FROM events),
          |a AS (SELECT user_id, k AS ak, m AS am, event_id AS aid
          | FROM e WHERE event_type = '$StageA'),
