@@ -16,6 +16,7 @@ object SparkEntry {
       etl.FuzzyMatch.queries ++ etl.Anonymize.queries ++ etl.DqReport.queries ++
       etl.Survivorship.queries ++ etl.GeoCluster.queries ++ etl.RecordLinkage.queries ++
       etl.CompactionPlan.queries ++ etl.SchemaDrift.queries ++ etl.JoinProfile.queries ++
+      etl.ProfileSuggest.queries ++
       text.TextQueries.queries ++ text.ImportanceResample.queries ++ text.SampleSplit.queries ++ text.HashEmbed.queries ++ text.PiiScrub.queries ++ text.BpeTrain.queries ++
       text.LmScore.queries ++
       text.CorpusPipeline.queries ++
@@ -46,6 +47,7 @@ object SparkEntry {
       etl.FuzzyMatch.oracles ++ etl.Anonymize.oracles ++ etl.DqReport.oracles ++
       etl.Survivorship.oracles ++ etl.GeoCluster.oracles ++ etl.RecordLinkage.oracles ++
       etl.CompactionPlan.oracles ++ etl.SchemaDrift.oracles ++ etl.JoinProfile.oracles ++
+      etl.ProfileSuggest.oracles ++
       text.TextQueries.oracles ++ text.ImportanceResample.oracles ++ text.SampleSplit.oracles ++ text.HashEmbed.oracles ++
       text.PiiScrub.oracles ++ text.LmScore.oracles ++
       text.CorpusPipeline.oracles ++ dedup.DedupQueries.oracles ++

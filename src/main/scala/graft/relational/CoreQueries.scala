@@ -297,10 +297,37 @@ object CoreQueries {
       .orderBy(col("sum_qty").desc, col("o_orderkey"))
   }
 
+  /** #5n TPC-H Q19 shape — disjunctive multi-branch predicate revenue
+    * (OR-of-ANDs mixing dim and fact attributes): the predicate class that
+    * separates engines with real CNF handling from ones that fall back to
+    * scanning everything. Emitted per branch (3 rows) so the breakdown is
+    * auditable. The part dim broadcasts; Catalyst extracts the common
+    * `p_size >= 1` / brand-IN factors for pushdown while the full
+    * disjunction evaluates post-join — the fact side never shuffles. */
+  def q19DiscRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+    val p = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val branch = when(col("p_brand") === "Brand#11" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11), "small")
+      .when(col("p_brand") === "Brand#22" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 20), "medium")
+      .when(col("p_brand") === "Brand#33" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 30), "large")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .withColumn("branch", branch)
+      .filter(col("branch").isNotNull)
+      .groupBy(col("branch"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("branch"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_top_supplier"   -> (q15TopSupplier _),
     "q16_cust_order_dist" -> (q16CustOrderDist _),
     "q18_big_orders"     -> (q18BigOrders _),
+    "q19_disc_revenue"   -> (q19DiscRevenue _),
     "q8_small_qty"       -> (q8SmallQty _),
     "q9_asof"            -> (q9Asof _),
     "q10_cube"           -> (q10Cube _),
@@ -315,6 +342,20 @@ object CoreQueries {
     "q7_promo_ratio"     -> (q7PromoRatio _))
 
   val oracles: Map[String, String] = Map(
+    "q19_disc_revenue" ->
+      """WITH j AS (SELECT
+        | CASE WHEN p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 1 AND 11 THEN 'small'
+        |      WHEN p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25
+        |        AND l_quantity BETWEEN 10 AND 20 THEN 'medium'
+        |      WHEN p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 35
+        |        AND l_quantity BETWEEN 20 AND 30 THEN 'large' END AS branch,
+        | l_extendedprice, l_discount
+        | FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT branch, count(*)::BIGINT AS n_lines,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM j WHERE branch IS NOT NULL
+        |GROUP BY branch ORDER BY branch""".stripMargin,
     "q18_big_orders" ->
       s"""WITH q AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
          | FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 2) > $Q18MinQty)

@@ -55,7 +55,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "etl_schema_drift", "q16_cust_order_dist", "emb_mmr", "stream_cep",
     "mm_scene_detect", "stats_equidepth", "graph_labelprop",
     "stats_contingency", "ts_rolling_quantile", "ann_multiprobe",
-    "q18_big_orders", "text_hash_embed", "ts_trend", "etl_join_profile")
+    "q18_big_orders", "text_hash_embed", "ts_trend", "etl_join_profile",
+    "q19_disc_revenue", "etl_profile_suggest")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {
