@@ -97,9 +97,59 @@ object VectorOps {
       .orderBy(col("vec_id"))
   }
 
+  /** #24j `emb_dim_stats` — per-dimension embedding QA (the collapsed /
+    * exploded dimension audit): a dimension whose variance is ~0 is dead
+    * weight in every cosine (and a symptom of a broken encoder export); a
+    * dimension with outsized variance dominates distances and wants
+    * whitening (`emb_pca`'s trigger). Emits per dim: n, mean, variance,
+    * share of total variance, and dead/dominant flags.
+    *
+    * Determinism: components quantize to a 10^-6 integer grid FIRST
+    * (round(x·10⁶) BIGINT — a corpus-order-dependent float Σ would differ
+    * between engines and even between Spark runs), so the moment sums are
+    * exact integers and every emitted double is one fixed-form expression.
+    * Fixed-point range declared: n·Σ(x·10⁶)² < 2^63 holds for corpora up
+    * to ~10⁴ unit-normalized vectors per the `stats_corr` trade; the
+    * dominant flag compares in doubles OVER those exact integers
+    * (identical IEEE ops cross-engine, no overflow headroom needed).
+    * dead: exact integer vnum = 0.
+    *
+    * Scale posture: one corpus pass, posexplode ×Dims the only multiplier,
+    * ONE map-side-combinable |Dims|-key aggregate; the variance totals are
+    * a window over the |Dims|-row aggregate. */
+  val DominantX = 4L
+
+  def embDimStats(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        // widen float→double FIRST (exact) so both engines quantize the
+        // identical double; float-domain arithmetic would round differently
+        round(col("x").cast("double") * 1000000).cast("long").as("xi"))
+    val m = q.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("xi")).as("sx"),
+        sum(col("xi") * col("xi")).as("sxx"))
+    // var numerator n·Σx² − (Σx)² in 10^-12 units, exact BIGINT
+    val vnum = col("n") * col("sxx") - col("sx") * col("sx")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    m.withColumn("vnum", vnum)
+      .withColumn("tot_vnum", sum(col("vnum")).over(w))
+      .withColumn("n_dims", count(lit(1)).over(w))
+      .select(col("dim"), col("n"),
+        round(col("sx").cast("double") / col("n") / 1000000.0, 6).as("mean"),
+        round(col("vnum").cast("double") / col("n") / col("n") / 1e12, 6).as("variance"),
+        when(col("tot_vnum") > 0,
+          round(col("vnum").cast("double") / col("tot_vnum"), 4)).as("var_share"),
+        (col("vnum") === 0).as("dead"),
+        (col("vnum").cast("double") * col("n_dims") >
+          col("tot_vnum").cast("double") * DominantX).as("dominant"))
+      .orderBy(col("dim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_normalize" -> (embNormalize _),
     "emb_project"   -> (embProject _),
+    "emb_dim_stats" -> (embDimStats _),
     "sample_balanced" -> (sampleBalanced _))
 
   private def projSql(k: Int): String =
@@ -108,6 +158,26 @@ object VectorOps {
       .mkString(" + ") + s", 6) AS p$k"
 
   val oracles: Map[String, String] = Map(
+    "emb_dim_stats" ->
+      s"""WITH q AS (SELECT unnest(
+         |    list_transform(embedding::DOUBLE[],
+         |      x -> round(x * 1000000)::BIGINT)) AS xi,
+         |  unnest(range(0, len(embedding))) AS dim
+         | FROM embeddings),
+         |m AS (SELECT dim, count(*)::BIGINT AS n, sum(xi)::BIGINT AS sx,
+         |  sum(xi * xi)::BIGINT AS sxx
+         | FROM q GROUP BY dim),
+         |v AS (SELECT *, (n * sxx - sx * sx)::BIGINT AS vnum,
+         |  sum((n * sxx - sx * sx)) OVER ()::BIGINT AS tot_vnum,
+         |  count(*) OVER ()::BIGINT AS n_dims
+         | FROM m)
+         |SELECT dim, n,
+         | round(sx::DOUBLE / n / 1000000.0, 6) AS mean,
+         | round(vnum::DOUBLE / n / n / 1e12, 6) AS variance,
+         | CASE WHEN tot_vnum > 0 THEN round(vnum::DOUBLE / tot_vnum, 4) END AS var_share,
+         | (vnum = 0) AS dead,
+         | (vnum::DOUBLE * n_dims > tot_vnum::DOUBLE * $DominantX) AS dominant
+         |FROM v ORDER BY dim""".stripMargin,
     "sample_balanced" ->
       """WITH c AS (SELECT label, count(*)::BIGINT AS n
         |  FROM embeddings GROUP BY label),

@@ -56,7 +56,7 @@ class EmptyInputSpec extends AnyFunSuite {
     "mm_scene_detect", "stats_equidepth", "graph_labelprop",
     "stats_contingency", "ts_rolling_quantile", "ann_multiprobe",
     "q18_big_orders", "text_hash_embed", "ts_trend", "etl_join_profile",
-    "q19_disc_revenue", "etl_profile_suggest")
+    "q19_disc_revenue", "etl_profile_suggest", "emb_dim_stats")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {
