@@ -112,13 +112,57 @@ object SimQueries {
       .orderBy(col("q_id"), col("n_id"))
   }
 
+  /** #23d Semantic benchmark decontamination — `text_decontaminate`'s
+    * modern EMBEDDING-space twin (surface n-gram matching misses
+    * paraphrased and translated benchmark leakage; cosine against the
+    * benchmark's embeddings catches it): every corpus vector is scored
+    * against the broadcast benchmark set (the first [[ContamBenchN]]
+    * vec_ids stand in for the embedded eval set), and anything with max
+    * cosine ≥ [[ContamTau]] is flagged contaminated, with the closest
+    * benchmark item named for the audit trail (ties to lowest id).
+    * Scale: identical posture to `ann_range_search` — broadcast benchmark,
+    * ONE map-side cosine pass over the corpus, the per-vector argmax is a
+    * window over ≤ benchmark-size rows; the corpus never shuffles. */
+  val ContamBenchN = 20
+  val ContamTau = 0.6
+
+  def embDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
+    val e = Tables.embeddings(s, dir)
+    val bench = e.filter(col("vec_id") < ContamBenchN)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("b_emb"))
+    val corpus = e.filter(col("vec_id") >= ContamBenchN)
+      .select(col("vec_id"), col("embedding").as("c_emb"))
+    val scored = corpus.join(broadcast(bench), lit(true))
+      .withColumn("cosine", round(cosine(col("c_emb"), col("b_emb")), 4))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("bench_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("bench_id").as("closest_bench"),
+        col("cosine").as("max_cosine"),
+        (col("cosine") >= ContamTau).as("contaminated"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_decontaminate" -> (embDecontaminate _),
     "ann_topk_brute" -> (annTopkBrute _),
     "ann_filtered" -> (annFiltered _),
     "ann_range_search" -> (annRangeSearch _),
     "emb_hard_negatives" -> (hardNegatives _))
 
   val oracles: Map[String, String] = Map(
+    "emb_decontaminate" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |scored AS (
+         | SELECT c.vec_id, b.vec_id AS bench_id,
+         |  round(${cosineSql("c.emb", "b.emb")}, 4) AS cosine
+         | FROM e c JOIN e b ON c.vec_id >= $ContamBenchN AND b.vec_id < $ContamBenchN)
+         |SELECT vec_id, bench_id AS closest_bench, cosine AS max_cosine,
+         | (cosine >= $ContamTau) AS contaminated
+         |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |   ORDER BY cosine DESC, bench_id) AS rn FROM scored) t
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "emb_hard_negatives" ->
       s"""WITH ${Kmeans.chainSql},
          |scored AS (

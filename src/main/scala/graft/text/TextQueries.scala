@@ -23,6 +23,48 @@ object TextQueries {
   private def countIn(ws: Column, vocab: Seq[String]): Column =
     size(filter(ws, w => w.isin(vocab: _*))).cast("long")
 
+  /** #26b Segment-level language mix — the CCNet-style PARAGRAPH-grain
+    * language pass (Wenzek et al. 2020 run langid per paragraph precisely
+    * because code-switched and template-wrapped pages fool a whole-doc
+    * vote): the document splits into [[SegWords]]-word segments, each
+    * segment votes with the same marker rule as `text_langid`, and the
+    * doc-level readout is the dominant segment language, the minority
+    * share, and a mixed flag — the docs a doc-level label silently
+    * mislabels. Ties in the dominant vote resolve (count desc, lang asc).
+    * Scale: explode over segment indices is the only multiplier; the
+    * per-(doc, lang) vote count is map-side combinable and the argmax
+    * window runs over ≤ 3 rows per doc. */
+  val SegWords = 32L
+
+  def langidSegments(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .withColumn("nw", size(col("ws")).cast("long"))
+      .filter(col("nw") > 0)
+    val segs = base
+      .withColumn("seg", explode(sequence(lit(0L), expr(s"(nw - 1) div $SegWords"))))
+      .withColumn("sw", expr(s"slice(ws, int(seg * $SegWords + 1), int($SegWords))"))
+    val scored = segs.select(col("doc_id"), col("seg"),
+        countIn(col("sw"), EnMarkers).as("cnt_en"),
+        countIn(col("sw"), ToolMarkers).as("cnt_tool"),
+        countIn(col("sw"), DataMarkers).as("cnt_data"))
+      .withColumn("seg_lang",
+        when(col("cnt_en") >= col("cnt_tool") && col("cnt_en") >= col("cnt_data"), lit("en"))
+          .when(col("cnt_tool") >= col("cnt_data"), lit("tool"))
+          .otherwise(lit("data")))
+    val votes = scored.groupBy(col("doc_id"), col("seg_lang"))
+      .agg(count(lit(1)).as("v"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    votes
+      .withColumn("n_segments", sum(col("v")).over(w))
+      .withColumn("rn", row_number().over(w.orderBy(col("v").desc, col("seg_lang"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("n_segments"), col("seg_lang").as("dominant_lang"),
+        round(lit(1.0) - col("v").cast("double") / col("n_segments"), 4).as("minority_share"),
+        (col("v") < col("n_segments")).as("mixed"))
+      .orderBy(col("doc_id"))
+  }
+
   /** #26 Marker-token language scoring with deterministic arg-max. */
   def langid(s: SparkSession, dir: String): DataFrame = {
     val ws = words(col("text"))
@@ -449,6 +491,7 @@ object TextQueries {
     "sample_temperature" -> (sampleTemperature _),
     "text_ngram_freq"  -> (ngramFreq _),
     "text_langid"      -> (langid _),
+    "text_langid_segments" -> (langidSegments _),
     "text_domain_mix"  -> (domainMix _),
     "text_html_strip"  -> (htmlStrip _),
     "text_quality"     -> (quality _),
@@ -596,6 +639,30 @@ object TextQueries {
          |SELECT bigram, n, rk FROM (
          | SELECT *, row_number() OVER (ORDER BY n DESC, bigram) AS rk FROM c) t
          |WHERE rk <= 50 ORDER BY rk""".stripMargin,
+    "text_langid_segments" ->
+      s"""WITH b AS (SELECT doc_id, $w AS ws, len($w)::BIGINT AS nw FROM documents),
+         |s AS (SELECT doc_id, unnest(range(0, (nw - 1) // $SegWords + 1)) AS seg, ws
+         | FROM b WHERE nw > 0),
+         |sw AS (SELECT doc_id, seg,
+         |  list_slice(ws, (seg * $SegWords + 1)::INT, (seg * $SegWords + $SegWords)::INT) AS sws
+         | FROM s),
+         |sc AS (SELECT doc_id, seg,
+         | len(list_filter(sws, x -> list_contains(${sqlList(EnMarkers)}, x)))::BIGINT AS cnt_en,
+         | len(list_filter(sws, x -> list_contains(${sqlList(ToolMarkers)}, x)))::BIGINT AS cnt_tool,
+         | len(list_filter(sws, x -> list_contains(${sqlList(DataMarkers)}, x)))::BIGINT AS cnt_data
+         | FROM sw),
+         |sl AS (SELECT doc_id,
+         |  CASE WHEN cnt_en >= cnt_tool AND cnt_en >= cnt_data THEN 'en'
+         |       WHEN cnt_tool >= cnt_data THEN 'tool' ELSE 'data' END AS seg_lang
+         | FROM sc),
+         |v AS (SELECT doc_id, seg_lang, count(*)::BIGINT AS v FROM sl GROUP BY 1, 2),
+         |r AS (SELECT *, sum(v) OVER (PARTITION BY doc_id)::BIGINT AS n_segments,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY v DESC, seg_lang) AS rn
+         | FROM v)
+         |SELECT doc_id, n_segments, seg_lang AS dominant_lang,
+         | round(1.0 - v::DOUBLE / n_segments, 4) AS minority_share,
+         | (v < n_segments) AS mixed
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "text_langid" ->
       s"""WITH c AS (SELECT doc_id,
          | len(list_filter($w, x -> list_contains(${sqlList(EnMarkers)}, x)))::BIGINT AS cnt_en,
