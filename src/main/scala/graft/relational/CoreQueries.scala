@@ -323,7 +323,38 @@ object CoreQueries {
       .orderBy(col("branch"))
   }
 
+  /** #5o TPC-H Q22 shape — dormant high-balance customers: the
+    * scalar-average subquery + anti-join combination (who holds
+    * above-average money but stopped ordering — the "dormant value"
+    * report; Q22's "no orders" gate time-scoped to after [[Q22Dormant]]
+    * so the question is dormancy, not lifetime abstinence). The global
+    * average is a one-row broadcast over the positive-balance aggregate
+    * (never a window over customers), the dormancy test is a left-anti
+    * hash join against the DISTINCT recent-order custkeys — the date
+    * predicate pushes into the orders scan — and the readout is one
+    * |nations|-key aggregate. */
+  val Q22Dormant = "2000-06-01 00:00:00"
+
+  def q22IdleBalance(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("avg_bal"))
+    val buyers = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf(Q22Dormant)))
+      .select(col("o_custkey")).distinct()
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(buyers, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_custs"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+      .orderBy(col("n_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_idle_balance"   -> (q22IdleBalance _),
     "q15_top_supplier"   -> (q15TopSupplier _),
     "q16_cust_order_dist" -> (q16CustOrderDist _),
     "q18_big_orders"     -> (q18BigOrders _),
@@ -342,6 +373,14 @@ object CoreQueries {
     "q7_promo_ratio"     -> (q7PromoRatio _))
 
   val oracles: Map[String, String] = Map(
+    "q22_idle_balance" ->
+      s"""SELECT n.n_name, count(*)::BIGINT AS n_custs,
+         | round(sum(c.c_acctbal), 2) AS total_bal
+         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+         |AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+         |  AND o.o_orderdate >= TIMESTAMP '$Q22Dormant')
+         |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
     "q19_disc_revenue" ->
       """WITH j AS (SELECT
         | CASE WHEN p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15

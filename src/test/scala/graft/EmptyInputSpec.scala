@@ -57,7 +57,7 @@ class EmptyInputSpec extends AnyFunSuite {
     "stats_contingency", "ts_rolling_quantile", "ann_multiprobe",
     "q18_big_orders", "text_hash_embed", "ts_trend", "etl_join_profile",
     "q19_disc_revenue", "etl_profile_suggest", "emb_dim_stats",
-    "text_langid_segments", "emb_decontaminate")
+    "text_langid_segments", "emb_decontaminate", "q22_idle_balance")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {
