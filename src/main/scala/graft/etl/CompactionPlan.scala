@@ -62,7 +62,7 @@ object CompactionPlan {
     "etl_compact_plan" ->
       s"""WITH f AS (SELECT date_trunc('month', ts::DATE) AS month, ts::DATE AS day,
          |  count(*)::BIGINT AS n_rows,
-         |  sum(strlen(props) + $RowOverhead)::BIGINT AS file_bytes
+         |  sum(coalesce(octet_length(props::BLOB), 0) + $RowOverhead)::BIGINT AS file_bytes
          | FROM events GROUP BY 1, 2),
          |c AS (SELECT *, coalesce(sum(file_bytes) OVER (PARTITION BY month ORDER BY day
          |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before

@@ -332,19 +332,24 @@ object CoreQueries {
     * (never a window over customers), the dormancy test is a left-anti
     * hash join against the DISTINCT recent-order custkeys — the date
     * predicate pushes into the orders scan — and the readout is one
-    * |nations|-key aggregate. */
+    * |nations|-key aggregate. The membership test "balance > mean" runs
+    * in exact integer cents by cross-multiplication (cents·n > Σcents) —
+    * an order-dependent floating-point mean would let a customer within
+    * one ulp of it flip between engines/partitionings (the repo-wide
+    * float-free-threshold convention). */
   val Q22Dormant = "2000-06-01 00:00:00"
 
   def q22IdleBalance(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(s, dir)
-      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
     val avgBal = cust.filter(col("c_acctbal") > 0)
-      .agg(avg(col("c_acctbal")).as("avg_bal"))
+      .agg(sum(col("bal_cents")).as("sum_cents"), count(lit(1)).as("n_pos"))
     val buyers = Tables.orders(s, dir)
       .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf(Q22Dormant)))
       .select(col("o_custkey")).distinct()
     cust.crossJoin(broadcast(avgBal))
-      .filter(col("c_acctbal") > col("avg_bal"))
+      .filter(col("bal_cents") * col("n_pos") > col("sum_cents"))
       .join(buyers, col("c_custkey") === col("o_custkey"), "left_anti")
       .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),
         col("c_nationkey") === col("n_nationkey"))
@@ -377,7 +382,9 @@ object CoreQueries {
       s"""SELECT n.n_name, count(*)::BIGINT AS n_custs,
          | round(sum(c.c_acctbal), 2) AS total_bal
          |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-         |WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+         |WHERE round(c.c_acctbal * 100)::BIGINT *
+         |  (SELECT count(*) FROM customer WHERE c_acctbal > 0) >
+         |  (SELECT sum(round(c_acctbal * 100)::BIGINT) FROM customer WHERE c_acctbal > 0)
          |AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
          |  AND o.o_orderdate >= TIMESTAMP '$Q22Dormant')
          |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,

@@ -89,7 +89,8 @@ object Concentration {
     d.select(col("event_type"), col("n1"), col("n2"),
         when(col("n1") > 0 && col("n2") > 0, round(ksD, 4)).as("ks_d"),
         when(col("n1") > 0 && col("n2") > 0, round(crit, 4)).as("ks_crit"),
-        coalesce(ksD > crit, lit(false)).as("shifted"))
+        (col("n1") > 0 && col("n2") > 0 && coalesce(ksD > crit, lit(false)))
+          .as("shifted"))
       .orderBy(col("event_type"))
   }
 
@@ -234,7 +235,7 @@ object Concentration {
          |  THEN round(dnum::DOUBLE / (n1 * n2), 4) END AS ks_d,
          | CASE WHEN n1 > 0 AND n2 > 0
          |  THEN round($KsCoeff * sqrt((n1 + n2)::DOUBLE / (n1 * n2)), 4) END AS ks_crit,
-         | coalesce(dnum::DOUBLE / (n1 * n2)
-         |   > $KsCoeff * sqrt((n1 + n2)::DOUBLE / (n1 * n2)), false) AS shifted
+         | (n1 > 0 AND n2 > 0 AND coalesce(dnum::DOUBLE / (n1 * n2)
+         |   > $KsCoeff * sqrt((n1 + n2)::DOUBLE / (n1 * n2)), false)) AS shifted
          |FROM d ORDER BY event_type""".stripMargin)
 }

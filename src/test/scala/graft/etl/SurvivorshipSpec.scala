@@ -19,7 +19,8 @@ class SurvivorshipSpec extends AnyFunSuite {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
 
   private def key(v: (Long, String, Double, String, Long)): Long =
-    (v._5 - 1704067200000000L) * 1048576L + v._1 % 1048576L
+    (v._5 - Survivorship.OrderEpochMicros) * Survivorship.OrderIdSlots +
+      v._1 % Survivorship.OrderIdSlots
 
   test("golden records equal a driver-side replay of the survivorship rules") {
     val got = Survivorship.goldenRecords(spark, sf).collect()
