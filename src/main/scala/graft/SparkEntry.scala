@@ -51,8 +51,10 @@ object SparkEntry {
       text.TextQueries.oracles ++ text.ImportanceResample.oracles ++ text.SampleSplit.oracles ++ text.HashEmbed.oracles ++
       text.PiiScrub.oracles ++ text.LmScore.oracles ++
       text.CorpusPipeline.oracles ++ dedup.DedupQueries.oracles ++
-      dedup.DedupClusters.oracles ++
-      sim.SimQueries.oracles ++ sim.Mmr.oracles ++ sim.AnnIvf.oracles ++ sim.AnnPq.oracles ++
+      dedup.DedupClusters.oracles ++ dedup.MinHashLsh.oracles ++
+      dedup.SimHash.oracles ++ dedup.IncrementalNearDup.oracles ++
+      sim.SimQueries.oracles ++ sim.Mmr.oracles ++ sim.AnnLsh.oracles ++
+      sim.AnnIvf.oracles ++ sim.AnnPq.oracles ++
       sim.AnnIvfPq.oracles ++
       sim.Kmeans.oracles ++
       multimodal.MultimodalQueries.oracles ++

@@ -472,5 +472,13 @@ object DedupQueries {
          | round(${cosineSql("a.emb", "b.emb")}, 4) AS cosine
          |FROM asgn a JOIN asgn b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
          |WHERE round(${cosineSql("a.emb", "b.emb")}, 4) >= 0.35
+         |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_embedding_lsh" ->
+      s"""WITH ${graft.functions.HashExprs.hyperplaneChainSql},
+         |cand AS (SELECT DISTINCT a.vec_id AS a_id, x.vec_id AS b_id
+         | FROM bd a JOIN bd x ON a.band = x.band AND a.bkey = x.bkey AND a.vec_id < x.vec_id)
+         |SELECT c.a_id, c.b_id, round(${cosineSql("ea.emb", "eb.emb")}, 4) AS cosine
+         |FROM cand c JOIN e ea ON ea.vec_id = c.a_id JOIN e eb ON eb.vec_id = c.b_id
+         |WHERE round(${cosineSql("ea.emb", "eb.emb")}, 4) >= 0.35
          |ORDER BY a_id, b_id""".stripMargin)
 }

@@ -132,4 +132,26 @@ object IncrementalNearDup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_incremental" -> (incremental _))
+
+  /** Full oracle: the store holds EVERY history signature, so
+    * store-incremental ≡ banding the whole corpus and keeping pairs whose
+    * later side is in the batch (doc_id ≥ the 80% split). The signature
+    * chain is MinHashLsh.sigChainSql (the shared md5-based replay); the
+    * estimator is the matching-component count over the two K=64 sigs. */
+  val oracles: Map[String, String] = Map(
+    "dedup_incremental" ->
+      s"""WITH ${MinHashLsh.sigChainSql},
+         |sp AS (SELECT (max(doc_id)+1)*4//5 AS sp FROM documents),
+         |cand AS (SELECT DISTINCT l.doc_id AS doc_id, e.doc_id AS earlier_id
+         | FROM band l JOIN band e ON l.b = e.b AND l.bs = e.bs CROSS JOIN sp
+         | WHERE l.doc_id >= sp.sp AND e.doc_id < l.doc_id),
+         |m AS (SELECT c.doc_id, c.earlier_id,
+         |  round(list_sum(list_transform(range(1, ${MinHashLsh.K + 1}),
+         |    i -> CASE WHEN sl.sig[i] = se.sig[i] THEN 1 ELSE 0 END))::DOUBLE
+         |    / ${MinHashLsh.K}, 4) AS est_jaccard
+         | FROM cand c JOIN sig sl ON sl.doc_id = c.doc_id
+         |   JOIN sig se ON se.doc_id = c.earlier_id)
+         |SELECT doc_id, earlier_id, est_jaccard FROM m
+         |WHERE est_jaccard >= ${StreamNearDup.SimThreshold}
+         |ORDER BY doc_id, earlier_id""".stripMargin)
 }

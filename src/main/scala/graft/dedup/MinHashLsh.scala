@@ -7,8 +7,8 @@ import graft.Tables
 
 /** MinHash + LSH near-duplicate detection (SURVEY.md §2 #21).
   *
-  * Pipeline (all codegen'd higher-order functions, no UDFs):
-  *   shingle → base hash (xxhash64 → mod P) → K permuted minima (signature)
+  * Pipeline (all codegen'd compiled expressions, no UDFs):
+  *   shingle → base hash (md5u64 → mod P) → K permuted minima (signature)
   *   → 16 bands of 4 → band-bucket self-join → verified Jaccard.
   *
   * Scale: signatures are computed map-side in one pass over the corpus; the
@@ -77,4 +77,38 @@ object MinHashLsh {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_lsh" -> (nearDupPairs _))
+
+  /** DuckDB CTE chain `d → s → bh → mh → sig → band`: the exact md5-based
+    * MinHash signatures (see HashExprs.md5u64) and their 16 band slices for
+    * every document. `band.bs` is the r=4 signature slice itself — two docs
+    * share an LSH bucket iff some band's slices are equal, which is what
+    * `bandKey`'s xxhash64 encodes (collision probability 2⁻⁶⁴, below the
+    * oracle's resolution), so the slice-equality join replays the bucket
+    * join without needing xxhash64 in SQL. */
+  lazy val sigChainSql: String =
+    s"""d AS (SELECT doc_id, ${DedupQueries.shinglesSql} AS sh FROM documents),
+       |s AS (SELECT doc_id, unnest(sh) AS g FROM d),
+       |bh AS (SELECT doc_id,
+       |  ('0x' || substr(md5(g), 1, 16))::UBIGINT % ${graft.functions.HashExprs.MinHashP} AS base
+       | FROM s),
+       |mh AS (SELECT doc_id, k,
+       |  min(((2*k+1)*base + 40503*k + 13) % ${graft.functions.HashExprs.MinHashP})::BIGINT AS m
+       | FROM bh CROSS JOIN (SELECT unnest(range(0, $K)) AS k) ks GROUP BY doc_id, k),
+       |sig AS (SELECT doc_id, list(m ORDER BY k) AS sig FROM mh GROUP BY doc_id),
+       |band AS (SELECT doc_id, b, list_slice(sig, $RowsPerBand*b+1, $RowsPerBand*b+$RowsPerBand) AS bs
+       | FROM sig CROSS JOIN (SELECT unnest(range(0, $Bands)) AS b) bands)""".stripMargin
+
+  private val jacSql =
+    "round(len(list_intersect(da.sh, db.sh))::DOUBLE / " +
+      "len(list_distinct(list_concat(da.sh, db.sh))), 4)"
+
+  val oracles: Map[String, String] = Map(
+    "dedup_minhash_lsh" ->
+      s"""WITH $sigChainSql,
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, x.doc_id AS b_id
+         | FROM band a JOIN band x ON a.b = x.b AND a.bs = x.bs AND a.doc_id < x.doc_id)
+         |SELECT c.a_id, c.b_id, $jacSql AS jaccard
+         |FROM cand c JOIN d da ON da.doc_id = c.a_id JOIN d db ON db.doc_id = c.b_id
+         |WHERE $jacSql >= 0.10
+         |ORDER BY a_id, b_id""".stripMargin)
 }

@@ -45,4 +45,30 @@ object SimHash {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_simhash" -> (nearDupPairs _))
+
+  /** Full oracle: the md5-based token hash (HashExprs.md5u64) replays per
+    * bit in SQL — per (doc, bit) vote counts, then the signed-BIGINT
+    * simhash, then an all-pairs Hamming join. All-pairs is exact here, not
+    * a different answer: with 4 bands of 16 bits, Hamming ≤ 3 touches at
+    * most 3 bands, so every qualifying pair also agrees on ≥1 band — the
+    * banded plan and the all-pairs oracle select identical pairs (the
+    * oracle just doesn't need to be sub-quadratic at sf0.1). */
+  val oracles: Map[String, String] = Map(
+    "dedup_simhash" ->
+      s"""WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+         | FROM documents),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS th FROM t),
+         |v AS (SELECT doc_id, b, count(*) AS n, sum(((th >> b) & 1)::BIGINT) AS c
+         | FROM h CROSS JOIN (SELECT unnest(range(0,64))::INTEGER AS b) bs
+         | GROUP BY doc_id, b),
+         |sh AS (SELECT doc_id,
+         |  sum(CASE WHEN 2*c >= n THEN
+         |    CASE WHEN b = 63 THEN -9223372036854775808 ELSE (1::BIGINT << b) END
+         |  ELSE 0 END)::BIGINT AS simhash
+         | FROM v GROUP BY doc_id)
+         |SELECT a.doc_id AS a_id, x.doc_id AS b_id,
+         | bit_count(xor(a.simhash, x.simhash))::BIGINT AS hamming
+         |FROM sh a JOIN sh x ON a.doc_id < x.doc_id
+         |WHERE bit_count(xor(a.simhash, x.simhash)) <= 3
+         |ORDER BY a_id, b_id""".stripMargin)
 }

@@ -27,7 +27,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * CodegenFallback boxing in projections, filters, or join conditions. */
 object HashExprs {
 
-  /** FNV-1a 64-bit over UTF-8 bytes — cheap, deterministic, dependency-free. */
+  /** FNV-1a 64-bit over UTF-8 bytes — cheap, deterministic, dependency-free.
+    * Used where the hash never needs a cross-engine twin (CDC rolling hash);
+    * sketches that ARE oracle-checked use [[md5u64]] instead. */
   def fnv64(bytes: Array[Byte]): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
@@ -36,6 +38,28 @@ object HashExprs {
       i += 1
     }
     h
+  }
+
+  private val md5Tl = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 bytes of md5 over UTF-8 bytes, big-endian, as the raw 64-bit
+    * pattern (unsigned semantics — callers use `remainderUnsigned`, never
+    * signed division). This is the repo's CROSS-ENGINE token hash: the
+    * DuckDB twin is `('0x' || substr(md5(s), 1, 16))::UBIGINT`, which is why
+    * the MinHash/SimHash sketches build on it rather than on [[fnv64]] —
+    * the oracle can replay every signature bit in SQL. ~10× slower per call
+    * than FNV, but the sketch cost at scale is dominated by the shingle
+    * split and the band shuffle, not the digest. */
+  def md5u64(bytes: Array[Byte]): Long = {
+    val md = md5Tl.get()
+    md.reset()
+    val d = md.digest(bytes)
+    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
   }
 
   val MinHashP = 2147483647L // 2^31 - 1
@@ -139,6 +163,33 @@ object HashExprs {
   def delNeighbors(c: Column, maxDel: Int): Column =
     call_function("del_neighbors", c, org.apache.spark.sql.functions.lit(maxDel))
   def cdcChunks(c: Column): Column = call_function("cdc_chunks", c)
+
+  /** DuckDB literal for the 16×64 hyperplane sign matrix, generated from the
+    * SAME mix64 stream the compiled HyperplaneBands expression reads — the
+    * planes are fixed deterministic parameters of the operator (like a
+    * stop-word list), so embedding them as literals keeps the oracle an
+    * independent replay of everything data-dependent: the dot products, the
+    * sign bits, the banding, and the candidate join. */
+  lazy val hyperplaneSignsSql: String =
+    (0 until 16).map { p =>
+      (0 until 64).map { d =>
+        if ((mix64(p.toLong * 1000003L + d) & 1L) == 0L) "1.0" else "-1.0"
+      }.mkString("[", ",", "]")
+    }.mkString("[", ",", "]") + "::DOUBLE[][]"
+
+  /** DuckDB CTE chain `e → mm → pb → bd`: every embeddings row's
+    * (band, bkey) hyperplane-LSH index, replaying HyperplaneBands bit for
+    * bit (list_dot_product sums in the same sequential order as the
+    * compiled loop, and the band key packs the 4 sign bits MSB-first). */
+  lazy val hyperplaneChainSql: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |mm AS (SELECT $hyperplaneSignsSql AS m),
+       |pb AS (SELECT vec_id, p,
+       |  CASE WHEN list_dot_product(emb, m[p+1]) >= 0 THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+       | FROM e CROSS JOIN (SELECT unnest(range(0,16)) AS p) ps CROSS JOIN mm),
+       |bd AS (SELECT vec_id, (p // 4)::BIGINT AS band,
+       |  sum(bit * (1 << (3 - (p % 4))))::BIGINT AS bkey
+       | FROM pb GROUP BY vec_id, p // 4)""".stripMargin
 }
 
 /** The one implementation of every sketch, called by BOTH the interpreted
@@ -178,8 +229,8 @@ object HashRuntime {
     val base = new Array[Long](n)
     var i = 0
     while (i < n) {
-      val h = HashExprs.fnv64(arr.getUTF8String(i).getBytes)
-      base(i) = java.lang.Math.floorMod(h, HashExprs.MinHashP)
+      val h = HashExprs.md5u64(arr.getUTF8String(i).getBytes)
+      base(i) = java.lang.Long.remainderUnsigned(h, HashExprs.MinHashP)
       i += 1
     }
     val sig = new Array[Long](K)
@@ -206,7 +257,7 @@ object HashRuntime {
     val votes = new Array[Int](64)
     var i = 0
     while (i < n) {
-      val h = HashExprs.fnv64(arr.getUTF8String(i).getBytes)
+      val h = HashExprs.md5u64(arr.getUTF8String(i).getBytes)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -519,7 +570,8 @@ case class RepStats(child: Expression) extends UnaryExpression {
 
 /** K=64 MinHash signature of an array<string> of shingles:
   * sig[k] = min over shingles of ((2k+1)·h + 40503·k + 13) mod (2^31-1),
-  * h = fnv64(shingle) mod (2^31-1). */
+  * h = md5u64(shingle) mod (2^31-1) (unsigned) — md5-based so the whole
+  * signature replays in the DuckDB oracle (see HashExprs.md5u64). */
 case class MinHashSignature(child: Expression) extends UnaryExpression {
   val K = 64
 
@@ -541,7 +593,8 @@ case class MinHashSignature(child: Expression) extends UnaryExpression {
 }
 
 /** 64-bit SimHash of an array<string> of tokens: bit b is set iff the sum of
-  * ±1 votes (sign of bit b of each token hash) is non-negative. */
+  * ±1 votes (sign of bit b of each token hash) is non-negative; the token
+  * hash is md5u64 so every bit replays in the DuckDB oracle. */
 case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType

@@ -100,4 +100,31 @@ object AnnLsh {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_lsh_bucketed" -> (annTopkLsh _),
     "ann_multiprobe" -> (annTopkMultiprobe _))
+
+  private def topkSql(qCte: String): String =
+    s"""WITH ${HashExprs.hyperplaneChainSql},
+       |$qCte,
+       |cand AS (SELECT DISTINCT q.q_id, c.vec_id AS n_id
+       | FROM bd c JOIN q ON c.band = q.band AND c.bkey = q.bkey AND q.q_id != c.vec_id),
+       |sc AS (SELECT q_id, n_id,
+       |  round(${graft.dedup.DedupQueries.cosineSql("qe.emb", "ne.emb")}, 4) AS cosine
+       | FROM cand JOIN e qe ON qe.vec_id = cand.q_id JOIN e ne ON ne.vec_id = cand.n_id),
+       |rk AS (SELECT q_id, n_id, cosine,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank FROM sc)
+       |SELECT q_id, n_id, rank::BIGINT AS rank, cosine FROM rk
+       |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
+  /** Full oracles: the hyperplane sign matrix is a fixed parameter embedded
+    * as a literal (HashExprs.hyperplaneSignsSql); everything data-dependent
+    * — dot products, sign bits, band keys, candidate join, exact-cosine
+    * rank — is recomputed by DuckDB. The multiprobe query side fans each
+    * band key out to its 4 Hamming-1 perturbations, exactly like the Spark
+    * probe explode. */
+  val oracles: Map[String, String] = Map(
+    "ann_lsh_bucketed" -> topkSql(
+      "q AS (SELECT vec_id AS q_id, band, bkey FROM bd WHERE vec_id < 10)"),
+    "ann_multiprobe" -> topkSql(
+      """q AS (SELECT DISTINCT vec_id AS q_id, band, xor(bkey, pr) AS bkey
+        | FROM bd CROSS JOIN (SELECT unnest([0,1,2,4,8]) AS pr) prs
+        | WHERE vec_id < 10)""".stripMargin))
 }
