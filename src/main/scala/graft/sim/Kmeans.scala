@@ -233,15 +233,26 @@ object Kmeans {
     * score is its round-4 cosine to its own trained centroid (the shared
     * `assigned` definition); the bottom [[OutlierPct]]% by exact global
     * (score, vec_id) rank are flagged. The exact global rank is the
-    * oracle-able toy-scale tail — at 100 TB the swap is an
-    * approxQuantile threshold + filter (the `sample_importance` quota
-    * pattern), which drops the single-partition window for one sketch
-    * pass. */
+    * oracle-able toy-scale tail; with `spark.graft.scale.approx=true`
+    * (graft.ScaleMode) the same entry point swaps it for one mergeable
+    * `percentile_approx` threshold + a distributed filter — no
+    * single-partition window anywhere in the plan. The two modes disagree
+    * only on rows AT the threshold score (the exact rank splits score
+    * ties by vec_id; the threshold flags the whole tie group) —
+    * spec-pinned in ScaleModeSpec. */
   val OutlierPct = 5L // percent, via rank * (100/pct) <= n
 
   def outlierFlags(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val asgn = run(s, dir, Iters).select(col("vec_id"), col("cluster"), col("cos_center"))
+    if (graft.ScaleMode.approx(s)) {
+      val thr = asgn.agg(percentile_approx(col("cos_center"),
+        lit(OutlierPct / 100.0), lit(graft.ScaleMode.SketchAccuracy)).as("thr"))
+      return asgn.crossJoin(broadcast(thr))
+        .select(col("vec_id"), col("cluster"), col("cos_center"),
+          (col("cos_center") <= col("thr")).as("is_outlier"))
+        .orderBy(col("vec_id"))
+    }
     val wRank = Window.orderBy(col("cos_center"), col("vec_id"))
     val wAll = Window.partitionBy()
     asgn

@@ -90,11 +90,35 @@ object VectorOps {
       .agg(min(col("n")).as("min_n"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-    e.crossJoin(broadcast(minc))
-      .withColumn("pick_rank", row_number().over(w).cast("long"))
-      .filter(col("pick_rank") <= col("min_n"))
-      .select(col("vec_id"), col("label"), col("pick_rank"))
-      .orderBy(col("vec_id"))
+    if (graft.ScaleMode.approx(s)) {
+      // 100 TB path (spark.graft.scale.approx=true): the exact per-label
+      // rank is unbounded on a skewed majority label; but the sort key IS
+      // a uniform hash, so "the min_n smallest hashes of label L" lives
+      // almost surely below the analytic threshold 2·(min_n/n_L) of hash
+      // space (Chernoff; 2× slack). Pre-filtering on that threshold
+      // bounds each label's window input to ~2·min_n rows, after which
+      // the SAME rank+trim runs — output identical to exact mode unless
+      // the 2× slack ever undershoots (vanishing at scale, absent on the
+      // driver corpora; spec-pinned in ScaleModeSpec).
+      val h = conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") // top 60 bits of the sort key, uniform on [0, 16^15)
+      val hSpace = 1152921504606846976.0 // 16^15
+      val perLabel = e.groupBy(col("label")).agg(count(lit(1)).as("n_l"))
+      val pre = e
+        .join(broadcast(perLabel), Seq("label"))
+        .crossJoin(broadcast(minc))
+        .filter(h <= (lit(2.0) * col("min_n") / col("n_l") * hSpace).cast("long"))
+      pre
+        .withColumn("pick_rank", row_number().over(w).cast("long"))
+        .filter(col("pick_rank") <= col("min_n"))
+        .select(col("vec_id"), col("label"), col("pick_rank"))
+        .orderBy(col("vec_id"))
+    } else
+      e.crossJoin(broadcast(minc))
+        .withColumn("pick_rank", row_number().over(w).cast("long"))
+        .filter(col("pick_rank") <= col("min_n"))
+        .select(col("vec_id"), col("label"), col("pick_rank"))
+        .orderBy(col("vec_id"))
   }
 
   /** #24j `emb_dim_stats` — per-dimension embedding QA (the collapsed /

@@ -111,6 +111,26 @@ object Concentration {
     val base = Tables.events(s, dir)
       .select(col("event_type"), round(col("value") * 100).cast("long").as("v"),
         col("event_id"))
+    if (graft.ScaleMode.approx(s)) {
+      // 100 TB path (spark.graft.scale.approx=true): NTILE needs a full
+      // per-type sort (unbounded on a skewed type); instead derive the 7
+      // internal cut points from ONE mergeable percentile_approx pass over
+      // the |types|-key aggregate, then assign buckets map-side by
+      // counting cuts below each value — no window at all. Ties at a cut
+      // land in one bucket here but are split by row order under NTILE,
+      // so counts differ only at bucket boundaries (spec-pinned).
+      val pcts = (1 until EqBuckets.toInt)
+        .map(i => i.toDouble / EqBuckets).mkString("array(", ",", ")")
+      val cuts = base.groupBy(col("event_type"))
+        .agg(expr(s"percentile_approx(v, $pcts, ${graft.ScaleMode.SketchAccuracy})")
+          .as("cuts"))
+      return base.join(broadcast(cuts), Seq("event_type"))
+        .withColumn("bucket", (lit(1) + aggregate(col("cuts"), lit(0L),
+          (acc, c) => acc + when(col("v") > c, 1L).otherwise(0L))).cast("long"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+        .orderBy(col("event_type"), col("bucket"))
+    }
     base
       .withColumn("bucket", ntile(EqBuckets).over(
         Window.partitionBy(col("event_type")).orderBy(col("v"), col("event_id")))

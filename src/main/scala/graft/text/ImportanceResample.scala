@@ -77,13 +77,56 @@ object ImportanceResample {
 
     val perTerm = col("dc") *
       ((col("cnt_t") + 1L) * lit(nr + Buckets) - (col("cnt_r") + 1L) * lit(nt + Buckets))
-    val w = Window.orderBy(col("weight").desc, col("doc_id"))
-    occ.filter(col("lang") =!= TargetLang)
+    val scored = occ.filter(col("lang") =!= TargetLang)
       .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("dc"))
       .join(broadcast(model), Seq("bucket"))
       .groupBy(col("doc_id")).agg(sum(perTerm).as("weight"))
+    if (graft.ScaleMode.approx(s)) return approxSelect(s, scored, quota, poolCount)
+    val w = Window.orderBy(col("weight").desc, col("doc_id"))
+    scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= quota)
+      .orderBy(col("rank"))
+  }
+
+  /** The 100 TB selection (`spark.graft.scale.approx=true`): the exact
+    * top-quota global rank funnels the whole pool through one window task;
+    * this path instead (1) cuts by a weight threshold from ONE mergeable
+    * `percentile_approx` pass — admitting the boundary tie group whole,
+    * the only membership difference vs exact — and (2) ranks the
+    * survivors with a RANGE-PARTITIONED rank: range-repartition by
+    * (weight desc, doc_id), rank within each partition, add the exact
+    * per-partition offsets (a ≤|partitions|-row collect — bounded model
+    * state, not corpus). Every partition's window is bounded by the range
+    * partitioner, so no task ever sees more than its share of the
+    * selected set. Ranks of non-boundary docs are identical to exact
+    * mode (the docs ahead of them are the same set). */
+  private def approxSelect(s: SparkSession, scored: DataFrame,
+      quota: Long, poolCount: Long): DataFrame = {
+    val frac = if (poolCount <= 0) 1.0
+      else 1.0 - quota.toDouble / poolCount
+    val thrRow = scored.agg(percentile_approx(col("weight"), lit(frac),
+      lit(graft.ScaleMode.SketchAccuracy))).head()
+    if (thrRow.isNullAt(0))
+      return scored.select(col("doc_id"), col("weight"), lit(0L).as("rank")).filter(lit(false))
+    val thr = thrRow.getLong(0)
+    val parts = math.max(1, s.sparkContext.defaultParallelism)
+    val sorted = graft.CacheRegistry.track(
+      scored.filter(col("weight") >= thr)
+        .repartitionByRange(parts, col("weight").desc, col("doc_id"))
+        .sortWithinPartitions(col("weight").desc, col("doc_id"))
+        .withColumn("pid", spark_partition_id()))
+    val counts = sorted.groupBy(col("pid")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val offCol = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
+      when(col("pid") === pid, off).otherwise(acc) }
+    val wp = Window.partitionBy(col("pid"))
+      .orderBy(col("weight").desc, col("doc_id"))
+    sorted
+      .withColumn("rank", (row_number().over(wp) + offCol).cast("long"))
+      .select(col("doc_id"), col("weight"), col("rank"))
       .orderBy(col("rank"))
   }
 

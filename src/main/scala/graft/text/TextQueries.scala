@@ -317,6 +317,16 @@ object TextQueries {
     * bound (sketch-mergeable, one pass). Map-side partial aggregation,
     * one shuffle on the 2-value lang key. */
   def lengthStats(s: SparkSession, dir: String): DataFrame = {
+    // exact `percentile` buffers every group value in the aggregate —
+    // the oracle-able form; spark.graft.scale.approx=true swaps in the
+    // mergeable bounded-size percentile_approx sketch (same schema; the
+    // two differ only by interpolation at the quantile boundary)
+    val acc = graft.ScaleMode.SketchAccuracy
+    val (p50, p90) =
+      if (graft.ScaleMode.approx(s))
+        (expr(s"percentile_approx(n_words, 0.5, $acc)").cast("double"),
+          expr(s"percentile_approx(n_words, 0.9, $acc)").cast("double"))
+      else (expr("percentile(n_words, 0.5)"), expr("percentile(n_words, 0.9)"))
     Tables.documents(s, dir)
       .select(col("lang"), size(words(col("text"))).cast("long").as("n_words"),
         col("n_chars"))
@@ -324,8 +334,8 @@ object TextQueries {
       .agg(count(lit(1)).as("n_docs"),
         min(col("n_words")).as("min_words"), max(col("n_words")).as("max_words"),
         round(avg(col("n_words")), 4).as("avg_words"),
-        round(expr("percentile(n_words, 0.5)"), 4).as("p50_words"),
-        round(expr("percentile(n_words, 0.9)"), 4).as("p90_words"),
+        round(p50, 4).as("p50_words"),
+        round(p90, 4).as("p90_words"),
         sum(col("n_chars")).as("total_chars"))
       .orderBy(col("lang"))
   }

@@ -48,6 +48,24 @@ object RollingQuantile {
         col("vi"), col("ed").as("src_ed"))
       .join(daily.select(col("event_type"), col("ed").as("target")),
         Seq("event_type", "target"), "left_semi")
+    if (graft.ScaleMode.approx(s)) {
+      // 100 TB path (spark.graft.scale.approx=true): the documented
+      // percentile_approx swap — one mergeable sketch aggregate per
+      // trailing window instead of the two rank windows. Nearest-rank
+      // semantics: approx p50 is a single observed value (no midpoint
+      // interpolation), so the two modes differ only on even-count
+      // windows and exactly at the quantile boundary (spec-pinned).
+      val acc = graft.ScaleMode.SketchAccuracy
+      return contrib
+        .groupBy(col("event_type"), col("target"))
+        .agg(count(lit(1)).as("n_days"),
+          expr(s"percentile_approx(vi, 0.5, $acc)").cast("double").as("p50"),
+          expr(s"percentile_approx(vi, 0.9, $acc)").as("p90"))
+        .select(col("event_type"),
+          date_add(lit(java.sql.Date.valueOf("1970-01-01")), col("target").cast("int")).as("day"),
+          col("n_days"), col("p50"), col("p90"))
+        .orderBy(col("event_type"), col("day"))
+    }
     val byWin = Window.partitionBy(col("event_type"), col("target"))
     val ranked = contrib
       .withColumn("rn", row_number().over(byWin.orderBy(col("vi"), col("src_ed"))).cast("long"))
