@@ -217,6 +217,13 @@ object EtlQueries {
     * (lng, lat) — shared by `zoneMulti` and the flagship CrashPipeline. */
   private[etl] def withMultiZones(s: SparkSession, dir: String, ev: DataFrame): DataFrame = {
     GeoFunctions.register(s)
+    // size-based routing: with the rule installed, each zone join below
+    // flips from the broadcast NLJ (optimal for this 5-row dim) to the
+    // grid-cell equi-join AUTOMATICALLY when the zone dim outgrows
+    // spark.sql.autoBroadcastJoinThreshold (40k intersections, census
+    // blocks) — same operator code, no caller change; the broadcast hint
+    // is advisory in that regime (ZoneMultiAutoRouteSpec)
+    graft.plans.RewriteContainmentJoin.install(s)
     ZoneTypes.zip(ZoneYOff).foldLeft(ev) { case (acc, (zt, toff)) =>
       val cx = col("cx"); val cy = col("cy"); val rx = col("rx"); val ry = col("ry")
       val sy = cy - ry - lit(0.03)

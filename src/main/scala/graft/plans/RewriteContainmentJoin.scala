@@ -2,31 +2,44 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Optimizer rule: rewrite point-in-box containment joins (which Spark can
   * only plan as nested-loop joins) into grid-cell equi-joins plus an exact
   * residual predicate — the RangeJoin decomposition (operators/RangeJoin)
   * applied automatically by Catalyst.
   *
-  * Matches `Inner Join ON lng >= west AND lng < east AND lat >= south AND
-  * lat < north` where lng/lat come from one side and the bounds from the
-  * other. The bounds side is exploded over the covering cells (boxes span
-  * few cells at the 0.05° grid), the points side is keyed by its cell, and
-  * the join becomes a hash join on the cell id. The original predicate is
-  * kept as a residual filter, so semantics are exactly preserved.
+  * Matches Inner and LeftOuter joins whose condition contains, per
+  * dimension, `pointAttr >= loExpr AND pointAttr <(=) hiExpr` with the
+  * point attribute from the left side and the bound EXPRESSIONS computed
+  * from the right (plain attributes, or arithmetic like `cx - rx` — the
+  * zone-dim shape). The bounds side is exploded over the covering cells
+  * (boxes span few cells at the 0.05° grid), the points side is keyed by
+  * its cell, and the join becomes a hash join on the cell id. The ENTIRE
+  * original predicate is kept as a residual filter — extra conjuncts such
+  * as a ray-cast polygon test ride along untouched — so semantics are
+  * exactly preserved. For LeftOuter, a point matching a box matches
+  * exactly ONE exploded copy (its own cell), so match multiplicity and
+  * null-extension are unchanged.
   *
-  * Gated off by default (`spark.graft.rewriteContainmentJoin=true` to
-  * enable): for dims that fit a broadcast, nested-loop is already optimal;
-  * this rewrite is for the 40k-intersections / census-blocks regime where
-  * the dim outgrows a broadcast and nested-loop goes quadratic.
-  */
+  * Routing: fires when the bounds side's estimated size exceeds
+  * `spark.sql.autoBroadcastJoinThreshold` (the regime where the
+  * broadcast nested-loop plan stops being the right answer — 40k NYC
+  * intersections, census blocks) — an explicit broadcast hint on the
+  * bounds side is advisory and is dropped in that regime. Below the
+  * threshold the join is left alone: a broadcast NLJ over a 5-row zone
+  * dim is already optimal. `spark.graft.rewriteContainmentJoin=true`
+  * forces the rewrite regardless of size (used by RangeJoinSpec to prove
+  * cell ≡ broadcast on the same data);
+  * `spark.graft.rewriteContainmentJoin.auto=false` disables the
+  * size-based routing. */
 object RewriteContainmentJoin extends Rule[LogicalPlan] with PredicateHelper {
 
   val ConfKey = "spark.graft.rewriteContainmentJoin"
+  val AutoKey = "spark.graft.rewriteContainmentJoin.auto"
   val CellDeg = 0.05
   private val CellStride = 100000L
 
@@ -37,40 +50,46 @@ object RewriteContainmentJoin extends Rule[LogicalPlan] with PredicateHelper {
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (conf.getConfString(ConfKey, "false") != "true") return plan
+    val force = conf.getConfString(ConfKey, "false") == "true"
+    val auto = conf.getConfString(AutoKey, "true") == "true"
+    if (!force && !auto) return plan
+    def overBroadcast(p: LogicalPlan): Boolean = {
+      val thr = conf.autoBroadcastJoinThreshold
+      thr >= 0 && p.stats.sizeInBytes > thr
+    }
     plan.transform {
-      case j @ Join(left, right, Inner, Some(cond), hint)
+      case j @ Join(left, right, jt @ (Inner | LeftOuter), Some(cond), hint)
           // fixed-point guard: the rewritten join keeps the original
           // predicate as residual, so it must not match again
-          if !cond.references.exists(_.name.startsWith("_gcell")) =>
+          if !cond.references.exists(_.name.startsWith("_gcell")) &&
+            (force || overBroadcast(right)) =>
         val dims = matchIntervalDims(left, right, cond)
         // by the time this rule runs, constant bounds (e.g. literal lat
         // limits) have been folded and pushed out of the join — match on
         // whatever interval dimensions remain (1-D is the common survivor)
         if (dims.nonEmpty && dims.length <= 2)
-          rewrite(j, left, right, cond, hint, dims)
+          rewrite(j, left, right, jt, cond, hint, dims)
         else j
     }
   }
 
   /** Interval dimensions: point attr from `left` bounded below (>=) and
-    * above (<) by attrs from `right`. */
+    * above (< or <=) by deterministic expressions over `right`. */
   private def matchIntervalDims(left: LogicalPlan, right: LogicalPlan, cond: Expression)
-      : Seq[(Attribute, Attribute, Attribute)] = {
+      : Seq[(Attribute, Expression, Expression)] = {
     val conjuncts = splitConjunctivePredicates(cond)
     // double-typed dims only: the Floor(Divide(x, 0.05))/Sequence cell
     // decomposition is numeric — matching a date/string/decimal interval
     // join here would rewrite a valid plan into an invalid one
-    def isDouble(a: Attribute) = a.dataType == org.apache.spark.sql.types.DoubleType
+    def isPoint(a: Attribute) = a.dataType == DoubleType && left.outputSet.contains(a)
+    def isBound(b: Expression) = b.dataType == DoubleType && b.deterministic &&
+      b.references.nonEmpty && b.references.subsetOf(right.outputSet)
     val ges = conjuncts.collect {
-      case GreaterThanOrEqual(a: Attribute, b: Attribute)
-        if isDouble(a) && isDouble(b) &&
-          left.outputSet.contains(a) && right.outputSet.contains(b) => (a, b)
+      case GreaterThanOrEqual(a: Attribute, b) if isPoint(a) && isBound(b) => (a, b)
     }
     val lts = conjuncts.collect {
-      case LessThan(a: Attribute, b: Attribute)
-        if isDouble(a) && isDouble(b) &&
-          left.outputSet.contains(a) && right.outputSet.contains(b) => (a, b)
+      case LessThan(a: Attribute, b) if isPoint(a) && isBound(b) => (a, b)
+      case LessThanOrEqual(a: Attribute, b) if isPoint(a) && isBound(b) => (a, b)
     }
     ges.flatMap { case (a, lo) =>
       lts.collectFirst { case (a2, hi) if a2.semanticEquals(a) => (a, lo, hi) }
@@ -100,8 +119,8 @@ object RewriteContainmentJoin extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
-      cond: Expression, hint: JoinHint,
-      dims: Seq[(Attribute, Attribute, Attribute)]): LogicalPlan = {
+      joinType: JoinType, cond: Expression, hint: JoinHint,
+      dims: Seq[(Attribute, Expression, Expression)]): LogicalPlan = {
     // point-side key: fold cell indices of each dim into one long
     val pKey = dims.map(d => cellIdx(d._1))
       .reduceLeft[Expression]((acc, c) => Add(Multiply(acc, Literal(CellStride)), c))
@@ -120,8 +139,13 @@ object RewriteContainmentJoin extends Rule[LogicalPlan] with PredicateHelper {
     val bCell = Alias(bKey, "_gcell_b")()
     val newRight = Project(right.output :+ bCell, gen)
 
-    val joined = Join(newLeft, newRight, Inner,
-      Some(And(EqualTo(pCell.toAttribute, bCell.toAttribute), cond)), hint)
+    // in the over-broadcast regime the operator's broadcast hint on the
+    // bounds side is exactly what we are routing around — drop it so the
+    // planner hashes on the cell key instead of force-broadcasting an
+    // exploded oversized dim
+    val newHint = hint.copy(rightHint = None)
+    val joined = Join(newLeft, newRight, joinType,
+      Some(And(EqualTo(pCell.toAttribute, bCell.toAttribute), cond)), newHint)
     Project(j.output, joined)
   }
 }
