@@ -358,7 +358,78 @@ object CoreQueries {
       .orderBy(col("n_name"))
   }
 
+  /** #5p TPC-H Q11 shape — "important stock": per-part value thresholded
+    * against a scalar aggregate of the SAME per-part aggregate (group-by +
+    * HAVING over a share of the total — the one scalar-subquery shape q22's
+    * broadcast covers pre-aggregation but not post-). The fact table is
+    * scanned ONCE: the per-part aggregate is persisted (CacheRegistry) and
+    * feeds both the one-row total re-aggregate (broadcast back as a
+    * scalar) and the share filter — the naive correlated form scans the
+    * fact twice. The cut is scale-invariant — value > [[Q11MeanNum]]/[[Q11MeanDen]]× the
+    * MEAN part value (TPC-H's own fraction·SF trick, without baking a
+    * scale factor into the query) — and compares in exact integer cents
+    * by cross-multiplication (den·value·n_parts > num·total), never a float
+    * share; the fixed-point headroom (Σcents·n_parts < 2^63) holds to
+    * ~10^9 parts of ~10^7-cent value, past which the comparison moves to
+    * the documented 128-bit/decimal form. */
+  val Q11MeanNum = 3L
+  val Q11MeanDen = 2L
+
+  def q11ImportantStock(s: SparkSession, dir: String): DataFrame = {
+    val perPart = graft.CacheRegistry.track(
+      Tables.lineitem(s, dir)
+        .select(col("l_partkey"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long").as("cents"))
+        .groupBy(col("l_partkey")).agg(sum(col("cents")).as("value_cents")))
+    val total = perPart.agg(sum(col("value_cents")).as("total_cents"),
+      count(lit(1)).as("n_parts"))
+    perPart.crossJoin(broadcast(total))
+      .filter(lit(Q11MeanDen) * col("value_cents") * col("n_parts") >
+        lit(Q11MeanNum) * col("total_cents"))
+      .select(col("l_partkey").as("p_partkey"),
+        round(col("value_cents").cast("double") / 100.0, 2).as("value"))
+      .orderBy(col("value").desc, col("p_partkey"))
+  }
+
+  /** #5q TPC-H Q20 shape — supply-concentration audit: the nested
+    * two-level semi (parts of one brand → per (supplier, part) correlated
+    * aggregate comparing a scoped sum against the lifetime sum → suppliers
+    * having any qualifying part). The correlated subquery collapses into
+    * ONE conditional aggregate over a single fact scan — q95 and qall are
+    * two sums of the same grouped pass, never a fact-to-fact self-join —
+    * with the brand filter applied as a broadcast left-semi BEFORE the
+    * aggregate so non-brand lineitems never shuffle. Quantities compare
+    * as exact integer centiquantities (2·q95 > qall). */
+  val Q20Brand = "Brand#11"
+  val Q20Year = 1995
+
+  def q20PartSupplier(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(s, dir)
+      .filter(col("p_brand") === Q20Brand).select(col("p_partkey"))
+    val li = Tables.lineitem(s, dir)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .select(col("l_suppkey"), col("l_partkey"),
+        round(col("l_quantity") * 100).cast("long").as("qc"),
+        (year(col("l_shipdate")) === Q20Year).as("in_year"))
+    val conc = li.groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(when(col("in_year"), col("qc")).otherwise(0L)).as("q95"),
+        sum(col("qc")).as("qall"))
+      .filter(col("q95") * 2 > col("qall"))
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_parts"))
+    conc
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"), col("n_parts"))
+      .orderBy(col("s_suppkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q11_important_stock" -> (q11ImportantStock _),
+    "q20_part_supplier"  -> (q20PartSupplier _),
     "q22_idle_balance"   -> (q22IdleBalance _),
     "q15_top_supplier"   -> (q15TopSupplier _),
     "q16_cust_order_dist" -> (q16CustOrderDist _),
@@ -378,6 +449,32 @@ object CoreQueries {
     "q7_promo_ratio"     -> (q7PromoRatio _))
 
   val oracles: Map[String, String] = Map(
+    "q11_important_stock" ->
+      s"""WITH pp AS (SELECT l_partkey,
+         |  sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS value_cents
+         | FROM lineitem GROUP BY 1),
+         |t AS (SELECT sum(value_cents)::BIGINT AS total_cents,
+         |  count(*)::BIGINT AS n_parts FROM pp)
+         |SELECT l_partkey AS p_partkey,
+         | round(value_cents::DOUBLE / 100.0, 2) AS value
+         |FROM pp, t WHERE $Q11MeanDen * value_cents * n_parts > $Q11MeanNum * total_cents
+         |ORDER BY value DESC, p_partkey""".stripMargin,
+    "q20_part_supplier" ->
+      s"""WITH li AS (SELECT l_suppkey, l_partkey,
+         |  round(l_quantity * 100)::BIGINT AS qc,
+         |  (year(l_shipdate) = $Q20Year) AS in_year
+         | FROM lineitem
+         | WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = '$Q20Brand')),
+         |per AS (SELECT l_suppkey, l_partkey,
+         |  sum(CASE WHEN in_year THEN qc ELSE 0 END)::BIGINT AS q95,
+         |  sum(qc)::BIGINT AS qall
+         | FROM li GROUP BY 1, 2),
+         |conc AS (SELECT l_suppkey, count(*)::BIGINT AS n_parts FROM per
+         | WHERE q95 * 2 > qall GROUP BY 1)
+         |SELECT s.s_suppkey, s.s_name, n.n_name, c.n_parts
+         |FROM conc c JOIN supplier s ON s.s_suppkey = c.l_suppkey
+         |JOIN nation n ON n.n_nationkey = s.s_nationkey
+         |ORDER BY s.s_suppkey""".stripMargin,
     "q22_idle_balance" ->
       s"""SELECT n.n_name, count(*)::BIGINT AS n_custs,
          | round(sum(c.c_acctbal), 2) AS total_bal
