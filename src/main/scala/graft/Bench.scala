@@ -56,7 +56,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Persist the complete per-query record in-repo: the driver's artifact
+    // keeps only the tail of the stdout line, so without this file most of
+    // each round's timings are lost to the project history.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] persist failed: $e") }
     spark.stop()
   }
 }

@@ -427,7 +427,50 @@ object CoreQueries {
       .orderBy(col("s_suppkey"))
   }
 
+  /** #5t TPC-H Q2 shape — per-part minimum-cost supplier within one region
+    * (the correlated scalar-min subquery + join-back, WITH ties kept). The
+    * testdata has no partsupp table, so the supply cost is the observed one:
+    * the minimum unit price (exact integer cents, round(price/qty·100)) any
+    * lineitem of that (part, supplier) traded at — derived from the same
+    * fact table both engines read.
+    *
+    * Plan shape (the min-per-group-then-rejoin discipline the q8/q15/q17
+    * family circles): region suppliers are a broadcast semi-join cut BEFORE
+    * the aggregate (non-region lineitems never shuffle); the per-(part,
+    * supplier) cost aggregate runs on ONE fact scan (cached — it feeds the
+    * per-part min AND the join-back); the per-part min is an aggregate OF
+    * that aggregate (|parts| rows, broadcast back) — never a window over
+    * the fact; name dims ride in as broadcasts. At 100 TB the only fact
+    * shuffle is the (part, supplier) aggregate exchange on uniform keys. */
+  val Q21Region = "EUROPE"
+
+  def q21MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val regionSupp = Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, dir).filter(col("r_name") === Q21Region),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    val cost = graft.CacheRegistry.track(
+      Tables.lineitem(s, dir)
+        .filter(col("l_quantity") > 0)
+        .join(broadcast(regionSupp.select(col("s_suppkey"))),
+          col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(round(col("l_extendedprice") / col("l_quantity") * 100).cast("long"))
+          .as("cost_cents")))
+    val mn = cost.groupBy(col("l_partkey").as("m_partkey"))
+      .agg(min(col("cost_cents")).as("min_cents"))
+    cost
+      .join(broadcast(mn),
+        col("l_partkey") === col("m_partkey") && col("cost_cents") === col("min_cents"))
+      .join(broadcast(regionSupp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey").as("p_partkey"), col("s_suppkey"), col("s_name"),
+        col("n_name"), col("cost_cents"))
+      .orderBy(col("p_partkey"), col("s_suppkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_min_cost_supplier" -> (q21MinCostSupplier _),
     "q11_important_stock" -> (q11ImportantStock _),
     "q20_part_supplier"  -> (q20PartSupplier _),
     "q22_idle_balance"   -> (q22IdleBalance _),
@@ -449,6 +492,21 @@ object CoreQueries {
     "q7_promo_ratio"     -> (q7PromoRatio _))
 
   val oracles: Map[String, String] = Map(
+    "q21_min_cost_supplier" ->
+      s"""WITH rs AS (SELECT s_suppkey, s_name, n_name
+         | FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+         | JOIN region r ON n.n_regionkey = r.r_regionkey
+         | WHERE r.r_name = '$Q21Region'),
+         |cost AS (SELECT l_partkey, l_suppkey,
+         |  min(round(l_extendedprice / l_quantity * 100)::BIGINT)::BIGINT AS cost_cents
+         | FROM lineitem
+         | WHERE l_quantity > 0 AND l_suppkey IN (SELECT s_suppkey FROM rs)
+         | GROUP BY 1, 2),
+         |mn AS (SELECT l_partkey, min(cost_cents) AS min_cents FROM cost GROUP BY 1)
+         |SELECT c.l_partkey AS p_partkey, rs.s_suppkey, rs.s_name, rs.n_name, c.cost_cents
+         |FROM cost c JOIN mn ON mn.l_partkey = c.l_partkey AND c.cost_cents = mn.min_cents
+         |JOIN rs ON rs.s_suppkey = c.l_suppkey
+         |ORDER BY p_partkey, s_suppkey""".stripMargin,
     "q11_important_stock" ->
       s"""WITH pp AS (SELECT l_partkey,
          |  sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS value_cents
