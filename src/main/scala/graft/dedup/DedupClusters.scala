@@ -23,15 +23,36 @@ object DedupClusters {
     * expensive near-dup join); each round is then a single join+agg over the
     * tiny edge/label sets, carrying the previous label so convergence is
     * checked on the same materialized frame instead of an extra join. */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  /** Below this edge count the component labels are computed as a driver
+    * union-find over the collected edge list — the bounded-model-artifact
+    * contract (`Kmeans`' K×Dim centroids, BPE's vocab): ≤2²⁰ edges is
+    * ≤16 MB, and the iterative join loop's per-round job floor (~0.3 s ×
+    * 2 jobs × log-diameter rounds in local mode, scheduler RPCs at
+    * cluster scale) dwarfs a single collect at that size. Above the bound
+    * the distributed min-label/pointer-doubling loop runs unchanged —
+    * near-dup and core-point graphs are sparse, but at 100 TB they are not
+    * driver-sized, and the loop is the path that survives there.
+    * `ConnectedComponentsSpec` pins both paths to identical labels. */
+  val SmallGraphEdges: Long = 1L << 20
+
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
+      materialized: Boolean = false,
+      smallGraphEdges: Long = SmallGraphEdges): DataFrame = {
     val spark = pairs.sparkSession
     // The per-iteration frames are tiny (near-dup graphs are sparse), so
     // whole-stage codegen buys nothing here but costs a janino compile per
     // unique plan per iteration — painful under sbt's layered classloader.
     // Run the loop interpreted, restore afterwards.
     // materialize the (possibly expensive) pair-producing plan with codegen
-    // ON, before switching the tiny iteration loop to interpreted mode
-    val edges = pairs.toDF("a", "b").localCheckpoint(true)
+    // ON, before switching the tiny iteration loop to interpreted mode —
+    // unless the caller already staged it (`materialized`), in which case a
+    // second checkpoint would only add a copy job
+    val edges =
+      if (materialized) pairs.toDF("a", "b")
+      else pairs.toDF("a", "b").localCheckpoint(true)
+    // edges are materialized (staged or just checkpointed) — the count is a
+    // block-metadata read, not a recompute of the producer
+    if (edges.count() <= smallGraphEdges) return unionFind(spark, edges)
     val prevWsc = spark.conf.get("spark.sql.codegen.wholeStage", "true")
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     try {
@@ -63,11 +84,68 @@ object DedupClusters {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", prevWsc)
   }
 
+  /** Driver union-find over a bounded edge list (the small-graph path of
+    * [[connectedComponents]]): path-halving find + union-by-min keeps the
+    * exact min-label semantics of the distributed loop — every node that
+    * appears in an edge gets the minimum id of its component. */
+  private def unionFind(spark: SparkSession,
+      edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val es = edges.select(col("a").cast("long"), col("b").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) { // path halving
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp)
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // union by MIN root — the label contract
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+    nodes.map(n => (n, find(n))).toSeq.toDF("id", "label")
+  }
+
+  /** The verified near-dup pair graph as a session-scoped staging artifact
+    * — `Kmeans.centroidCache`'s contract applied to edges: the banded
+    * candidate join + Jaccard verify (the dominant cost) runs ONCE per
+    * (corpus dir, content fingerprint) and every consumer in the session —
+    * `dedup_clusters`, `text_pipeline_report`, `CorpusPipeline.cleaned` —
+    * reads the materialized edge list. This is exactly how a nightly
+    * pipeline stages it (a parquet table between jobs); in-session the
+    * staging is an eager localCheckpoint, whose blocks persist for the
+    * session's lifetime by design (the artifact, like the centroid model,
+    * outlives any one query — CacheRegistry's per-query release deliberately
+    * does not touch it; `clearCache()` is the explicit invalidation).
+    * The key carries the appId (a frame cannot outlive its SparkContext)
+    * and the table's file-listing fingerprint, so any rewrite of the corpus
+    * — even in-place — recomputes. */
+  private val pairCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def clearCache(): Unit = pairCache.clear()
+
+  private[graft] def verifiedPairs(s: SparkSession, dir: String): DataFrame =
+    pairCache.computeIfAbsent(
+      s"${s.sparkContext.applicationId}#$dir#" +
+        graft.sources.TableFingerprint.of(s, s"$dir/documents.parquet"),
+      _ => DedupQueries.ngramJaccard(s, dir).select("a_id", "b_id")
+        .localCheckpoint(true))
+
   /** #20b: canonical doc per near-dup cluster, over the same verified
-    * pair set as dedup_ngram_jaccard. */
+    * pair set as dedup_ngram_jaccard (staged once per session — above). */
   def clusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = DedupQueries.ngramJaccard(s, dir).select("a_id", "b_id")
-    connectedComponents(pairs)
+    val pairs = verifiedPairs(s, dir)
+    connectedComponents(pairs, materialized = true)
       .select(col("id").as("doc_id"), col("label").as("canonical"))
       .orderBy(col("doc_id"))
   }

@@ -42,6 +42,20 @@ object GeoCluster {
   val MinPts = 4L
   val LngScale = 0.75
 
+  /** Declared skew discipline for the cell self-join (the hot-bucket cap
+    * family: `dedup_containment`'s df-cap, `StreamNearDup.MaxPerBucket`).
+    * eps ∝ 1/√N holds the EXPECTED cell occupancy constant, but real
+    * point clouds pile up — a stadium's worth of crashes at one corner is
+    * one cell with 10⁵ points and a 10¹⁰-pair join in a single task.
+    * Cells above [[MaxCellOccupancy]] are salted: the b-side spreads over
+    * [[CellSalt]] shards by point id, the a-side replicates ×[[CellSalt]]
+    * into hot target cells only — per-task pair mass drops ×CellSalt with
+    * IDENTICAL output (each pair lands in exactly the shard matching the
+    * b-point's salt). Cold cells pay one extra broadcast-join column, no
+    * fan-out. */
+  val MaxCellOccupancy = 4096L
+  val CellSalt = 16
+
   /** Density-adaptive radius: eps ∝ 1/√N keeps the expected eps-ball
     * occupancy CONSTANT as the corpus grows (the `Kmeans.kFor` scaling
     * contract applied to space). A fixed radius drifts toward the
@@ -67,27 +81,44 @@ object GeoCluster {
     * operator and the planted-geometry specs. Returns one row per input
     * point: (event_id, n_neighbors, is_core, cluster — null = noise). */
   private[etl] def dbscan(pts: DataFrame, eps: Double, minPts: Long,
-      lngScale: Double): DataFrame = {
+      lngScale: Double, hotOccupancy: Long = MaxCellOccupancy,
+      cellSalt: Int = CellSalt): DataFrame = {
     // grid the SCALED longitude: the eps-ball reaches eps/lngScale raw
     // degrees in x, which spans two eps-wide raw cells — cells must be
     // sized in the same metric as the distance
     val base = graft.CacheRegistry.track(pts
       .withColumn("cx", floor(col("lng") * lngScale / eps).cast("long"))
       .withColumn("cy", floor(col("lat") / eps).cast("long")))
+    // hot-cell ledger: a |cells-above-cap|-row broadcast (empty on any
+    // corpus whose density matches the eps∝1/√N contract)
+    val hot = base.groupBy(col("cx"), col("cy"))
+      .agg(count(lit(1)).as("cell_n"))
+      .filter(col("cell_n") > hotOccupancy)
+      .select(col("cx"), col("cy"), lit(true).as("is_hot"))
     val a = base.select(col("event_id").as("a_id"), col("lng").as("alng"),
         col("lat").as("alat"), col("cx"), col("cy"))
       .withColumn("dx", explode(sequence(lit(-1L), lit(1L))))
       .withColumn("dy", explode(sequence(lit(-1L), lit(1L))))
       .select(col("a_id"), col("alng"), col("alat"),
         (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
+      // probe side replicates into every shard of a hot TARGET cell only
+      .join(broadcast(hot), Seq("cx", "cy"), "left")
+      .withColumn("salt", explode(when(coalesce(col("is_hot"), lit(false)),
+        sequence(lit(0L), lit(cellSalt - 1L))).otherwise(array(lit(0L)))))
+      .drop("is_hot")
     val b = base.select(col("event_id").as("b_id"), col("lng").as("blng"),
-      col("lat").as("blat"), col("cx"), col("cy"))
+        col("lat").as("blat"), col("cx"), col("cy"))
+      // build side spreads a hot cell's points across the shards by id
+      .join(broadcast(hot), Seq("cx", "cy"), "left")
+      .withColumn("salt", when(coalesce(col("is_hot"), lit(false)),
+        pmod(xxhash64(col("b_id")), lit(cellSalt.toLong))).otherwise(lit(0L)))
+      .drop("is_hot")
     val dlat = col("alat") - col("blat")
     val dlng = (col("alng") - col("blng")) * lngScale
     // self-pairs included (dx=dy=0 matches a to itself): counts include
     // the point, per the textbook |N_eps(p)| >= minPts definition
     val nbrs = graft.CacheRegistry.track(
-      a.join(b, Seq("cx", "cy"))
+      a.join(b, Seq("cx", "cy", "salt"))
         .filter(dlat * dlat + dlng * dlng <= eps * eps)
         .select(col("a_id"), col("b_id")))
     val cnt = nbrs.groupBy(col("a_id")).agg(count(lit(1)).as("n_neighbors"))

@@ -20,6 +20,37 @@ class DedupClustersSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("staged pair graph: reuse equals scratch, and a corpus rewrite invalidates") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("pairstage").toString
+    val docs = graft.Tables.documents(spark, TestSpark.sf)
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val scratch = DedupQueries.ngramJaccard(spark, dir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.CacheRegistry.releaseAll()
+    val staged1 = DedupClusters.verifiedPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.CacheRegistry.releaseAll()
+    assert(staged1 == scratch, "the staged edge list IS the verified pair set")
+    // second consumer must see the SAME materialized frame (no recompute)
+    assert(DedupClusters.verifiedPairs(spark, dir) eq DedupClusters.verifiedPairs(spark, dir))
+
+    // rewrite the corpus in place (docs halved): the fingerprint changes,
+    // the stage recomputes — serving stale edges here would silently
+    // corrupt every downstream cluster/report
+    docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val staged2 = DedupClusters.verifiedPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.CacheRegistry.releaseAll()
+    assert(staged2 != staged1 || staged1.isEmpty,
+      "a rewritten corpus must not be served stale staged pairs")
+    staged2.foreach { case (a, b) =>
+      assert(a % 2 == 0 && b % 2 == 0, "staged pairs must come from the NEW corpus")
+    }
+  }
+
   test("clusters over real near-dup pairs: canonical is the min member and closed under membership") {
     val rows = DedupClusters.clusters(spark, TestSpark.sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))

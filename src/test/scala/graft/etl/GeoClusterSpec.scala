@@ -122,4 +122,31 @@ class GeoClusterSpec extends AnyFunSuite {
       s"${diffs.size} diffs, first: " + diffs.take(5).map(k =>
         s"$k got=${got.get(k)} expect=${expect.get(k)}").mkString("; "))
   }
+
+  test("hot-cell salting: a degenerate pileup cell yields identical output, pair mass split across shards") {
+    import spark.implicits._
+    // 500 points piled onto ONE coordinate (a stadium pileup: every pair
+    // within eps, one cell holds the whole blob) + a normal far-away blob
+    val d = Eps / 4
+    val pile = (0 until 500).map(i => (1000L + i, -74.0, 40.7))
+    val blob = Seq((10L, -73.8, 40.6), (11L, -73.8 + d, 40.6),
+      (12L, -73.8, 40.6 + d), (13L, -73.8 - d, 40.6), (14L, -73.8, 40.6 - d))
+    val pts = (pile ++ blob).toDF("event_id", "lng", "lat")
+
+    def collect(hotOcc: Long) = {
+      val out = GeoCluster.dbscan(pts, Eps, GeoCluster.MinPts, Scale,
+        hotOccupancy = hotOcc, cellSalt = 8).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+      graft.CacheRegistry.releaseAll()
+      out
+    }
+    val plain = collect(Long.MaxValue) // cap never fires
+    val salted = collect(100L)         // the pile cell (500 > 100) salts
+    assert(salted == plain,
+      "salting is a physical re-shard only — labels, cores, counts identical")
+    // sanity: the pile really is one eps-cluster of mutual neighbors
+    val pileRows = plain.filter(_._1 >= 1000L)
+    assert(pileRows.forall(r => r._2 == 500L && r._3 && r._4.contains(1000L)))
+  }
 }
