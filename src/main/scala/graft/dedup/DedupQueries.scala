@@ -45,12 +45,21 @@ object DedupQueries {
     val d = Tables.documents(s, dir).select(
       col("doc_id"), col("lang"), (col("n_chars") / lit(100)).cast("long").as("lb"),
       shingles(col("text")).as("sh"))
-    val banded = d
+    // cached: the banded frame feeds the hot-bucket ledger and both
+    // self-join sides — uncached each would re-run the signature sketch
+    val banded = graft.CacheRegistry.track(d
       .select(col("doc_id"), col("lang"), col("lb"),
         posexplode(graft.functions.HashExprs.minhashSig(col("sh"))))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "hval"))
-    val a = banded.select(col("doc_id").as("a_id"), col("lang"), col("lb"), col("band"), col("hval"))
-    val b = banded.select(col("doc_id").as("b_id"), col("lang"), col("lb"), col("band"), col("hval"))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "hval")))
+    // hot-bucket cap (MinHashLsh.MaxBandBucket — the shared declared
+    // metric): buckets holding (near-)byte-identical mass are exact
+    // dedup's job; excluding them keeps candidate mass linear
+    val hot = banded.groupBy(col("lang"), col("lb"), col("band"), col("hval"))
+      .agg(count(lit(1)).as("occ")).filter(col("occ") > MinHashLsh.MaxBandBucket)
+      .select(col("lang"), col("lb"), col("band"), col("hval"))
+    val cool = banded.join(broadcast(hot), Seq("lang", "lb", "band", "hval"), "left_anti")
+    val a = cool.select(col("doc_id").as("a_id"), col("lang"), col("lb"), col("band"), col("hval"))
+    val b = cool.select(col("doc_id").as("b_id"), col("lang"), col("lb"), col("band"), col("hval"))
     // persist: three consumers (two id-set union branches + the pair join)
     // would otherwise each re-run the banded candidate join; tracked in
     // CacheRegistry so the session releases it once the query completes
@@ -118,8 +127,17 @@ object DedupQueries {
       .select(col("vec_id"), col("emb"),
         posexplode(graft.functions.HashExprs.hyperplaneBands(col("emb"))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bkey"))
-    val a = banded.select(col("vec_id").as("a_id"), col("emb").as("a_emb"), col("band"), col("bkey"))
-    val b = banded.select(col("vec_id").as("b_id"), col("emb").as("b_emb"), col("band"), col("bkey"))
+    // hot-bucket cap (MinHashLsh.MaxBandBucket, the shared declared
+    // metric): a bucket of near-identical embeddings is exact/semantic
+    // dedup's job — excluding over-cap buckets keeps the self-join's pair
+    // mass linear. The ledger aggregate carries only (band, bkey) — the
+    // embedding payload never enters it.
+    val hot = banded.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("occ")).filter(col("occ") > MinHashLsh.MaxBandBucket)
+      .select(col("band"), col("bkey"))
+    val cool = banded.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+    val a = cool.select(col("vec_id").as("a_id"), col("emb").as("a_emb"), col("band"), col("bkey"))
+    val b = cool.select(col("vec_id").as("b_id"), col("emb").as("b_emb"), col("band"), col("bkey"))
     a.join(b, Seq("band", "bkey"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("cosine", round(cosine(col("a_emb"), col("b_emb")), 4))
@@ -447,11 +465,30 @@ object DedupQueries {
       """SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keeper_id
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
     "dedup_ngram_jaccard" ->
-      s"""WITH d AS (SELECT doc_id, lang, (n_chars // 100) AS lb, $shinglesSql AS sh FROM documents)
-         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         | round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
-         |FROM d a JOIN d b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
-         |WHERE round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.10
+      // banded-candidate replay (b=64, r=1, per-(lang, lb) blocks) WITH the
+      // MaxBandBucket occupancy cap — the exact candidate set the Spark
+      // plan generates, so even the cap's exact-dedup-first regime and any
+      // banding recall miss are mirrored, never assumed away
+      s"""WITH d AS (SELECT doc_id, lang, (n_chars // 100) AS lb, $shinglesSql AS sh FROM documents),
+         |s AS (SELECT doc_id, lang, lb, unnest(sh) AS g FROM d),
+         |bh AS (SELECT doc_id, lang, lb,
+         |  ('0x' || substr(md5(g), 1, 16))::UBIGINT % ${graft.functions.HashExprs.MinHashP} AS base
+         | FROM s),
+         |mh AS (SELECT doc_id, lang, lb, k,
+         |  min(((2*k+1)*base + 40503*k + 13) % ${graft.functions.HashExprs.MinHashP})::BIGINT AS m
+         | FROM bh CROSS JOIN (SELECT unnest(range(0, ${MinHashLsh.K})) AS k) ks
+         | GROUP BY doc_id, lang, lb, k),
+         |occ AS (SELECT lang, lb, k, m FROM mh GROUP BY lang, lb, k, m
+         | HAVING count(*) <= ${MinHashLsh.MaxBandBucket}),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         | FROM mh a
+         | JOIN occ o ON a.lang = o.lang AND a.lb = o.lb AND a.k = o.k AND a.m = o.m
+         | JOIN mh b ON a.lang = b.lang AND a.lb = b.lb AND a.k = b.k AND a.m = b.m
+         |  AND a.doc_id < b.doc_id)
+         |SELECT c.a_id, c.b_id,
+         | round(len(list_intersect(da.sh, db.sh))::DOUBLE / len(list_distinct(list_concat(da.sh, db.sh))), 4) AS jaccard
+         |FROM cand c JOIN d da ON da.doc_id = c.a_id JOIN d db ON db.doc_id = c.b_id
+         |WHERE round(len(list_intersect(da.sh, db.sh))::DOUBLE / len(list_distinct(list_concat(da.sh, db.sh))), 4) >= 0.10
          |ORDER BY a_id, b_id""".stripMargin,
     "dedup_containment" ->
       s"""WITH d AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
@@ -475,8 +512,11 @@ object DedupQueries {
          |ORDER BY a_id, b_id""".stripMargin,
     "dedup_embedding_lsh" ->
       s"""WITH ${graft.functions.HashExprs.hyperplaneChainSql},
+         |bocc AS (SELECT band, bkey FROM bd GROUP BY band, bkey
+         | HAVING count(*) <= ${MinHashLsh.MaxBandBucket}),
          |cand AS (SELECT DISTINCT a.vec_id AS a_id, x.vec_id AS b_id
-         | FROM bd a JOIN bd x ON a.band = x.band AND a.bkey = x.bkey AND a.vec_id < x.vec_id)
+         | FROM bd a JOIN bocc o ON a.band = o.band AND a.bkey = o.bkey
+         | JOIN bd x ON a.band = x.band AND a.bkey = x.bkey AND a.vec_id < x.vec_id)
          |SELECT c.a_id, c.b_id, round(${cosineSql("ea.emb", "eb.emb")}, 4) AS cosine
          |FROM cand c JOIN e ea ON ea.vec_id = c.a_id JOIN e eb ON eb.vec_id = c.b_id
          |WHERE round(${cosineSql("ea.emb", "eb.emb")}, 4) >= 0.35

@@ -23,6 +23,22 @@ object MinHashLsh {
   val Bands = 16      // 16 bands × r=4 rows; s-curve threshold ≈ (1/16)^(1/4) ≈ 0.5
   val RowsPerBand = K / Bands
 
+  /** Declared per-bucket occupancy cap for the batch band self-joins (the
+    * `dedup_containment` df≤20 / `StreamNearDup.MaxPerBucket` discipline
+    * applied to this family). A band bucket is a CONTENT hash — on a real
+    * crawl a million byte-identical boilerplate docs share every band
+    * bucket, and an uncapped self-join detonates into a 10¹²-pair task.
+    * Buckets above the cap are excluded from candidate generation: their
+    * members are (near-)byte-identical mass whose handling is EXACT
+    * dedup's job (`dedup_exact` runs first in `CorpusPipeline.cleaned` and
+    * still reports every such group); the LSH pass exists for the
+    * non-identical near-dup tail, where occupancy is small by construction
+    * (measured ≤16 at sf0.1 vs the 4096 cap). Candidate-pair mass is
+    * thereby ≤ cap·|banded rows| — linear in the corpus. Mirrored in every
+    * SQL oracle; `LshHotBucketSpec` plants a 5k-identical-doc corpus and
+    * pins the linear regime. */
+  val MaxBandBucket = 4096L
+
   /** The band-bucket key for band `band` of signature column `sig` — ONE
     * definition shared by the batch LSH family and StreamNearDup, so the
     * banding scheme cannot silently diverge between them. */
@@ -43,11 +59,19 @@ object MinHashLsh {
     val sigs = docs
       .select(col("doc_id"), graft.functions.HashExprs.minhashSig(col("sh")).as("sig"))
       .repartition(col("doc_id"))
-    val banded = sigs
+    // banded is cached: it feeds the occupancy ledger AND both self-join
+    // sides — uncached each would re-run the signature sketch
+    val banded = graft.CacheRegistry.track(sigs
       .select(col("doc_id"), explode(sequence(lit(0), lit(Bands - 1))).as("band"), col("sig"))
-      .select(col("doc_id"), col("band"), bandKey(col("band"), col("sig")).as("bkey"))
-    val a = banded.select(col("doc_id").as("a_id"), col("band"), col("bkey"))
-    val b = banded.select(col("doc_id").as("b_id"), col("band"), col("bkey"))
+      .select(col("doc_id"), col("band"), bandKey(col("band"), col("sig")).as("bkey")))
+    // hot-bucket cap (MaxBandBucket): the over-cap ledger is tiny by
+    // definition (each entry accounts for >cap rows), so it broadcasts
+    val hot = banded.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("occ")).filter(col("occ") > MaxBandBucket)
+      .select(col("band"), col("bkey"))
+    val cool = banded.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+    val a = cool.select(col("doc_id").as("a_id"), col("band"), col("bkey"))
+    val b = cool.select(col("doc_id").as("b_id"), col("band"), col("bkey"))
     // persist: the banded self-join is the dominant cost and the candidate
     // list feeds THREE consumers (two id-set union branches + the pair
     // join) — uncached, each would re-run the banding (at warehouse scale
@@ -105,8 +129,10 @@ object MinHashLsh {
   val oracles: Map[String, String] = Map(
     "dedup_minhash_lsh" ->
       s"""WITH $sigChainSql,
+         |bocc AS (SELECT b, bs FROM band GROUP BY b, bs HAVING count(*) <= $MaxBandBucket),
          |cand AS (SELECT DISTINCT a.doc_id AS a_id, x.doc_id AS b_id
-         | FROM band a JOIN band x ON a.b = x.b AND a.bs = x.bs AND a.doc_id < x.doc_id)
+         | FROM band a JOIN bocc o ON a.b = o.b AND a.bs = o.bs
+         | JOIN band x ON a.b = x.b AND a.bs = x.bs AND a.doc_id < x.doc_id)
          |SELECT c.a_id, c.b_id, $jacSql AS jaccard
          |FROM cand c JOIN d da ON da.doc_id = c.a_id JOIN d db ON db.doc_id = c.b_id
          |WHERE $jacSql >= 0.10

@@ -25,6 +25,14 @@ import graft.functions.HashExprs
   * (band, key) equi-join against the tiny broadcast query set — versus the
   * brute-force full scan per query. Recall is measured against the brute
   * baseline in AnnLshSpec.
+  *
+  * Hot buckets: unlike the dedup band SELF-joins (capped by
+  * `MinHashLsh.MaxBandBucket` — their per-bucket pair mass is quadratic),
+  * this join is corpus × broadcast-query: a bucket of m corpus vectors
+  * costs m × |probes landing there| — LINEAR in the corpus for a bounded
+  * query batch, by construction. A cap here would only trade away recall,
+  * so none is applied; the scale lever for bucket density is band width
+  * (more sign bits per band as the corpus grows), not occupancy cuts.
   */
 object AnnLsh {
 
