@@ -59,13 +59,13 @@ object AnnIvf {
       .select(col("vec_id"), col("emb")).collect().sortBy(_.getLong(0))
     require(centRows.map(_.getLong(0)).toSeq == (0L until cells.toLong),
       s"expected centroid vec_ids 0..${cells - 1}")
-    val centsLit = typedlit(centRows.map(_.getSeq[Double](1)).toSeq)
+    val cents = centRows.map(_.getSeq[Double](1).toArray)
 
-    val assigned = e.select(col("vec_id"), col("emb"),
-      element_at(graft.functions.HashExprs.topCells(col("emb"), centsLit, 1), 1).as("cell"))
-    val probes = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
-        explode(graft.functions.HashExprs.topCells(col("emb"), centsLit, NProbe)).as("cell"))
+    val assigned = CentroidAssign.withBestCell(e, cents)
+      .select(col("vec_id"), col("emb"), col("cell"))
+    val probes = CentroidAssign.withProbeCells(
+        e.filter(col("vec_id") < 10), cents, NProbe)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("cell"))
 
     // (q_id, n_id) is unique by construction: each corpus vector lives in
     // exactly one cell and a query's probe cells are distinct.

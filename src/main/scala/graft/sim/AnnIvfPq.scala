@@ -97,7 +97,6 @@ object AnnIvfPq {
     require(seedRows.map(_.getLong(0)).toSeq == (0L until (cells + books).toLong),
       s"expected contiguous vec_ids 0..${cells + books - 1}")
     val cents = seedRows.take(cells).map(_.getSeq[Double](1).toArray)
-    val centsLit = typedlit(cents.map(_.toSeq).toSeq)
 
     // codebooks: residuals of the next NBooks vectors w.r.t. their own
     // assigned cell, sliced per subspace — a driver-side model artifact
@@ -113,9 +112,9 @@ object AnnIvfPq {
 
     // index build: one map-side compiled pass — cell route, then per-
     // subspace residual encode against the broadcast codebook literals
-    val assigned = e.select(col("vec_id"), col("emb"),
-      element_at(topCells(col("emb"), centsLit, 1), 1).as("cell"))
-    val centOfCell = get(centsLit, col("cell").cast("int"))
+    val assigned = CentroidAssign.withBestCell(e, cents)
+      .select(col("vec_id"), col("emb"), col("cell"), col("c_emb"))
+    val centOfCell = col("c_emb")
     val codeCols = (0 until NSub).map { sub =>
       element_at(topCells(
         vecSub(slice(col("emb"), sub * SubDim + 1, SubDim),

@@ -45,10 +45,8 @@ object Kmeans {
   val Iters = 2
   val Dim = 64
 
-  private def assign(cents: Array[Array[Double]]) = {
-    val centsLit = typedlit(cents.map(_.toSeq).toSeq)
-    element_at(graft.functions.HashExprs.topCells(col("emb"), centsLit, 1), 1)
-  }
+  // cell assignment is CentroidAssign.withBestCell — the compiled TopCells
+  // literal under the size threshold, the broadcast centroid relation above
 
   def embKmeans(s: SparkSession, dir: String): DataFrame =
     run(s, dir, Iters).select(col("vec_id"), col("cluster"), col("cos_center"))
@@ -99,7 +97,7 @@ object Kmeans {
       var cents = init
       for (_ <- 1 to iters) {
         val dims = (1 to Dim).map(i => round(avg(element_at(col("emb"), i)), 6))
-        val rows = e.select(assign(cents).as("cell"), col("emb"))
+        val rows = CentroidAssign.withBestCell(e, cents).select(col("cell"), col("emb"))
           .groupBy(col("cell")).agg(dims.head, dims.tail: _*)
           .collect()
         // empty cells keep their previous centroid (mirrored by the oracle's
@@ -132,13 +130,9 @@ object Kmeans {
   /** The one assignment definition every consumer shares: cluster by the
     * compiled TopCells argmax against the broadcast centroid literal, plus
     * the round-4 cos_center the oracles mirror. */
-  private def assigned(e: DataFrame, cents: Array[Array[Double]]): DataFrame = {
-    val centsLit = typedlit(cents.map(_.toSeq).toSeq)
-    e.select(col("vec_id"), assign(cents).as("cluster"), col("emb"))
-      .withColumn("cos_center",
-        round(cosine(col("emb"), element_at(centsLit, (col("cluster") + 1).cast("int"))), 4))
-      .select(col("vec_id"), col("cluster"), col("cos_center"), col("emb"))
-  }
+  private def assigned(e: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    CentroidAssign.withBestCell(e, cents)
+      .select(col("vec_id"), col("cell").as("cluster"), col("cos_center"), col("emb"))
 
   /** #25d `emb_incremental_assign`: a NEW embedding batch (the last 20% of
     * vec_ids — today's ingest) assigned against the model trained on
@@ -296,7 +290,8 @@ object Kmeans {
     // persist: the K-row aggregate feeds the totals AND the cross join —
     // untracked, the embeddings scan + assignment would run twice
     val per = graft.CacheRegistry.track(
-      all.select(assign(cents).as("cluster"),
+      CentroidAssign.withBestCell(all, cents)
+        .select(col("cell").as("cluster"),
           (col("vec_id") >= split).as("is_new"))
         .groupBy(col("cluster"))
         .agg(sum(when(col("is_new"), 0L).otherwise(1L)).as("n_hist"),
