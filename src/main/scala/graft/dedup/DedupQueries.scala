@@ -40,7 +40,11 @@ object DedupQueries {
     * 100 TB corpus: the equi-join keys are (lang, lb, component, hash),
     * uniform by construction, and only verified candidates fetch shingle
     * sets back. */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+  /** Banded, occupancy-capped candidate pairs within (lang, length-bucket)
+    * blocks — the one candidate generator shared by `dedup_ngram_jaccard`
+    * and `dedup_edit_distance` (each applies its own verify metric).
+    * Returns a CacheRegistry-tracked (a_id, b_id) frame. */
+  private[dedup] def bandedCandidates(s: SparkSession, dir: String): DataFrame = {
     graft.functions.HashExprs.register(s)
     val d = Tables.documents(s, dir).select(
       col("doc_id"), col("lang"), (col("n_chars") / lit(100)).cast("long").as("lb"),
@@ -60,13 +64,20 @@ object DedupQueries {
     val cool = banded.join(broadcast(hot), Seq("lang", "lb", "band", "hval"), "left_anti")
     val a = cool.select(col("doc_id").as("a_id"), col("lang"), col("lb"), col("band"), col("hval"))
     val b = cool.select(col("doc_id").as("b_id"), col("lang"), col("lb"), col("band"), col("hval"))
-    // persist: three consumers (two id-set union branches + the pair join)
+    // persist: multiple consumers (id-set union branches + the pair join)
     // would otherwise each re-run the banded candidate join; tracked in
     // CacheRegistry so the session releases it once the query completes
-    val candidates = graft.CacheRegistry.track(
+    graft.CacheRegistry.track(
       a.join(b, Seq("lang", "lb", "band", "hval"))
         .filter(col("a_id") < col("b_id"))
         .select("a_id", "b_id").distinct())
+  }
+
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
+    val d = Tables.documents(s, dir).select(
+      col("doc_id"), shingles(col("text")).as("sh"))
+    val candidates = bandedCandidates(s, dir)
     // broadcast-semi prune: only candidate docs' shingle sets are fetched
     // into the verify joins — the corpus-wide shingle table never shuffles
     val candIds = candidates.select(col("a_id").as("doc_id"))
@@ -80,6 +91,48 @@ object DedupQueries {
         round(graft.functions.HashExprs.jaccardSim(col("a_sh"), col("b_sh")), 4))
       .filter(col("jaccard") >= 0.10)
       .select("a_id", "b_id", "jaccard")
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** #20i Character-level near-dup verify (`dedup_edit_distance`): the
+    * localized-edit noise class (corrections, template fills, OCR patches
+    * confined to a few spans) where token Jaccard is blunt — two docs can
+    * share 90% of shingles at wildly different edit costs. Candidates are
+    * the SAME banded+capped generator as `dedup_ngram_jaccard` (word-level
+    * banding, so the pass targets docs that still share most word
+    * shingles; per-word character noise would need char-gram banding — a
+    * documented non-goal here); verify is Levenshtein under TWO declared
+    * bounds: [[MaxAbsEdit]] absolute (Spark's threshold'd DP early-exits
+    * past it — the bounded-compute contract at 100 TB, where an unbounded
+    * O(len²) cell sweep on a pathological candidate is the hazard) and
+    * [[MaxEditRatio]] relative (scale-free near-dup cut; the corpus
+    * measures bimodal: ≤0.03 for true near-dups, ≥0.5 for block noise).
+    * Distances are code-point Levenshtein in Spark vs byte-based in
+    * DuckDB — identical on the (all-ASCII) gate corpora; the divergence
+    * is declared and the spec pins code-point semantics driver-side. */
+  val MaxAbsEdit = 256
+  val MaxEditRatio = 0.2
+
+  def editDistance(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val candidates = bandedCandidates(s, dir)
+    // broadcast-semi prune: only candidate docs' texts enter the verify
+    val candIds = candidates.select(col("a_id").as("doc_id"))
+      .union(candidates.select(col("b_id").as("doc_id"))).distinct()
+    val pruned = d.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    val tA = pruned.select(col("doc_id").as("a_id"), col("text").as("a_text"))
+    val tB = pruned.select(col("doc_id").as("b_id"), col("text").as("b_text"))
+    val mx = greatest(length(col("a_text")), length(col("b_text")))
+    candidates.join(tA, "a_id").join(tB, "b_id")
+      .withColumn("edit_dist",
+        levenshtein(col("a_text"), col("b_text"), MaxAbsEdit).cast("long"))
+      .filter(col("edit_dist") >= 0L && // -1 = DP exceeded MaxAbsEdit
+        col("edit_dist").cast("double") <= mx.cast("double") * lit(MaxEditRatio))
+      .withColumn("edit_ratio",
+        when(mx === 0, lit(0.0))
+          .otherwise(round(col("edit_dist").cast("double") / mx, 4)))
+      .select("a_id", "b_id", "edit_dist", "edit_ratio")
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -385,6 +438,7 @@ object DedupQueries {
     "dedup_exact"            -> (exact _),
     "text_decontaminate"     -> (decontaminate _),
     "dedup_ngram_jaccard"    -> (ngramJaccard _),
+    "dedup_edit_distance"    -> (editDistance _),
     "dedup_containment"      -> (containment _),
     "dedup_embedding_cosine" -> (embeddingCosine _),
     "dedup_embedding_lsh"    -> (embeddingLsh _))
@@ -396,6 +450,29 @@ object DedupQueries {
       s"i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2]))"
   def cosineSql(a: String, b: String): String =
     s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
+
+  /** The banded+capped candidate replay (relations `d` with per-doc
+    * shingles/text and `cand` with a_id < b_id) — ONE chain shared by the
+    * `dedup_ngram_jaccard` and `dedup_edit_distance` oracles so the
+    * candidate semantics (b=64/r=1 banding, (lang, lb) blocks,
+    * MaxBandBucket occupancy cap) cannot drift between them. */
+  private[dedup] val bandedCandChainSql: String =
+    s"""d AS (SELECT doc_id, lang, (n_chars // 100) AS lb, $shinglesSql AS sh, text FROM documents),
+       |s AS (SELECT doc_id, lang, lb, unnest(sh) AS g FROM d),
+       |bh AS (SELECT doc_id, lang, lb,
+       |  ('0x' || substr(md5(g), 1, 16))::UBIGINT % ${graft.functions.HashExprs.MinHashP} AS base
+       | FROM s),
+       |mh AS (SELECT doc_id, lang, lb, k,
+       |  min(((2*k+1)*base + 40503*k + 13) % ${graft.functions.HashExprs.MinHashP})::BIGINT AS m
+       | FROM bh CROSS JOIN (SELECT unnest(range(0, ${MinHashLsh.K})) AS k) ks
+       | GROUP BY doc_id, lang, lb, k),
+       |occ AS (SELECT lang, lb, k, m FROM mh GROUP BY lang, lb, k, m
+       | HAVING count(*) <= ${MinHashLsh.MaxBandBucket}),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       | FROM mh a
+       | JOIN occ o ON a.lang = o.lang AND a.lb = o.lb AND a.k = o.k AND a.m = o.m
+       | JOIN mh b ON a.lang = b.lang AND a.lb = b.lb AND a.k = b.k AND a.m = b.m
+       |  AND a.doc_id < b.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_spans" ->
@@ -469,26 +546,22 @@ object DedupQueries {
       // MaxBandBucket occupancy cap — the exact candidate set the Spark
       // plan generates, so even the cap's exact-dedup-first regime and any
       // banding recall miss are mirrored, never assumed away
-      s"""WITH d AS (SELECT doc_id, lang, (n_chars // 100) AS lb, $shinglesSql AS sh FROM documents),
-         |s AS (SELECT doc_id, lang, lb, unnest(sh) AS g FROM d),
-         |bh AS (SELECT doc_id, lang, lb,
-         |  ('0x' || substr(md5(g), 1, 16))::UBIGINT % ${graft.functions.HashExprs.MinHashP} AS base
-         | FROM s),
-         |mh AS (SELECT doc_id, lang, lb, k,
-         |  min(((2*k+1)*base + 40503*k + 13) % ${graft.functions.HashExprs.MinHashP})::BIGINT AS m
-         | FROM bh CROSS JOIN (SELECT unnest(range(0, ${MinHashLsh.K})) AS k) ks
-         | GROUP BY doc_id, lang, lb, k),
-         |occ AS (SELECT lang, lb, k, m FROM mh GROUP BY lang, lb, k, m
-         | HAVING count(*) <= ${MinHashLsh.MaxBandBucket}),
-         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         | FROM mh a
-         | JOIN occ o ON a.lang = o.lang AND a.lb = o.lb AND a.k = o.k AND a.m = o.m
-         | JOIN mh b ON a.lang = b.lang AND a.lb = b.lb AND a.k = b.k AND a.m = b.m
-         |  AND a.doc_id < b.doc_id)
+      s"""WITH $bandedCandChainSql
          |SELECT c.a_id, c.b_id,
          | round(len(list_intersect(da.sh, db.sh))::DOUBLE / len(list_distinct(list_concat(da.sh, db.sh))), 4) AS jaccard
          |FROM cand c JOIN d da ON da.doc_id = c.a_id JOIN d db ON db.doc_id = c.b_id
          |WHERE round(len(list_intersect(da.sh, db.sh))::DOUBLE / len(list_distinct(list_concat(da.sh, db.sh))), 4) >= 0.10
+         |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_edit_distance" ->
+      s"""WITH $bandedCandChainSql
+         |SELECT c.a_id, c.b_id, levenshtein(da.text, db.text)::BIGINT AS edit_dist,
+         | CASE WHEN greatest(len(da.text), len(db.text)) = 0 THEN 0.0
+         |      ELSE round(levenshtein(da.text, db.text)::DOUBLE
+         |             / greatest(len(da.text), len(db.text)), 4) END AS edit_ratio
+         |FROM cand c JOIN d da ON da.doc_id = c.a_id JOIN d db ON db.doc_id = c.b_id
+         |WHERE levenshtein(da.text, db.text) <= $MaxAbsEdit
+         |  AND levenshtein(da.text, db.text)::DOUBLE
+         |      <= $MaxEditRatio * greatest(len(da.text), len(db.text))
          |ORDER BY a_id, b_id""".stripMargin,
     "dedup_containment" ->
       s"""WITH d AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
