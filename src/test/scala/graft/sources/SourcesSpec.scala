@@ -67,6 +67,33 @@ class SourcesSpec extends AnyFunSuite {
     assert(again == after)
   }
 
+  test("relocateKeys: a corrected date moves the row across partitions, no stale copy, emptied partition deleted") {
+    val path = Files.createTempDirectory("wh").toString + "/relocate"
+    // month 2 holds ONLY row 2 — the relocation empties it entirely
+    val base = Seq((1L, "a", 2024L, 1L), (2L, "b", 2024L, 2L))
+      .toDF("id", "v", "year", "month")
+    WarehouseSink.writeSnapshot(base, path)
+    // the reference's corrected-crash-date case: row 2 moves to month 1
+    val corrected = Seq((2L, "b2", 2024L, 1L)).toDF("id", "v", "year", "month")
+    WarehouseSink.merge(spark, corrected, path, "id", relocateKeys = true)
+    val after = spark.read.parquet(path)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getAs[Number]("month").longValue())).toSet
+    assert(after == Set((1L, "a", 1L), (2L, "b2", 1L)),
+      s"moved row must exist exactly once in its NEW partition: $after")
+    // the emptied month-2 partition directory must be physically gone —
+    // a stale dir resurrects the old row on the next full read
+    assert(!Files.exists(java.nio.file.Paths.get(path, "year=2024", "month=2")),
+      "emptied partition must be deleted")
+
+    // and the documented hazard is real: WITHOUT relocateKeys the old
+    // partition keeps a stale duplicate of the moved key
+    val path2 = Files.createTempDirectory("wh").toString + "/norelocate"
+    WarehouseSink.writeSnapshot(base, path2)
+    WarehouseSink.merge(spark, corrected, path2, "id")
+    val dup = spark.read.parquet(path2).filter(col("id") === 2L).count()
+    assert(dup == 2L, "the non-relocating merge leaves the stale copy (the documented trade)")
+  }
+
   test("merge treats only a missing warehouse as first load; other read failures abort") {
     // first load: path does not exist → batch becomes the table
     val fresh = Files.createTempDirectory("wh").toString + "/new_table"
