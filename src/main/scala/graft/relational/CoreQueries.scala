@@ -469,7 +469,88 @@ object CoreQueries {
       .orderBy(col("p_partkey"), col("s_suppkey"))
   }
 
+  /** #5u TPC-H Q7 shape — cross-nation trade volume: revenue shipped
+    * between two named nations in both directions, per shipment year (the
+    * two-sided dim-pair filter + fact⋈fact join). Plan discipline: BOTH
+    * fact sides are cut to the nation pair BEFORE the orderkey join — the
+    * supplier-nation broadcast prunes lineitem to suppliers of either
+    * nation, the customer-nation broadcast prunes orders to customers of
+    * either nation — so the only big shuffle (fact⋈fact on l_orderkey)
+    * carries two already-filtered slivers, not the raw tables. Revenue
+    * sums in exact integer cents (order-independent), displayed /100. */
+  val Q23NationA = "NATION_13"
+  val Q23NationB = "NATION_19"
+
+  def q23NationVolume(s: SparkSession, dir: String): DataFrame = {
+    val nations = Tables.nation(s, dir)
+      .filter(col("n_name").isin(Q23NationA, Q23NationB))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), year(col("l_shipdate")).as("l_year"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long").as("cents"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+    val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("cents")).cast("double") / 100.0, 2).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** #5v TPC-H Q8 shape — national market share: the fraction of one
+    * region's customer revenue supplied by one nation, per order year (the
+    * conditional-share-of-total aggregate over a two-sided dim cut). The
+    * orders side is cut to the region's customers by broadcast BEFORE the
+    * fact⋈fact join; the supplier nation rides in as a broadcast flag on
+    * lineitem. Numerator and denominator are exact integer-cents sums —
+    * the share is ONE double division at the end, so partitioning can
+    * never move it (the repo-wide float-threshold convention). */
+  val Q24Region = "AMERICA"
+  val Q24Nation = "NATION_19"
+
+  def q24MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val regionNations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === Q24Region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(regionNations), col("c_nationkey") === col("n_nationkey"), "left_semi")
+      .select(col("c_custkey"))
+    val suppFlag = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), (col("n_name") === Q24Nation).as("is_nat"))
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long").as("cents"))
+      .join(broadcast(suppFlag), col("l_suppkey") === col("s_suppkey"))
+    val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_year"))
+      .agg(sum(when(col("is_nat"), col("cents")).otherwise(0L)).as("nat_cents"),
+        sum(col("cents")).as("all_cents"), count(lit(1)).as("n_lines"))
+      .select(col("o_year"),
+        round(col("nat_cents").cast("double") / col("all_cents"), 4).as("mkt_share"),
+        round(col("all_cents").cast("double") / 100.0, 2).as("total_revenue"),
+        col("n_lines"))
+      .orderBy(col("o_year"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_nation_volume"  -> (q23NationVolume _),
+    "q24_market_share"   -> (q24MarketShare _),
     "q21_min_cost_supplier" -> (q21MinCostSupplier _),
     "q11_important_stock" -> (q11ImportantStock _),
     "q20_part_supplier"  -> (q20PartSupplier _),
@@ -492,6 +573,37 @@ object CoreQueries {
     "q7_promo_ratio"     -> (q7PromoRatio _))
 
   val oracles: Map[String, String] = Map(
+    "q23_nation_volume" ->
+      s"""SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+         | year(l_shipdate)::INTEGER AS l_year, count(*)::BIGINT AS n_lines,
+         | round(sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::DOUBLE / 100.0, 2) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |WHERE n1.n_name IN ('$Q23NationA', '$Q23NationB')
+         |  AND n2.n_name IN ('$Q23NationA', '$Q23NationB')
+         |  AND n1.n_name <> n2.n_name
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q24_market_share" ->
+      s"""WITH j AS (SELECT year(o_orderdate)::INTEGER AS o_year,
+         |  round(l_extendedprice * (1 - l_discount) * 100)::BIGINT AS cents,
+         |  (sn.n_name = '$Q24Nation') AS is_nat
+         | FROM lineitem
+         | JOIN orders ON l_orderkey = o_orderkey
+         | JOIN customer ON o_custkey = c_custkey
+         | JOIN nation cn ON c_nationkey = cn.n_nationkey
+         | JOIN region ON cn.n_regionkey = r_regionkey
+         | JOIN supplier ON l_suppkey = s_suppkey
+         | JOIN nation sn ON s_nationkey = sn.n_nationkey
+         | WHERE r_name = '$Q24Region')
+         |SELECT o_year,
+         | round(sum(CASE WHEN is_nat THEN cents ELSE 0 END)::DOUBLE / sum(cents), 4) AS mkt_share,
+         | round(sum(cents)::DOUBLE / 100.0, 2) AS total_revenue,
+         | count(*)::BIGINT AS n_lines
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q21_min_cost_supplier" ->
       s"""WITH rs AS (SELECT s_suppkey, s_name, n_name
          | FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
