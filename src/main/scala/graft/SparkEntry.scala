@@ -17,7 +17,7 @@ object SparkEntry {
       etl.Survivorship.queries ++ etl.GeoCluster.queries ++ etl.RecordLinkage.queries ++
       etl.CompactionPlan.queries ++ etl.SchemaDrift.queries ++ etl.JoinProfile.queries ++
       etl.ProfileSuggest.queries ++
-      text.TextQueries.queries ++ text.ImportanceResample.queries ++ text.SampleSplit.queries ++ text.HashEmbed.queries ++ text.PiiScrub.queries ++ text.BpeTrain.queries ++
+      text.TextQueries.queries ++ text.ImportanceResample.queries ++ text.SampleSplit.queries ++ text.PpsSample.queries ++ text.HashEmbed.queries ++ text.PiiScrub.queries ++ text.BpeTrain.queries ++
       text.LmScore.queries ++
       text.CorpusPipeline.queries ++
       dedup.DedupQueries.queries ++
@@ -49,7 +49,7 @@ object SparkEntry {
       etl.Survivorship.oracles ++ etl.GeoCluster.oracles ++ etl.RecordLinkage.oracles ++
       etl.CompactionPlan.oracles ++ etl.SchemaDrift.oracles ++ etl.JoinProfile.oracles ++
       etl.ProfileSuggest.oracles ++
-      text.TextQueries.oracles ++ text.ImportanceResample.oracles ++ text.SampleSplit.oracles ++ text.HashEmbed.oracles ++
+      text.TextQueries.oracles ++ text.ImportanceResample.oracles ++ text.SampleSplit.oracles ++ text.PpsSample.oracles ++ text.HashEmbed.oracles ++
       text.PiiScrub.oracles ++ text.LmScore.oracles ++
       text.CorpusPipeline.oracles ++ dedup.DedupQueries.oracles ++
       dedup.DedupClusters.oracles ++ dedup.MinHashLsh.oracles ++
