@@ -153,6 +153,54 @@ object BpeTrain {
     }
   }
 
+  /** Per-word final symbol sequence under a merge list. */
+  def symbolsOf(word: String, merges: Seq[(String, String)]): Vector[String] =
+    merges.foldLeft(word.map(_.toString).toVector)(applyMerge)
+
+  /** #27j `text_bpe_apply`: tokenize the corpus under the learned merges —
+    * the token-ID STREAM per document, i.e. the actual pretraining
+    * artifact (`text_bpe_vocab` audits counts; this emits the sequence a
+    * trainer consumes). Token ids are assigned deterministically: the
+    * vocabulary is every distinct post-merge symbol of the dictionary,
+    * id = rank in lexicographic symbol order (content-stable — ids never
+    * depend on partitioning or dictionary iteration order). Words outside
+    * the (bounded) dictionary emit no ids — the same miss semantics as
+    * the vocab op's element_at-miss-counts-0, so `n_tokens` here equals
+    * `text_bpe_vocab.n_bpe_tokens` row for row (spec-pinned).
+    *
+    * Scale: the word→ids table is vocabulary-sized (the bounded trainer
+    * artifact); it ships as a broadcast join against the exploded words —
+    * posexplode keeps word order, the per-doc reassembly is one
+    * sorted-struct collect bounded by doc length (the `dedup_rewrite`
+    * reassembly discipline). Rows-only by declared design: merges are
+    * data-dependent, so no static SQL can state them (the `text_bpe_vocab`
+    * reason); the spec replays tokenization driver-side and pins the
+    * vocab-op consistency identity. */
+  def bpeApply(s: SparkSession, dir: String): DataFrame = {
+    val dict = wordCounts(s, dir)
+    val merges = learn(dict, NumMerges)
+    val wordSyms = dict.map { case (w, _) => w -> symbolsOf(w, merges) }
+    val vocab = wordSyms.iterator.flatMap(_._2).toSet.toSeq.sorted
+    val ids = vocab.iterator.zipWithIndex.map { case (t, i) => t -> i.toLong }.toMap
+    val tokTable =
+      if (wordSyms.isEmpty) s.createDataFrame(Seq.empty[(String, Seq[Long])])
+        .toDF("word", "ids")
+      else s.createDataFrame(wordSyms.toSeq.map { case (w, syms) =>
+        (w, syms.map(ids)) }).toDF("word", "ids")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode_outer(split(col("text"), "\\s+")))
+      .filter(col("col").isNull || col("col") =!= "")
+    docs.join(broadcast(tokTable), col("col") === col("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(flatten(array_sort(collect_list(struct(col("pos"),
+          coalesce(col("ids"), array().cast("array<long>")).as("ids"))))
+        .getField("ids")).as("token_ids"))
+      .select(col("doc_id"), size(col("token_ids")).cast("long").as("n_tokens"),
+        col("token_ids"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_bpe_vocab" -> (bpeVocab _))
+    "text_bpe_vocab" -> (bpeVocab _),
+    "text_bpe_apply" -> (bpeApply _))
 }

@@ -73,4 +73,32 @@ class BpeSpec extends AnyFunSuite {
     // the 10 merges must actually fire somewhere
     assert(rows.exists { case (_, nChar, nBpe, _) => nBpe < nChar })
   }
+
+  test("bpe_apply token streams replay driver-side and agree with the vocab op") {
+    val dict = BpeTrain.wordCounts(spark, sf)
+    val merges = BpeTrain.learn(dict, BpeTrain.NumMerges)
+    val vocab = dict.iterator
+      .flatMap { case (w, _) => BpeTrain.symbolsOf(w, merges) }.toSet.toSeq.sorted
+    val ids = vocab.iterator.zipWithIndex.map { case (t, i) => t -> i.toLong }.toMap
+    val known = dict.map(_._1).toSet
+    val expect = graft.Tables.documents(spark, sf)
+      .selectExpr("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).split("\\s+").filter(_.nonEmpty).toSeq
+          .filter(known).flatMap(w => BpeTrain.symbolsOf(w, merges).map(ids))
+        (r.getLong(0), toks.length.toLong, toks)
+      }.sortBy(_._1).toSeq
+    val got = BpeTrain.bpeApply(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toSeq)).toSeq
+    assert(got == expect)
+    assert(got.exists(_._2 > 0))
+    // cross-op identity: the emitted stream length IS the vocab op's count
+    val vocabCounts = BpeTrain.bpeVocab(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    got.foreach { case (id, n, _) =>
+      assert(vocabCounts(id) == n, s"doc $id: stream length $n != vocab count")
+    }
+    // ids are content-stable ranks: every id addresses the sorted vocab
+    assert(got.flatMap(_._3).forall(i => i >= 0 && i < vocab.length))
+  }
 }
