@@ -548,7 +548,100 @@ object CoreQueries {
       .orderBy(col("o_year"))
   }
 
+  /** #5w TPC-H Q4 shape — order-priority checking: how many orders placed
+    * in one quarter had at least one SLOW lineitem (shipped more than
+    * [[Q25LateDays]] days after the order date — the testdata's stand-in
+    * for Q4's commitdate<receiptdate, which the synthetic schema lacks),
+    * counted per priority. The EXISTS collapses to a left-semi hash join
+    * whose PROBE side is the quarter-filtered orders (the date range
+    * pushes into the orders scan) and whose build side is pre-projected
+    * lineitems — the correlated predicate (l_shipdate vs o_orderdate)
+    * rides the join condition, so neither fact is scanned twice and
+    * nothing aggregates before the |priorities|-key count. */
+  val Q25Quarter = ("1997-01-01 00:00:00", "1997-04-01 00:00:00")
+  val Q25LateDays = 60
+
+  def q25PriorityCheck(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf(Q25Quarter._1)) &&
+        col("o_orderdate") < lit(java.sql.Timestamp.valueOf(Q25Quarter._2)))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr(s"interval $Q25LateDays days"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** #5x TPC-H Q10 shape — returned-item reporting: the top [[Q26TopN]]
+    * customers by revenue lost to returns ('R' lineitems against orders
+    * placed in one quarter) with their nation named. The returnflag and
+    * date predicates push into their scans; revenue accumulates in exact
+    * integer cents per customer (map-side combinable); the top-N is
+    * TakeOrderedAndProject (per-partition heads, no global sort) and only
+    * then do the |N| survivors fetch customer/nation names via broadcast.
+    * Ties at the cut break on (revenue desc, custkey) — a total order. */
+  val Q26Quarter = ("1996-07-01 00:00:00", "1996-10-01 00:00:00")
+  val Q26TopN = 20
+
+  def q26ReturnedCustomers(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf(Q26Quarter._1)) &&
+        col("o_orderdate") < lit(java.sql.Timestamp.valueOf(Q26Quarter._2)))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long").as("cents"))
+    val per = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("cents")).as("lost_cents"), count(lit(1)).as("n_returned"))
+      .orderBy(col("lost_cents").desc, col("o_custkey")).limit(Q26TopN)
+    per
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        round(col("lost_cents").cast("double") / 100.0, 2).as("lost_revenue"),
+        col("n_returned"))
+      .orderBy(col("lost_revenue").desc, col("c_custkey"))
+  }
+
+  /** #5y TPC-H Q12 shape — late-line priority audit: per lineitem STATUS
+    * class, how many of its lines belong to critical-priority orders
+    * (1-URGENT / 2-HIGH) vs not, restricted to lines shipped more than
+    * [[Q27LateDays]] days after their order date (the "did slow logistics
+    * hit critical orders" report; TPC-H's shipmode column does not exist
+    * in the synthetic schema — l_linestatus takes its grouping role).
+    * ONE fact⋈fact join carries the date predicate; the two counts are
+    * conditional sums of the same grouped pass — never two scans. */
+  val Q27LateDays = 90
+
+  def q27LatePriority(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linestatus"), col("l_shipdate"))
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    li.join(o, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr(s"interval $Q27LateDays days"))
+      .groupBy(col("l_linestatus"))
+      .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_priority_check" -> (q25PriorityCheck _),
+    "q26_returned_customers" -> (q26ReturnedCustomers _),
+    "q27_late_priority"  -> (q27LatePriority _),
     "q23_nation_volume"  -> (q23NationVolume _),
     "q24_market_share"   -> (q24MarketShare _),
     "q21_min_cost_supplier" -> (q21MinCostSupplier _),
@@ -573,6 +666,38 @@ object CoreQueries {
     "q7_promo_ratio"     -> (q7PromoRatio _))
 
   val oracles: Map[String, String] = Map(
+    "q25_priority_check" ->
+      s"""SELECT o_orderpriority, count(*)::BIGINT AS order_count
+         |FROM orders o
+         |WHERE o_orderdate >= TIMESTAMP '${Q25Quarter._1}'
+         |  AND o_orderdate < TIMESTAMP '${Q25Quarter._2}'
+         |  AND EXISTS (SELECT 1 FROM lineitem l
+         |    WHERE l.l_orderkey = o.o_orderkey
+         |      AND l.l_shipdate > o.o_orderdate + INTERVAL $Q25LateDays DAY)
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q26_returned_customers" ->
+      s"""WITH per AS (SELECT o_custkey,
+         |  sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS lost_cents,
+         |  count(*)::BIGINT AS n_returned
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         | WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '${Q26Quarter._1}'
+         |  AND o_orderdate < TIMESTAMP '${Q26Quarter._2}'
+         | GROUP BY 1 ORDER BY lost_cents DESC, o_custkey LIMIT $Q26TopN)
+         |SELECT c.c_custkey, c.c_name, n.n_name,
+         | round(per.lost_cents::DOUBLE / 100.0, 2) AS lost_revenue, per.n_returned
+         |FROM per JOIN customer c ON c.c_custkey = per.o_custkey
+         |JOIN nation n ON n.n_nationkey = c.c_nationkey
+         |ORDER BY lost_revenue DESC, c_custkey""".stripMargin,
+    "q27_late_priority" ->
+      s"""SELECT l_linestatus,
+         | sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |   THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+         | sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |   THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE l_shipdate > o_orderdate + INTERVAL $Q27LateDays DAY
+         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "q23_nation_volume" ->
       s"""SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
          | year(l_shipdate)::INTEGER AS l_year, count(*)::BIGINT AS n_lines,
