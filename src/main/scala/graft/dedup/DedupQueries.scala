@@ -293,6 +293,21 @@ object DedupQueries {
     * df-cap is the knob that keeps the self-join linear at 100 TB.
     * Docs under [[ContainMinShingles]] rare shingles are excluded — a
     * 2-shingle doc "contained" anywhere is noise, not duplication. */
+  /** The cross-engine 64-bit shingle key: first 8 md5 bytes as one word
+    * (built from codegen'd builtins — conv on two 8-hex halves, shiftleft
+    * never ANSI-overflows; the DuckDB twin is
+    * `('0x' || substr(md5(g),1,16))::UBIGINT`, the same bit pattern).
+    * Keying the inverted index on it instead of the raw shingle STRING
+    * shrinks the hot self-join/groupBy keys from ~40 bytes to 8 — the
+    * declared metric is containment over md5u64-keyed rare shingles, so
+    * both engines group identically even under (2^-64) digest collisions. */
+  private def md5Key(c: Column): Column = {
+    val hex = md5(c.cast("binary"))
+    call_function("shiftleft",
+      call_function("conv", substring(hex, 1, 8), lit(16), lit(10)).cast("long"), lit(32))
+      .bitwiseOR(call_function("conv", substring(hex, 9, 8), lit(16), lit(10)).cast("long"))
+  }
+
   def containment(s: SparkSession, dir: String): DataFrame = {
     graft.functions.HashExprs.register(s)
     val d = Tables.documents(s, dir)
@@ -301,7 +316,8 @@ object DedupQueries {
     // persist: the exploded index feeds the df count AND the rare join —
     // without it the corpus is scanned and re-shingled twice
     val inv = graft.CacheRegistry.track(
-      d.select(col("doc_id"), explode(col("sh")).as("g")))
+      d.select(col("doc_id"), explode(col("sh")).as("gs"))
+        .select(col("doc_id"), md5Key(col("gs")).as("g")))
     val dfCapped = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= ContainDfCap).select("g")
     // persist: three consumers (per-doc rare counts + both self-join sides)
@@ -309,8 +325,14 @@ object DedupQueries {
     val rareN = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_rare"))
     val a = rare.select(col("doc_id").as("a_id"), col("g"))
     val b = rare.select(col("doc_id").as("b_id"), col("g"))
-    a.join(b, Seq("g")).filter(col("a_id") =!= col("b_id"))
+    // shared-count is SYMMETRIC: count each unordered pair once (a < b —
+    // halves the dominant pair shuffle+aggregate), then emit both
+    // directions before the per-direction denominator join
+    val sym = a.join(b, Seq("g")).filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("shared"))
+    val both = sym.unionByName(
+      sym.select(col("b_id").as("a_id"), col("a_id").as("b_id"), col("shared")))
+    both
       .join(rareN.withColumnRenamed("doc_id", "a_id"), Seq("a_id"))
       .withColumn("containment", col("shared").cast("double") / col("n_rare"))
       .filter(col("containment") >= ContainTau)
@@ -591,7 +613,9 @@ object DedupQueries {
          |ORDER BY a_id, b_id""".stripMargin,
     "dedup_containment" ->
       s"""WITH d AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
-         |inv AS (SELECT doc_id, unnest(sh) AS g FROM d WHERE len(sh) >= $ContainMinShingles),
+         |inv AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 16))::UBIGINT AS g
+         | FROM (SELECT doc_id, unnest(sh) AS g FROM d
+         |        WHERE len(sh) >= $ContainMinShingles)),
          |dft AS (SELECT g FROM inv GROUP BY g HAVING count(*) <= $ContainDfCap),
          |rare AS (SELECT inv.doc_id, inv.g FROM inv JOIN dft USING (g)),
          |rn AS (SELECT doc_id, count(*)::BIGINT AS n_rare FROM rare GROUP BY doc_id),
