@@ -638,7 +638,174 @@ object CoreQueries {
       .orderBy(col("l_linestatus"))
   }
 
+  /** #5z TPC-H Q3 shape — shipping-priority report: the top [[Q28TopN]]
+    * unshipped orders by open revenue for one market segment as of a cut
+    * date (orders placed BEFORE it, lines shipped AFTER it — the
+    * "in-flight value" question). The segment cut rides in as a broadcast
+    * semi on custkeys BEFORE the fact⋈fact join, and both date predicates
+    * push into their parquet scans, so the orderkey join carries two
+    * pre-filtered slivers. Revenue accumulates in exact integer cents per
+    * order (map-side combinable); the top-N is TakeOrderedAndProject —
+    * per-partition heads, never a global sort — with a total-order
+    * tie-break (revenue desc, orderkey). */
+  val Q28Segment = "BUILDING"
+  val Q28CutDate = "1997-06-01 00:00:00"
+  val Q28TopN = 10
+
+  def q28ShipPriority(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit(java.sql.Timestamp.valueOf(Q28CutDate))
+    val segCust = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === Q28Segment).select(col("c_custkey"))
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < cut)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .join(broadcast(segCust), col("o_custkey") === col("c_custkey"), "left_semi")
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > cut)
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long").as("cents"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("cents")).as("rev_cents"))
+      .orderBy(col("rev_cents").desc, col("l_orderkey")).limit(Q28TopN)
+      .select(col("l_orderkey").as("o_orderkey"),
+        round(col("rev_cents").cast("double") / 100.0, 2).as("revenue"),
+        col("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+  }
+
+  /** #6a TPC-H Q5 shape — local-supplier volume: revenue per nation of one
+    * region where the CUSTOMER and the SUPPLIER sit in the SAME nation
+    * (the two-dim equality constraint that distinguishes Q5 from a plain
+    * region rollup), over one order year. Both region cuts ride in as
+    * broadcasts carrying the nationkey BEFORE the fact⋈fact join — the
+    * lineitem side resolves its supplier nation, the orders side its
+    * customer nation (with the year predicate pushed into the orders
+    * scan) — so the only big shuffle is the orderkey join of two
+    * pre-filtered slivers, and the same-nation equality is evaluated
+    * post-join with no extra exchange. Exact integer-cents revenue. */
+  val Q29Region = "ASIA"
+  val Q29Year = ("1996-01-01 00:00:00", "1997-01-01 00:00:00")
+
+  def q29LocalVolume(s: SparkSession, dir: String): DataFrame = {
+    val regionNations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === Q29Region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(regionNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(regionNations.select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"), "left_semi")
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long").as("cents"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf(Q29Year._1)) &&
+        col("o_orderdate") < lit(java.sql.Timestamp.valueOf(Q29Year._2)))
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("cents")).cast("double") / 100.0, 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** #6b TPC-H Q9 shape — product-type profit: per supplier nation per
+    * order year, profit on parts whose name matches [[Q30PartWord]],
+    * where profit = revenue − supply cost × quantity. The testdata has no
+    * partsupp table, so the supply cost is the observed one — the minimum
+    * unit price (exact integer cents) any lineitem of that (part,
+    * supplier) traded at, derived from the same fact both engines read
+    * (the q21 convention).
+    *
+    * Plan shape: the part-name cut is a broadcast semi BEFORE everything
+    * (non-matching lines never move); the per-(part, supplier) cost is an
+    * aggregate on ONE cached scan of that sliver, broadcast BACK onto it
+    * (the fact never shuffles on (part, supplier) — only |pairs| partial
+    * aggregates do); the order year rides the orderkey fact⋈fact join;
+    * profit accumulates in exact integer cents (quantity is integral in
+    * this corpus, so cost·qty stays in longs). */
+  val Q30PartWord = "widget"
+
+  def q30ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(s, dir)
+      .filter(col("p_name").contains(Q30PartWord)).select(col("p_partkey"))
+    val li = graft.CacheRegistry.track(
+      Tables.lineitem(s, dir)
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"), "left_semi")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast("long").as("qty"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long").as("rev_cents"),
+          round(col("l_extendedprice") / col("l_quantity") * 100)
+            .cast("long").as("unit_cents")))
+    val cost = li.groupBy(col("l_partkey").as("c_partkey"), col("l_suppkey").as("c_suppkey"))
+      .agg(min(col("unit_cents")).as("cost_cents"))
+    val suppNation = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    li.join(broadcast(cost),
+        col("l_partkey") === col("c_partkey") && col("l_suppkey") === col("c_suppkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(round((sum(col("rev_cents")) - sum(col("cost_cents") * col("qty")))
+          .cast("double") / 100.0, 2).as("profit"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("n_name"), col("o_year").desc)
+  }
+
+  /** #6c TPC-H Q16 shape — parts/supplier relationship: how many DISTINCT
+    * suppliers can supply each (brand, type, size) bucket, excluding one
+    * brand, one type, restricting to a size list, and excluding
+    * "complaint" suppliers (the synthetic schema has no s_comment, so the
+    * stand-in is a negative account balance — the NOT IN anti-join shape
+    * is what Q16 exercises). The testdata has no partsupp table, so the
+    * supplier set of a part is the observed one: DISTINCT (part,
+    * supplier) pairs from the fact.
+    *
+    * Plan shape: part predicates ride a broadcast join BEFORE the distinct
+    * (non-qualifying lines never shuffle); complaint suppliers are a
+    * broadcast anti; the (part, supplier) distinct and the per-bucket
+    * COUNT(DISTINCT suppkey) share Spark's two-level distinct-aggregate
+    * expansion — partial aggregation keeps the exchange at |pairs|, never
+    * raw fact rows. */
+  val Q31ExcludeBrand = "Brand#13"
+  val Q31ExcludeType = "PROMO"
+  val Q31Sizes = Seq(1, 4, 9, 16, 25, 36, 49)
+
+  def q31SupplierParts(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(s, dir)
+      .filter(col("p_brand") =!= Q31ExcludeBrand && col("p_type") =!= Q31ExcludeType &&
+        col("p_size").isin(Q31Sizes: _*))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val complaintSupp = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(complaintSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_ship_priority"  -> (q28ShipPriority _),
+    "q29_local_volume"   -> (q29LocalVolume _),
+    "q30_product_profit" -> (q30ProductProfit _),
+    "q31_supplier_parts" -> (q31SupplierParts _),
     "q25_priority_check" -> (q25PriorityCheck _),
     "q26_returned_customers" -> (q26ReturnedCustomers _),
     "q27_late_priority"  -> (q27LatePriority _),
@@ -666,6 +833,64 @@ object CoreQueries {
     "q7_promo_ratio"     -> (q7PromoRatio _))
 
   val oracles: Map[String, String] = Map(
+    "q28_ship_priority" ->
+      s"""WITH per AS (SELECT l_orderkey AS o_orderkey,
+         |  sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS rev_cents,
+         |  any_value(o_orderdate) AS o_orderdate,
+         |  any_value(o_orderpriority) AS o_orderpriority
+         | FROM lineitem JOIN orders ON l_orderkey = orders.o_orderkey
+         | JOIN customer ON o_custkey = c_custkey
+         | WHERE c_mktsegment = '$Q28Segment'
+         |  AND o_orderdate < TIMESTAMP '$Q28CutDate'
+         |  AND l_shipdate > TIMESTAMP '$Q28CutDate'
+         | GROUP BY 1 ORDER BY rev_cents DESC, o_orderkey LIMIT $Q28TopN)
+         |SELECT o_orderkey, round(rev_cents::DOUBLE / 100.0, 2) AS revenue,
+         | o_orderdate, o_orderpriority
+         |FROM per ORDER BY revenue DESC, o_orderkey""".stripMargin,
+    "q29_local_volume" ->
+      s"""SELECT n_name,
+         | round(sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::DOUBLE / 100.0, 2) AS revenue,
+         | count(*)::BIGINT AS n_lines
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = '$Q29Region'
+         |  AND o_orderdate >= TIMESTAMP '${Q29Year._1}'
+         |  AND o_orderdate < TIMESTAMP '${Q29Year._2}'
+         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "q30_product_profit" ->
+      s"""WITH li AS (SELECT l_orderkey, l_partkey, l_suppkey,
+         |  l_quantity::BIGINT AS qty,
+         |  round(l_extendedprice * (1 - l_discount) * 100)::BIGINT AS rev_cents,
+         |  round(l_extendedprice / l_quantity * 100)::BIGINT AS unit_cents
+         | FROM lineitem
+         | WHERE l_partkey IN (SELECT p_partkey FROM part
+         |   WHERE p_name LIKE '%$Q30PartWord%')),
+         |cost AS (SELECT l_partkey, l_suppkey,
+         |  min(unit_cents)::BIGINT AS cost_cents
+         | FROM li GROUP BY 1, 2)
+         |SELECT n_name, year(o_orderdate)::INTEGER AS o_year,
+         | round((sum(rev_cents) - sum(cost_cents * qty))::DOUBLE / 100.0, 2) AS profit,
+         | count(*)::BIGINT AS n_lines
+         |FROM li
+         |JOIN cost USING (l_partkey, l_suppkey)
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
+    "q31_supplier_parts" ->
+      s"""SELECT p_brand, p_type, p_size,
+         | count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE p_brand <> '$Q31ExcludeBrand'
+         |  AND p_type <> '$Q31ExcludeType'
+         |  AND p_size IN (${Q31Sizes.mkString(", ")})
+         |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         |GROUP BY 1, 2, 3
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     "q25_priority_check" ->
       s"""SELECT o_orderpriority, count(*)::BIGINT AS order_count
          |FROM orders o
