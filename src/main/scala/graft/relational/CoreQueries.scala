@@ -740,6 +740,7 @@ object CoreQueries {
       .filter(col("p_name").contains(Q30PartWord)).select(col("p_partkey"))
     val li = graft.CacheRegistry.track(
       Tables.lineitem(s, dir)
+        .filter(col("l_quantity") > 0)
         .join(broadcast(parts), col("l_partkey") === col("p_partkey"), "left_semi")
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           col("l_quantity").cast("long").as("qty"),
@@ -867,7 +868,8 @@ object CoreQueries {
          |  round(l_extendedprice * (1 - l_discount) * 100)::BIGINT AS rev_cents,
          |  round(l_extendedprice / l_quantity * 100)::BIGINT AS unit_cents
          | FROM lineitem
-         | WHERE l_partkey IN (SELECT p_partkey FROM part
+         | WHERE l_quantity > 0
+         |   AND l_partkey IN (SELECT p_partkey FROM part
          |   WHERE p_name LIKE '%$Q30PartWord%')),
          |cost AS (SELECT l_partkey, l_suppkey,
          |  min(unit_cents)::BIGINT AS cost_cents

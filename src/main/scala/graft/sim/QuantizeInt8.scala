@@ -35,7 +35,7 @@ object QuantizeInt8 {
       Seq(min(element_at(col("emb"), i)), max(element_at(col("emb"), i))))
     val statRow = e.agg(statCols.head, statCols.tail: _*).collect()
     if (statRow.isEmpty || statRow.head.isNullAt(0))
-      return e.select(col("vec_id"), array().cast("array<long>").as("codes"),
+      return e.select(col("vec_id"), lit("").as("codes"),
         lit(0.0).as("max_abs_err")).filter(lit(false))
     val r = statRow.head
     val mins = Array.tabulate(Dim)(i => r.getDouble(2 * i))
@@ -61,7 +61,12 @@ object QuantizeInt8 {
         round(array_max(zip_with(col("codes"), sequence(lit(0), lit(Dim - 1)),
           (q, i) => abs(dequant(q, i) -
             element_at(col("emb"), (i + 1).cast("int"))))), 9))
-      .select(col("vec_id"), col("codes"), col("max_abs_err"))
+      // Driver-gate convention (etl/EtlQueries.scala:118): the pandas
+      // row-sort cannot hash array cells, so the oracle-visible column is
+      // the '|'-joined scalar; the array form stays internal.
+      .select(col("vec_id"),
+        array_join(col("codes").cast("array<string>"), "|").as("codes"),
+        col("max_abs_err"))
       .orderBy(col("vec_id"))
   }
 
@@ -79,7 +84,7 @@ object QuantizeInt8 {
          |  CASE WHEN cal.sc = 0.0 THEN 0.0
          |       ELSE abs(cal.mn + round((x.v - cal.mn) / cal.sc) * cal.sc - x.v) END AS err
          | FROM x JOIN cal ON x.d = cal.d)
-         |SELECT vec_id, list(code ORDER BY d) AS codes,
+         |SELECT vec_id, string_agg(code::VARCHAR, '|' ORDER BY d) AS codes,
          | round(max(err), 9) AS max_abs_err
          |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin)
 }

@@ -195,8 +195,11 @@ object BpeTrain {
       .agg(flatten(array_sort(collect_list(struct(col("pos"),
           coalesce(col("ids"), array().cast("array<long>")).as("ids"))))
         .getField("ids")).as("token_ids"))
+      // Driver-gate convention (etl/EtlQueries.scala:118): even the
+      // rows-only path sorts the frame, so the id stream ships as the
+      // '|'-joined scalar, never a top-level array.
       .select(col("doc_id"), size(col("token_ids")).cast("long").as("n_tokens"),
-        col("token_ids"))
+        array_join(col("token_ids").cast("array<string>"), "|").as("token_ids"))
       .orderBy(col("doc_id"))
   }
 

@@ -8,14 +8,16 @@ import org.scalatest.funsuite.AnyFunSuite
   * point at an implemented query. */
 class SurveyConsistencySpec extends AnyFunSuite {
 
-  private lazy val surveyKeys: Set[String] = {
+  private lazy val surveyRows: Seq[(String, String)] = {
     val text = java.nio.file.Files.readString(java.nio.file.Paths.get("SURVEY.md"))
     val section2 = text.split("\n## ").find(_.startsWith("§2")).getOrElse(
       fail("SURVEY.md must contain a §2 section"))
-    // table rows: | <#> | `key` | ... — the key is the first backtick cell
-    "\\|\\s*[0-9]+[a-z]*\\s*\\|\\s*`([a-z0-9_]+)`".r
-      .findAllMatchIn(section2).map(_.group(1)).toSet
+    // table rows: | <#> | `key` | ... — id then the first backtick cell
+    "\\|\\s*([0-9]+[a-z]*)\\s*\\|\\s*`([a-z0-9_]+)`".r
+      .findAllMatchIn(section2).map(m => m.group(1) -> m.group(2)).toSeq
   }
+
+  private lazy val surveyKeys: Set[String] = surveyRows.map(_._2).toSet
 
   test("every SURVEY §2 row is an implemented query") {
     val missing = surveyKeys -- SparkEntry.queries.keySet
@@ -25,6 +27,13 @@ class SurveyConsistencySpec extends AnyFunSuite {
   test("every implemented query has a SURVEY §2 row") {
     val undocumented = SparkEntry.queries.keySet -- surveyKeys
     assert(undocumented.isEmpty, s"queries missing from §2: $undocumented")
+  }
+
+  test("§2 row ids are unique (the inventory stays mechanically checkable)") {
+    val dupIds = surveyRows.groupBy(_._1).filter(_._2.size > 1).keys
+    assert(dupIds.isEmpty, s"duplicate §2 row ids: ${dupIds.toSeq.sorted}")
+    val dupKeys = surveyRows.groupBy(_._2).filter(_._2.size > 1).keys
+    assert(dupKeys.isEmpty, s"duplicate §2 keys: ${dupKeys.toSeq.sorted}")
   }
 
   test("every oracle entry points at an implemented query") {

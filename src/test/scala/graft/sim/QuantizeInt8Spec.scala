@@ -22,7 +22,8 @@ class QuantizeInt8Spec extends AnyFunSuite {
       .toDF("vec_id", "embedding")
       .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
     val out = SparkEntry.queries("emb_quantize_int8")(spark, d).collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getDouble(2)))
+      .map(r => (r.getLong(0), r.getString(1).split('|').map(_.toLong).toSeq,
+        r.getDouble(2)))
     assert(out.map(o => o._2.head) sameElements Array(0L, 255L, 0L), "rails")
     assert(out.forall(_._2(1) == 0L), "constant dim codes to 0")
     assert(out.map(_._2(2)).toSeq == Seq(0L, 128L, 255L), "HALF_UP midpoint")
@@ -45,10 +46,10 @@ class QuantizeInt8Spec extends AnyFunSuite {
         if (scales(i) == 0.0) 0L else half((v(i) - mins(i)) / scales(i)))
       val err = Array.tabulate(dim)(i =>
         math.abs(mins(i) + codes(i) * scales(i) - v(i))).max
-      (id, codes.toSeq, math.rint(err * 1e9) / 1e9)
+      (id, codes.mkString("|"), math.rint(err * 1e9) / 1e9)
     }.toSeq
     val got = SparkEntry.queries("emb_quantize_int8")(spark, TestSpark.sf).collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq, r.getDouble(2))).toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
     assert(got == expect)
     assert(got.nonEmpty)
   }

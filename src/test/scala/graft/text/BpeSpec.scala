@@ -86,10 +86,10 @@ class BpeSpec extends AnyFunSuite {
       .map { r =>
         val toks = r.getString(1).split("\\s+").filter(_.nonEmpty).toSeq
           .filter(known).flatMap(w => BpeTrain.symbolsOf(w, merges).map(ids))
-        (r.getLong(0), toks.length.toLong, toks)
+        (r.getLong(0), toks.length.toLong, toks.mkString("|"))
       }.sortBy(_._1).toSeq
     val got = BpeTrain.bpeApply(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toSeq)).toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
     assert(got == expect)
     assert(got.exists(_._2 > 0))
     // cross-op identity: the emitted stream length IS the vocab op's count
@@ -99,6 +99,7 @@ class BpeSpec extends AnyFunSuite {
       assert(vocabCounts(id) == n, s"doc $id: stream length $n != vocab count")
     }
     // ids are content-stable ranks: every id addresses the sorted vocab
-    assert(got.flatMap(_._3).forall(i => i >= 0 && i < vocab.length))
+    assert(got.iterator.filter(_._3.nonEmpty).flatMap(_._3.split('|'))
+      .map(_.toLong).forall(i => i >= 0 && i < vocab.length))
   }
 }
