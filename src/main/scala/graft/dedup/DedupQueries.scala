@@ -40,6 +40,38 @@ object DedupQueries {
     * 100 TB corpus: the equi-join keys are (lang, lb, component, hash),
     * uniform by construction, and only verified candidates fetch shingle
     * sets back. */
+  /** Session-scoped staged MinHash sketch — (doc_id, lang, lb, sh, sig)
+    * per document, computed ONCE per (corpus dir, content fingerprint) and
+    * shared by every consumer of the word-shingle signature family:
+    * `dedup_ngram_jaccard` / `dedup_edit_distance` (via
+    * [[bandedCandidates]]) and `dedup_minhash_lsh`'s band frame. The
+    * shingle+md5 sketch is each op's dominant corpus pass; a nightly
+    * pipeline stages it as a parquet table between jobs, and in-session
+    * the staging is an eager localCheckpoint (the `DedupClusters.
+    * verifiedPairs` / `Kmeans.centroidCache` contract: the artifact
+    * outlives any one query; CacheRegistry's per-query release
+    * deliberately does not touch it; `clearSketchCache()` is the explicit
+    * invalidation). The key carries the appId and the table's
+    * file-listing fingerprint, so any corpus rewrite recomputes. */
+  private val sketchCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def clearSketchCache(): Unit = sketchCache.clear()
+
+  private[graft] def stagedSketch(s: SparkSession, dir: String): DataFrame =
+    sketchCache.computeIfAbsent(
+      s"${s.sparkContext.applicationId}#$dir#" +
+        graft.sources.TableFingerprint.of(s, s"$dir/documents.parquet"),
+      _ => {
+        graft.functions.HashExprs.register(s)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            (col("n_chars") / lit(100)).cast("long").as("lb"),
+            shingles(col("text")).as("sh"))
+          .withColumn("sig", graft.functions.HashExprs.minhashSig(col("sh")))
+          .localCheckpoint(true)
+      })
+
   /** Banded, occupancy-capped candidate pairs within (lang, length-bucket)
     * blocks — the one candidate generator shared by `dedup_ngram_jaccard`
     * and `dedup_edit_distance` (each applies its own verify metric).
@@ -47,15 +79,12 @@ object DedupQueries {
   private[dedup] def bandedCandidates(s: SparkSession, dir: String,
       minMatches: Int = MinBandMatches): DataFrame = {
     graft.functions.HashExprs.register(s)
-    val d = Tables.documents(s, dir).select(
-      col("doc_id"), col("lang"), (col("n_chars") / lit(100)).cast("long").as("lb"),
-      shingles(col("text")).as("sh"))
-    // cached: the banded frame feeds the hot-bucket ledger and both
-    // self-join sides — uncached each would re-run the signature sketch
-    val banded = graft.CacheRegistry.track(d
-      .select(col("doc_id"), col("lang"), col("lb"),
-        posexplode(graft.functions.HashExprs.minhashSig(col("sh"))))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "hval")))
+    // the staged sketch is already materialized — the posexplode feeding
+    // the hot-bucket ledger and both self-join sides reads checkpoint
+    // blocks, never re-running the shingle+signature pass
+    val banded = stagedSketch(s, dir)
+      .select(col("doc_id"), col("lang"), col("lb"), posexplode(col("sig")))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "hval"))
     // hot-bucket cap (MinHashLsh.MaxBandBucket — the shared declared
     // metric): buckets holding (near-)byte-identical mass are exact
     // dedup's job; excluding them keeps candidate mass linear
@@ -100,8 +129,7 @@ object DedupQueries {
 
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     graft.functions.HashExprs.register(s)
-    val d = Tables.documents(s, dir).select(
-      col("doc_id"), shingles(col("text")).as("sh"))
+    val d = stagedSketch(s, dir).select(col("doc_id"), col("sh"))
     val candidates = bandedCandidates(s, dir)
     // broadcast-semi prune: only candidate docs' shingle sets are fetched
     // into the verify joins — the corpus-wide shingle table never shuffles

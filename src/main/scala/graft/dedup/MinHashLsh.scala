@@ -54,16 +54,18 @@ object MinHashLsh {
     * 16 band projections. */
   def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.HashExprs.register(s)
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), DedupQueries.shingles(col("text")).as("sh"))
-    val sigs = docs
-      .select(col("doc_id"), graft.functions.HashExprs.minhashSig(col("sh")).as("sig"))
-      .repartition(col("doc_id"))
-    // banded is cached: it feeds the occupancy ledger AND both self-join
-    // sides — uncached each would re-run the signature sketch
-    val banded = graft.CacheRegistry.track(sigs
+    // ONE sketch pass per session: shingles + signatures come from the
+    // staged frame shared with dedup_ngram_jaccard / dedup_edit_distance
+    // (DedupQueries.stagedSketch — an eager localCheckpoint, so the band
+    // explode below reads checkpoint blocks and Catalyst cannot re-inline
+    // the sketch into the 16 band projections; the old repartition barrier
+    // is no longer needed)
+    val staged = DedupQueries.stagedSketch(s, dir)
+    val docs = staged.select(col("doc_id"), col("sh"))
+    val sigs = staged.select(col("doc_id"), col("sig"))
+    val banded = sigs
       .select(col("doc_id"), explode(sequence(lit(0), lit(Bands - 1))).as("band"), col("sig"))
-      .select(col("doc_id"), col("band"), bandKey(col("band"), col("sig")).as("bkey")))
+      .select(col("doc_id"), col("band"), bandKey(col("band"), col("sig")).as("bkey"))
     // hot-bucket cap (MaxBandBucket): the over-cap ledger is tiny by
     // definition (each entry accounts for >cap rows), so it broadcasts
     val hot = banded.groupBy(col("band"), col("bkey"))
