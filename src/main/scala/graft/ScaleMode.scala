@@ -25,7 +25,10 @@ import org.apache.spark.sql.SparkSession
   *    bounds from one `percentile_approx` array + map-side bucket
   *    assignment, no window at all;
   *  - `ts_rolling_quantile`: per-window exact rank selection →
-  *    `percentile_approx` per trailing window.
+  *    `percentile_approx` per trailing window;
+  *  - `sample_kcenter`: K−1 sequential farthest-first corpus scans →
+  *    doubling-batch rounds (⌈log₂K⌉ TakeOrdered scans, batch r picks the
+  *    min(|centers|, K−|centers|) farthest points at once).
   *
   * Default off: the exact forms are the oracle-checked contract, and the
   * driver's correctness gate runs them. `ScaleModeSpec` pins, per operator:

@@ -28,11 +28,44 @@ import graft.dedup.DedupQueries.{cosine, cosineSql}
   * Scale: each round is ONE map-side pass (compiled TopCells against the
   * ≤K-vector literal) + a one-row min aggregate; K rounds total, K×Dim
   * doubles on the driver — the bounded-model-artifact contract. Nothing
-  * quadratic, nothing driver-side but the coreset itself.
+  * quadratic, nothing driver-side but the coreset itself. K SEQUENTIAL
+  * corpus scans are the exact form's cost; at 100 TB the conf-switched
+  * batched form (`spark.graft.scale.approx=true`) doubles the pick batch
+  * each round — round r selects min(|centers|, K−|centers|) farthest
+  * points in ONE TakeOrderedAndProject pass (per-partition heads, never a
+  * global sort) — so the whole coreset costs ⌈log₂K⌉ scans instead of
+  * K−1. Batched Gonzalez keeps the 2·OPT-flavored coverage guarantee up
+  * to the batch factor (each batch is chosen against the same center
+  * set, so two batch-mates can be close — the standard over-select
+  * trade); `ScaleModeSpec` pins the batched picks to a driver replay and
+  * the scan count to ⌈log₂K⌉.
   */
 object KCenter {
 
   val K = 8
+
+  /** Batched farthest-first rounds (the `scale.approx` path): pick sizes
+    * 1, 1, 2, 4, … (doubling), each batch the `b` not-yet-chosen vectors
+    * with the LOWEST round-6 max-cosine to the chosen set (ties to the
+    * lowest vec_id) — one bounded TakeOrdered pass per round. */
+  private[sim] def batchedRounds(e: DataFrame,
+      seed: (Long, Array[Double]), k: Int): Vector[(Long, Array[Double])] = {
+    graft.functions.HashExprs.register(e.sparkSession)
+    var centers = Vector(seed)
+    while (centers.size < k) {
+      val cents = centers.map(_._2).toArray
+      val chosen = centers.map(_._1)
+      val b = math.min(centers.size, k - centers.size)
+      val picks = CentroidAssign.withBestCell(
+          e.filter(!col("vec_id").isin(chosen: _*)), cents)
+        .select(round(cosine(col("emb"), col("c_emb")), 6).as("mc"),
+          col("vec_id"), col("emb"))
+        .orderBy(col("mc"), col("vec_id")).limit(b).collect()
+      centers = centers ++ picks.map(r =>
+        r.getLong(1) -> r.getSeq[Double](2).toArray)
+    }
+    centers
+  }
 
   def kcenter(s: SparkSession, dir: String): DataFrame = {
     graft.functions.HashExprs.register(s)
@@ -47,6 +80,8 @@ object KCenter {
     val seed = e.filter(col("vec_id") === 0L).select(col("emb")).collect()
     require(seed.length == 1, "seed vec_id 0 must exist (dense-id corpus contract)")
     var centers = Vector(0L -> seed.head.getSeq[Double](0).toArray)
+    if (graft.ScaleMode.approx(s))
+      centers = batchedRounds(e, centers.head, k)
     while (centers.size < k) {
       val cents = centers.map(_._2).toArray
       val chosen = centers.map(_._1)

@@ -22,10 +22,11 @@ import graft.Tables
   *
   * Scale posture: the cumulative sum is NOT a global-sort window — it is
   * the two-level distributed prefix sum: (1) per-bucket weight totals
-  * (map-side combinable aggregate on doc_id div [[PpsBucket]]), (2) bucket
-  * prefix offsets via a window over the |buckets| rows (bounded: bucket
-  * size ∝ √n keeps both levels √n at 100 TB; at today's SFs |buckets| is
-  * tens of rows), broadcast back, (3) within-bucket cumsum windows that
+  * (map-side combinable aggregate on doc_id div width, width derived at
+  * ~√(id span) from a one-row calibration aggregate), (2) bucket
+  * prefix offsets via a window over the ~√n bucket rows (the derived
+  * width keeps BOTH levels √n at any scale), broadcast back, (3)
+  * within-bucket cumsum windows that
   * parallelize across buckets. The step is a one-row broadcast. The
   * selection predicate ((cum div step) − ((cum−w) div step) ≥ 1) is
   * map-side; nothing wide ever shuffles.
@@ -34,31 +35,43 @@ object PpsSample {
 
   /** Target sample size: step = max(totalW div TargetN, 1). */
   val TargetN = 64
-  /** Prefix-sum bucket width in doc_ids (∝ √n at scale; see scaladoc). */
-  val PpsBucket = 1024L
+  /** Floor for the derived prefix-sum bucket width (tiny corpora would
+    * otherwise degenerate to one doc per bucket). */
+  val MinPpsBucket = 64L
 
   def ppsSystematic(s: SparkSession, dir: String): DataFrame = {
-    // tracked: three consumers (bucket totals, the step scalar, the
-    // per-doc cumsum) would otherwise each re-scan the corpus
-    val d = graft.CacheRegistry.track(Tables.documents(s, dir)
-      .select(col("doc_id"), greatest(col("n_chars"), lit(0L)).as("w"),
-        expr(s"doc_id div $PpsBucket").as("bkt")))
+    // tracked: three consumers (the calibration aggregate, bucket totals,
+    // the per-doc cumsum) would otherwise each re-scan the corpus
+    val base = graft.CacheRegistry.track(Tables.documents(s, dir)
+      .select(col("doc_id"), greatest(col("n_chars"), lit(0L)).as("w")))
+    // one-row calibration (the bounded-model-artifact contract): total
+    // weight fixes the step; the id span fixes the bucket width at
+    // ~sqrt(span), so BOTH prefix-sum levels are O(sqrt n) — a constant
+    // width would make the |buckets| window the O(n) single-partition
+    // bottleneck at 100 TB. The width only shapes the plan: the cumulative
+    // sum (and therefore the output) is bucketing-invariant, so the float
+    // sqrt can never leak into the result.
+    val calRow = base.agg(sum(col("w")), max(col("doc_id"))).head
+    if (calRow.isNullAt(1))
+      return base.select(col("doc_id"), col("w").as("weight"),
+        lit(0L).as("copies")).filter(lit(false))
+    val step = math.max(calRow.getLong(0) / TargetN, 1L)
+    val width = math.max(math.ceil(
+      math.sqrt((calRow.getLong(1) + 1).toDouble)).toLong, MinPpsBucket)
+    val d = base.withColumn("bkt", expr(s"doc_id div $width"))
     val bsums = d.groupBy(col("bkt")).agg(sum(col("w")).as("bw"))
-    // |buckets|-row frame: the single-partition window is bounded by the
-    // √n bucket discipline — never a window over the documents themselves
+    // ~sqrt(n)-row frame: the single-partition window is bounded by the
+    // derived-width discipline — never a window over the documents
     val boff = bsums.withColumn("boffset",
       coalesce(sum(col("bw")).over(
         Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("bkt"), col("boffset"))
-    val step = d.agg(sum(col("w")).as("totw"))
-      .select(greatest(expr(s"totw div $TargetN"), lit(1L)).as("step"))
-    val cum = d.join(broadcast(boff), Seq("bkt"))
+    d.join(broadcast(boff), Seq("bkt"))
       .withColumn("cin", sum(col("w")).over(
         Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("cum", col("boffset") + col("cin"))
-    cum.crossJoin(broadcast(step))
-      .withColumn("copies", expr("(cum div step) - ((cum - w) div step)"))
+      .withColumn("copies", expr(s"(cum div ${step}L) - ((cum - w) div ${step}L)"))
       .filter(col("copies") >= 1L)
       .select(col("doc_id"), col("w").as("weight"), col("copies"))
       .orderBy(col("doc_id"))

@@ -167,5 +167,13 @@ class Q28Q31Spec extends AnyFunSuite {
     assert(p31.contains("LeftAnti"), "q31 complaint cut must be an anti join")
     assert(p31.contains("BroadcastHashJoin"))
     assert(!p31.contains("CartesianProduct"))
+    // two-level distinct expansion: the count(DISTINCT suppkey) must run
+    // as partial-distinct aggregates (the exchange carries deduped
+    // (bucket, suppkey) pairs, never raw fact rows) — a single-level plan
+    // would show no partial_count(distinct ...) phase
+    assert(p31.contains("partial_count(distinct"),
+      "q31 distinct count must be the two-level partial-distinct aggregate")
+    assert(!p31.contains("Expand"),
+      "single distinct column must not trigger the multi-distinct Expand")
   }
 }

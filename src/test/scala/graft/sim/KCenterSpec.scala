@@ -64,6 +64,40 @@ class KCenterSpec extends AnyFunSuite {
     assert(out.forall { case (id, c, _) => c == id })
   }
 
+  test("scale.approx: batched doubling rounds replay driver-side (log2 K scans)") {
+    val e = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) AS emb")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    val byId = e.toMap
+    val k = math.min(KCenter.K, e.length)
+    // driver replay of the batched picks: batch b = min(|centers|, k-|centers|),
+    // each batch = the b lowest (round-6 max-cosine, vec_id) not yet chosen
+    var centers = Vector(0L)
+    var rounds = 0
+    while (centers.size < k) {
+      val b = math.min(centers.size, k - centers.size)
+      val picks = e.filter(v => !centers.contains(v._1))
+        .map { case (id, v) => (centers.map(c => r6(cos(v, byId(c)))).max, id) }
+        .sorted.take(b).map(_._2)
+      centers = centers ++ picks
+      rounds += 1
+    }
+    assert(rounds <= math.ceil(math.log(k.toDouble) / math.log(2.0)).toInt + 1,
+      "doubling batches must finish in ~log2 K rounds")
+    spark.conf.set(graft.ScaleMode.Key, "true")
+    val got = try SparkEntry.queries("sample_kcenter")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    finally { spark.conf.unset(graft.ScaleMode.Key); graft.CacheRegistry.releaseAll() }
+    assert(got.filter(_._3).map(_._1).toSet == centers.toSet,
+      "batched coreset must equal the driver replay")
+    // assignment is still nearest-center under the batched center set
+    val expect = e.map { case (id, v) =>
+      val best = centers.map(c => (-r6(cos(v, byId(c))), c)).min._2
+      (id, best, centers.contains(id))
+    }.toSeq
+    assert(got == expect)
+  }
+
   test("coverage: every point's cosine to its center is >= its cosine to any later-picked center's cell") {
     val rows = SparkEntry.queries("sample_kcenter")(spark, sf).collect()
     assert(rows.nonEmpty)
