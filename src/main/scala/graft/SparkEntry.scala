@@ -18,6 +18,7 @@ object SparkEntry {
       etl.CompactionPlan.queries ++ etl.SchemaDrift.queries ++ etl.JoinProfile.queries ++
       etl.ProfileSuggest.queries ++
       text.TextQueries.queries ++ text.ImportanceResample.queries ++ text.SampleSplit.queries ++ text.PpsSample.queries ++ text.HashEmbed.queries ++ text.PiiScrub.queries ++ text.BpeTrain.queries ++
+      text.Reservoir.queries ++ text.KnCounts.queries ++
       text.LmScore.queries ++
       text.CorpusPipeline.queries ++
       dedup.DedupQueries.queries ++
@@ -33,7 +34,7 @@ object SparkEntry {
       streaming.StreamAnomaly.queries ++ streaming.StreamTopK.queries ++
       streaming.StreamCdcApply.queries ++ streaming.StreamCep.queries ++
       timeseries.TsQueries.queries ++ timeseries.CrossCorr.queries ++
-      timeseries.RollingQuantile.queries ++
+      timeseries.RollingQuantile.queries ++ timeseries.Lttb.queries ++
       stats.SketchQueries.queries ++ stats.HeavyHitters.queries ++ stats.KmvSketch.queries ++
       stats.Correlation.queries ++ stats.CountMin.queries ++ stats.Concentration.queries ++
       graph.PageRank.queries ++ graph.Triangles.queries ++ graph.Neighbors.queries ++
@@ -50,6 +51,7 @@ object SparkEntry {
       etl.CompactionPlan.oracles ++ etl.SchemaDrift.oracles ++ etl.JoinProfile.oracles ++
       etl.ProfileSuggest.oracles ++
       text.TextQueries.oracles ++ text.ImportanceResample.oracles ++ text.SampleSplit.oracles ++ text.PpsSample.oracles ++ text.HashEmbed.oracles ++
+      text.Reservoir.oracles ++ text.KnCounts.oracles ++
       text.PiiScrub.oracles ++ text.LmScore.oracles ++
       text.CorpusPipeline.oracles ++ dedup.DedupQueries.oracles ++
       dedup.DedupClusters.oracles ++ dedup.MinHashLsh.oracles ++
@@ -65,7 +67,7 @@ object SparkEntry {
       streaming.StreamTopK.oracles ++ streaming.StreamCdcApply.oracles ++
       streaming.StreamCep.oracles ++
       timeseries.TsQueries.oracles ++ timeseries.CrossCorr.oracles ++
-      timeseries.RollingQuantile.oracles ++
+      timeseries.RollingQuantile.oracles ++ timeseries.Lttb.oracles ++
       stats.SketchQueries.oracles ++ stats.HeavyHitters.oracles ++ stats.KmvSketch.oracles ++
       stats.Correlation.oracles ++ stats.CountMin.oracles ++ stats.Concentration.oracles ++
       graph.PageRank.oracles ++ graph.Triangles.oracles ++ graph.Neighbors.oracles ++

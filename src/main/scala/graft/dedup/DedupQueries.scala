@@ -56,7 +56,7 @@ object DedupQueries {
   private val sketchCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  def clearSketchCache(): Unit = sketchCache.clear()
+  def clearSketchCache(): Unit = { sketchCache.clear(); pairCountCache.clear() }
 
   private[graft] def stagedSketch(s: SparkSession, dir: String): DataFrame =
     sketchCache.computeIfAbsent(
@@ -72,41 +72,60 @@ object DedupQueries {
           .localCheckpoint(true)
       })
 
+  /** Session-scoped staged collision counts — (a_id, b_id, nm) for every
+    * occupancy-capped banded collision pair (nm = matching signature
+    * components ≥ 1): the SECOND staging level after [[stagedSketch]].
+    * The banded self-join + pair aggregate is the dominant shuffle of
+    * both word-shingle near-dup ops; `dedup_ngram_jaccard` (nm ≥
+    * [[MinBandMatches]]) and `dedup_edit_distance` (nm ≥
+    * [[EditMinBandMatches]]) are FILTERS of the same staged frame, so the
+    * pair shuffle runs once per (corpus, fingerprint) per session. Same
+    * lifecycle contract as the sketch cache ([[clearSketchCache]]
+    * invalidates both). Pair mass is linear by the hot-bucket cap, so the
+    * staged frame is O(corpus), never O(n²). */
+  private val pairCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[dedup] def bandedPairCounts(s: SparkSession, dir: String): DataFrame =
+    pairCountCache.computeIfAbsent(
+      s"${s.sparkContext.applicationId}#$dir#" +
+        graft.sources.TableFingerprint.of(s, s"$dir/documents.parquet"),
+      _ => {
+        graft.functions.HashExprs.register(s)
+        // the staged sketch is already materialized — the posexplode
+        // feeding the hot-bucket ledger and both self-join sides reads
+        // checkpoint blocks, never re-running the shingle+signature pass
+        val banded = stagedSketch(s, dir)
+          .select(col("doc_id"), col("lang"), col("lb"), posexplode(col("sig")))
+          .withColumnsRenamed(Map("pos" -> "band", "col" -> "hval"))
+        // hot-bucket cap (MinHashLsh.MaxBandBucket — the shared declared
+        // metric): buckets holding (near-)byte-identical mass are exact
+        // dedup's job; excluding them keeps candidate mass linear
+        val hot = banded.groupBy(col("lang"), col("lb"), col("band"), col("hval"))
+          .agg(count(lit(1)).as("occ")).filter(col("occ") > MinHashLsh.MaxBandBucket)
+          .select(col("lang"), col("lb"), col("band"), col("hval"))
+        val cool = banded.join(broadcast(hot), Seq("lang", "lb", "band", "hval"), "left_anti")
+        val a = cool.select(col("doc_id").as("a_id"), col("lang"), col("lb"), col("band"), col("hval"))
+        val b = cool.select(col("doc_id").as("b_id"), col("lang"), col("lb"), col("band"), col("hval"))
+        // the dedup groupBy doubles as COLLISION COUNTING (C2LSH-style
+        // amplification): consumers threshold nm — same shuffle as a
+        // plain distinct, and the count makes the frame reusable across
+        // every amplification level
+        a.join(b, Seq("lang", "lb", "band", "hval"))
+          .filter(col("a_id") < col("b_id"))
+          .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("nm"))
+          .localCheckpoint(true)
+      })
+
   /** Banded, occupancy-capped candidate pairs within (lang, length-bucket)
     * blocks — the one candidate generator shared by `dedup_ngram_jaccard`
-    * and `dedup_edit_distance` (each applies its own verify metric).
-    * Returns a CacheRegistry-tracked (a_id, b_id) frame. */
+    * and `dedup_edit_distance` (each applies its own verify metric): a
+    * threshold filter over the staged [[bandedPairCounts]] frame. */
   private[dedup] def bandedCandidates(s: SparkSession, dir: String,
-      minMatches: Int = MinBandMatches): DataFrame = {
-    graft.functions.HashExprs.register(s)
-    // the staged sketch is already materialized — the posexplode feeding
-    // the hot-bucket ledger and both self-join sides reads checkpoint
-    // blocks, never re-running the shingle+signature pass
-    val banded = stagedSketch(s, dir)
-      .select(col("doc_id"), col("lang"), col("lb"), posexplode(col("sig")))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "hval"))
-    // hot-bucket cap (MinHashLsh.MaxBandBucket — the shared declared
-    // metric): buckets holding (near-)byte-identical mass are exact
-    // dedup's job; excluding them keeps candidate mass linear
-    val hot = banded.groupBy(col("lang"), col("lb"), col("band"), col("hval"))
-      .agg(count(lit(1)).as("occ")).filter(col("occ") > MinHashLsh.MaxBandBucket)
-      .select(col("lang"), col("lb"), col("band"), col("hval"))
-    val cool = banded.join(broadcast(hot), Seq("lang", "lb", "band", "hval"), "left_anti")
-    val a = cool.select(col("doc_id").as("a_id"), col("lang"), col("lb"), col("band"), col("hval"))
-    val b = cool.select(col("doc_id").as("b_id"), col("lang"), col("lb"), col("band"), col("hval"))
-    // persist: multiple consumers (id-set union branches + the pair join)
-    // would otherwise each re-run the banded candidate join; tracked in
-    // CacheRegistry so the session releases it once the query completes.
-    // The dedup groupBy doubles as COLLISION COUNTING (C2LSH-style
-    // amplification): a pair must agree on >= MinBandMatches components —
-    // same shuffle as the plain distinct, 3.5x fewer pairs into the verify.
-    graft.CacheRegistry.track(
-      a.join(b, Seq("lang", "lb", "band", "hval"))
-        .filter(col("a_id") < col("b_id"))
-        .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("nm"))
-        .filter(col("nm") >= minMatches)
-        .select("a_id", "b_id"))
-  }
+      minMatches: Int = MinBandMatches): DataFrame =
+    bandedPairCounts(s, dir)
+      .filter(col("nm") >= minMatches)
+      .select("a_id", "b_id")
 
   /** Collision-count amplification for the r=1 banding: candidates must
     * agree on at least this many of the 64 signature components. One

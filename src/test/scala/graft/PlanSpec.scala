@@ -129,11 +129,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("haversine_m"), "fused haversine expression must be in the join condition")
   }
 
-  test("minhash banding computes the signature behind an exchange barrier") {
+  test("minhash banding reads the staged sketch, never recomputing signatures") {
     val p = plan("dedup_minhash_lsh")
-    assert(p.contains("minhash_sig"))
-    assert(p.contains("Exchange hashpartitioning(doc_id"),
-      "repartition barrier must separate signature computation from band explode")
+    // the session-staged sketch (DedupQueries.stagedSketch) is an eager
+    // localCheckpoint: the plan consumes its materialized blocks (an RDD
+    // scan), so the 16 band projections CANNOT re-inline the shingle +
+    // minhash_sig computation — the stronger form of the old repartition
+    // barrier (zero minhash_sig calls in this plan at all)
+    assert(!p.contains("minhash_sig"),
+      "signatures must come from the staged checkpoint, not be recomputed")
+    assert(p.contains("Scan ExistingRDD") || p.contains("ExistingRDD"),
+      "the plan must read the materialized sketch blocks")
+    graft.dedup.DedupQueries.clearSketchCache()
   }
 
   test("temperature sampling broadcasts the per-language rate table") {
