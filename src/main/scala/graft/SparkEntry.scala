@@ -39,7 +39,7 @@ object SparkEntry {
       stats.Correlation.queries ++ stats.CountMin.queries ++ stats.Concentration.queries ++
       graph.PageRank.queries ++ graph.Triangles.queries ++ graph.Neighbors.queries ++
       graph.Bfs.queries ++ graph.KCore.queries ++ graph.Hits.queries ++
-      graph.LabelProp.queries ++
+      graph.LabelProp.queries ++ graph.Components.queries ++
       analytics.FunnelQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -72,6 +72,6 @@ object SparkEntry {
       stats.Correlation.oracles ++ stats.CountMin.oracles ++ stats.Concentration.oracles ++
       graph.PageRank.oracles ++ graph.Triangles.oracles ++ graph.Neighbors.oracles ++
       graph.Bfs.oracles ++ graph.KCore.oracles ++ graph.Hits.oracles ++
-      graph.LabelProp.oracles ++
+      graph.LabelProp.oracles ++ graph.Components.oracles ++
       analytics.FunnelQueries.oracles
 }
