@@ -57,7 +57,12 @@ class EmptyInputSpec extends AnyFunSuite {
     "stats_contingency", "ts_rolling_quantile", "ann_multiprobe",
     "q18_big_orders", "text_hash_embed", "ts_trend", "etl_join_profile",
     "q19_disc_revenue", "etl_profile_suggest", "emb_dim_stats",
-    "text_langid_segments", "emb_decontaminate", "q22_idle_balance")
+    "text_langid_segments", "emb_decontaminate", "q22_idle_balance",
+    // round-9 additions: calibration-row / model-artifact early-outs
+    "ts_lttb", "graph_components", "sample_reservoir", "text_kn_counts",
+    "sample_pps_systematic", "sample_kcenter", "emb_quantize_int8",
+    "text_bpe_apply", "dedup_ngram_jaccard", "dedup_edit_distance",
+    "dedup_minhash_lsh")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {
