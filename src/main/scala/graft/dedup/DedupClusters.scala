@@ -150,8 +150,37 @@ object DedupClusters {
       .orderBy(col("doc_id"))
   }
 
+  /** #20c `dedup_weights` — soft-dedup reweighting: every document gets
+    * its near-dup cluster's canonical id, the cluster SIZE, and the
+    * keep/drop verdict — the artifact behind "count duplicates once but
+    * weight the keeper by multiplicity" (the alternative to hard dropping
+    * when duplication frequency itself is signal, and the starting point
+    * of any dedup-rate ablation). Singletons are their own cluster of
+    * size 1, so the output covers the WHOLE corpus, unlike
+    * `dedup_clusters` which reports only clustered docs.
+    *
+    * Rides the session-staged verified pair graph (one near-dup detection
+    * pass per session feeds clusters, weights, and the pipeline report);
+    * the size readout is one |clusters|-key map-side-combinable aggregate
+    * joined back on the canonical label. Exact integers only. */
+  def weights(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir).select(col("doc_id"))
+    val lab = connectedComponents(verifiedPairs(s, dir), materialized = true)
+      .withColumnsRenamed(Map("id" -> "doc_id", "label" -> "canonical"))
+    val all = graft.CacheRegistry.track(
+      docs.join(lab, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("canonical"), col("doc_id")).as("canonical")))
+    val sizes = all.groupBy(col("canonical")).agg(count(lit(1)).as("csize"))
+    all.join(sizes, Seq("canonical"))
+      .select(col("doc_id"), col("canonical"), col("csize"),
+        (col("doc_id") === col("canonical")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_clusters" -> (clusters _))
+    "dedup_clusters" -> (clusters _),
+    "dedup_weights" -> (weights _))
 
   private val pairsSql: String =
     s"""SELECT a.doc_id AS a_id, b.doc_id AS b_id
@@ -180,5 +209,13 @@ object DedupClusters {
     "dedup_clusters" ->
       s"""WITH RECURSIVE
          |$clustersCteSql
-         |SELECT doc_id, canonical FROM clust ORDER BY doc_id""".stripMargin)
+         |SELECT doc_id, canonical FROM clust ORDER BY doc_id""".stripMargin,
+    "dedup_weights" ->
+      s"""WITH RECURSIVE
+         |$clustersCteSql,
+         |allc AS (SELECT dd.doc_id, coalesce(c.canonical, dd.doc_id) AS canonical
+         | FROM documents dd LEFT JOIN clust c ON c.doc_id = dd.doc_id),
+         |sz AS (SELECT canonical, count(*)::BIGINT AS csize FROM allc GROUP BY canonical)
+         |SELECT a.doc_id, a.canonical, sz.csize, (a.doc_id = a.canonical) AS keep
+         |FROM allc a JOIN sz USING (canonical) ORDER BY a.doc_id""".stripMargin)
 }

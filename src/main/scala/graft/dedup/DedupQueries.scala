@@ -357,8 +357,10 @@ object DedupQueries {
 
   def containment(s: SparkSession, dir: String): DataFrame = {
     graft.functions.HashExprs.register(s)
-    val d = Tables.documents(s, dir)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    // the per-doc shingle sets come from the session-staged sketch (ONE
+    // corpus shingle pass shared with the whole word-shingle family)
+    val d = stagedSketch(s, dir)
+      .select(col("doc_id"), col("sh"))
       .filter(size(col("sh")) >= ContainMinShingles)
     // persist: the exploded index feeds the df count AND the rare join —
     // without it the corpus is scanned and re-shingled twice

@@ -12,10 +12,11 @@ class DqReportSpec extends AnyFunSuite {
     DqReport.dqReport(spark, sf).collect()
       .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
 
-  test("report covers all six checks with consistent populations") {
+  test("report covers all seven checks with consistent populations") {
     assert(got.keySet == Set(
       ("events", "null_props"), ("events", "negative_or_null_value"),
       ("events", "bad_user_id"), ("events", "duplicate_event_id"),
+      ("events", "value_above_ceiling"),
       ("lineitem", "orphan_orderkey"), ("orders", "orphan_custkey")))
     val nEvents = Tables.events(spark, sf).count()
     got.filter(_._1._1 == "events").values.foreach { case (v, pop) =>
