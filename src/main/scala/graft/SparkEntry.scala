@@ -27,7 +27,7 @@ object SparkEntry {
       sim.SimQueries.queries ++ sim.Mmr.queries ++ sim.AnnLsh.queries ++ sim.AnnIvf.queries ++
       sim.AnnPq.queries ++ sim.AnnIvfPq.queries ++
       sim.VectorOps.queries ++ sim.Kmeans.queries ++ sim.Pca.queries ++ sim.KCenter.queries ++
-      sim.QuantizeInt8.queries ++ sim.BinaryEmb.queries ++
+      sim.QuantizeInt8.queries ++ sim.BinaryEmb.queries ++ sim.RecallEval.queries ++
       multimodal.MultimodalQueries.queries ++ multimodal.PhashNearDup.queries ++
       streaming.StreamQueries.queries ++
       streaming.StreamDedup.queries ++ streaming.StreamNearDup.queries ++
@@ -60,7 +60,7 @@ object SparkEntry {
       sim.AnnIvf.oracles ++ sim.AnnPq.oracles ++
       sim.AnnIvfPq.oracles ++
       sim.Kmeans.oracles ++ sim.KCenter.oracles ++ sim.QuantizeInt8.oracles ++
-      sim.BinaryEmb.oracles ++
+      sim.BinaryEmb.oracles ++ sim.RecallEval.oracles ++
       multimodal.MultimodalQueries.oracles ++
       sim.VectorOps.oracles ++ streaming.StreamQueries.oracles ++
       streaming.StreamDedup.oracles ++ streaming.StreamAnomaly.oracles ++
