@@ -33,10 +33,13 @@ object RecallEval {
       SimQueries.annTopkBrute(s, dir).select(col("q_id"), col("n_id")))
     val kPerQ = exact.groupBy(col("q_id")).agg(count(lit(1)).as("k"))
     def recallOf(method: String, appr: DataFrame): DataFrame = {
+      // both sides are |queries|·k rows (the eval set is bounded by
+      // design) — broadcast them so the intersection never sort-merges
       val hits = exact
-        .join(appr.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"), "left_semi")
+        .join(broadcast(appr.select(col("q_id"), col("n_id"))),
+          Seq("q_id", "n_id"), "left_semi")
         .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
-      kPerQ.join(hits, Seq("q_id"), "left")
+      kPerQ.join(broadcast(hits), Seq("q_id"), "left")
         .select(lit(method).as("method"), col("q_id"), col("k"),
           coalesce(col("n_hit"), lit(0L)).as("n_hit"))
         .withColumn("recall",
