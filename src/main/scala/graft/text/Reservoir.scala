@@ -36,6 +36,50 @@ object Reservoir {
       .limit(TargetK)
   }
 
+  // ------------------------------------------------------------------
+  // Streaming twin: the bottom-k sketch maintained as keyed state.
+  // The scaladoc's "incrementally maintainable" claim made executable: a
+  // live ingest keeps the SAME sample the batch query computes, with
+  // O(shards · k) total state however long the stream runs. Sharding by
+  // doc_id % NumShards is the distributed form — per-shard reservoirs are
+  // independent keyed state (no global hot key), and the global sample is
+  // the bottom-k of the union of shard reservoirs (the sketch-union
+  // property: every global bottom-k row is its shard's bottom-k row).
+  // Each update emits the shard's full (≤k-row) reservoir; the final
+  // sample is the bottom-k over all emissions — displaced rows rank
+  // strictly worse, so the union can only add losers.
+  // ------------------------------------------------------------------
+
+  val NumShards = 8
+
+  case class DocIn(doc_id: Long, lang: String, n_chars: Long)
+  case class ResRow(shard: Int, priority: String, doc_id: Long,
+    lang: String, n_chars: Long)
+  case class ShardState(rows: Seq[ResRow])
+
+  private[text] def md5Hex(v: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  def reservoirStream(in: org.apache.spark.sql.Dataset[DocIn])
+      : org.apache.spark.sql.Dataset[ResRow] = {
+    import in.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    in.groupByKey(d => (d.doc_id % NumShards).toInt)
+      .flatMapGroupsWithState[ShardState, ResRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (shard: Int, rows: Iterator[DocIn], state) =>
+          val fresh = rows.map(d =>
+            ResRow(shard, md5Hex(d.doc_id.toString), d.doc_id, d.lang, d.n_chars))
+          val merged = (state.getOption.fold(Seq.empty[ResRow])(_.rows) ++ fresh)
+            .distinctBy(_.doc_id)
+            .sortBy(r => (r.priority, r.doc_id)).take(TargetK)
+          state.update(ShardState(merged))
+          merged.iterator
+      }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_reservoir" -> (reservoir _))
 
