@@ -363,7 +363,9 @@ object DedupQueries {
       .select(col("doc_id"), col("sh"))
       .filter(size(col("sh")) >= ContainMinShingles)
     // persist: the exploded index feeds the df count AND the rare join —
-    // without it the corpus is scanned and re-shingled twice
+    // without it the corpus is re-exploded and re-hashed twice (measured:
+    // dropping this cache COSTS ~0.6 s at sf0.1 even off the checkpointed
+    // sketch — the md5 per shingle dominates, not the scan)
     val inv = graft.CacheRegistry.track(
       d.select(col("doc_id"), explode(col("sh")).as("gs"))
         .select(col("doc_id"), md5Key(col("gs")).as("g")))
@@ -392,6 +394,53 @@ object DedupQueries {
   val ContainDfCap = 20L
   val ContainMinShingles = 8
   val ContainTau = 0.5
+
+  /** #20k `dedup_recall_eval` — measured recall of the banded candidate
+    * generator against the exact blocked ground truth, per language: the
+    * `ann_recall_eval` discipline applied to the dedup sketch. Every
+    * near-dup op in this family is "exact w.r.t. its declared metric",
+    * and the one probabilistic step — the b=64/r=1 banding with
+    * [[MinBandMatches]] collision amplification — has its miss rate
+    * CLAIMED from binomial theory and spot-checked in specs; this
+    * operator makes the measurement a standing, oracle-checked query
+    * (the audit a production dedup pipeline runs per corpus drop before
+    * trusting its candidate generator).
+    *
+    * Ground truth is the blocked all-pairs Jaccard (≥ 0.10 within
+    * (lang, length-bucket) blocks) — block-quadratic BY DEFINITION
+    * (it is what banding exists to avoid). That is affordable precisely
+    * because blocks are bounded at gate scale; a 100 TB run evaluates on
+    * a hash-sample of blocks (the plumbing is the [[EvalSamplePct]]
+    * predicate on the block key — shipped at 100, i.e. every block, so
+    * the gate checks the full truth; the sampled audit is the same plan
+    * with a smaller constant). Recall is exact integer counts + one
+    * rounded division. */
+  val EvalSamplePct = 100L
+
+  def recallEval(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.HashExprs.register(s)
+    val d = stagedSketch(s, dir).select(col("doc_id"), col("lang"), col("lb"), col("sh"))
+      .filter(
+        call_function("conv", substring(md5(concat_ws("#", col("lang"), col("lb"))), 1, 6),
+          lit(16), lit(10)).cast("long") % 100L < EvalSamplePct)
+    val a = d.select(col("doc_id").as("a_id"), col("lang"), col("lb"), col("sh").as("a_sh"))
+    val b = d.select(col("doc_id").as("b_id"), col("lang"), col("lb"), col("sh").as("b_sh"))
+    val truth = graft.CacheRegistry.track(
+      a.join(b, Seq("lang", "lb"))
+        .filter(col("a_id") < col("b_id"))
+        .filter(round(graft.functions.HashExprs.jaccardSim(col("a_sh"), col("b_sh")), 4)
+          >= 0.10)
+        .select(col("lang"), col("a_id"), col("b_id")))
+    val found = bandedCandidates(s, dir)
+    val hits = truth.join(found, Seq("a_id", "b_id"), "left_semi")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_hit"))
+    truth.groupBy(col("lang")).agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("lang"), "left")
+      .select(col("lang"), col("n_true"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall", round(col("n_hit").cast("double") / col("n_true"), 4))
+      .orderBy(col("lang"))
+  }
 
   /** #20f Corpus rewrite after span dedup — the step arXiv:2107.06499
     * actually ships: duplicated passages are REMOVED from the corpus and
@@ -537,7 +586,8 @@ object DedupQueries {
     "dedup_edit_distance"    -> (editDistance _),
     "dedup_containment"      -> (containment _),
     "dedup_embedding_cosine" -> (embeddingCosine _),
-    "dedup_embedding_lsh"    -> (embeddingLsh _))
+    "dedup_embedding_lsh"    -> (embeddingLsh _),
+    "dedup_recall_eval"      -> (recallEval _))
 
   private val w = "regexp_split_to_array(text, '\\s+')"
   /** DuckDB distinct 3-shingle list (1-indexed lists). */
@@ -660,6 +710,23 @@ object DedupQueries {
          |  AND levenshtein(da.text, db.text)::DOUBLE
          |      <= $MaxEditRatio * greatest(len(da.text), len(db.text))
          |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_recall_eval" ->
+      s"""WITH ${bandedCandChainSql(MinBandMatches)},
+         |truth AS MATERIALIZED (
+         | SELECT da.lang, da.doc_id AS a_id, db.doc_id AS b_id
+         | FROM d da JOIN d db ON da.lang = db.lang AND da.lb = db.lb
+         |  AND da.doc_id < db.doc_id
+         | WHERE ('0x' || substr(md5(da.lang || '#' || da.lb), 1, 6))::UBIGINT % 100 < $EvalSamplePct
+         |  AND round(len(list_intersect(da.sh, db.sh))::DOUBLE
+         |        / len(list_distinct(list_concat(da.sh, db.sh))), 4) >= 0.10),
+         |hits AS (SELECT t.lang, count(*)::BIGINT AS n_hit
+         | FROM truth t JOIN cand c ON t.a_id = c.a_id AND t.b_id = c.b_id
+         | GROUP BY t.lang),
+         |tr AS (SELECT lang, count(*)::BIGINT AS n_true FROM truth GROUP BY lang)
+         |SELECT tr.lang, tr.n_true, coalesce(hits.n_hit, 0)::BIGINT AS n_hit,
+         | round(coalesce(hits.n_hit, 0) / tr.n_true::DOUBLE, 4) AS recall
+         |FROM tr LEFT JOIN hits USING (lang)
+         |ORDER BY tr.lang""".stripMargin,
     "dedup_containment" ->
       s"""WITH d AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
          |inv AS (SELECT doc_id, ('0x' || substr(md5(g), 1, 16))::UBIGINT AS g
