@@ -1,0 +1,52 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** #17e `etl_run_report` — the end-of-run summary the reference EMAILS
+  * after every scheduled run (`main.py:41-56` `send_email_notification`,
+  * called from `main()` with insert/update totals): one standing row per
+  * pipeline step with its output row count, i.e. the monitoring artifact
+  * a scheduler alerts on ("0 inserted for 3 days" is how this reference's
+  * real-world operators actually detect upstream breakage).
+  *
+  * Drift-proof BY CONSTRUCTION: each step row re-runs the step's OWN
+  * registered query and the oracle wraps the step's OWN registered oracle
+  * SQL in a count — the report cannot disagree with the steps it reports
+  * on, ever (the `etl_dq_quarantine` one-source-of-truth discipline
+  * applied across whole queries).
+  *
+  * Scale: each step inherits its own operator's posture; counts are
+  * map-side-combinable aggregates of those plans, and the report is a
+  * union of |steps| single-row frames — constant output however large the
+  * run. */
+object RunReport {
+
+  /** The reference daily-run steps whose outputs the email summarizes. */
+  val Steps: Seq[String] = Seq(
+    "etl_ingest_dedup",   // new rows inserted past the NOT-IN dedup
+    "etl_cdc_tallies",    // updated kill/injury counts applied
+    "etl_cdc_geom",       // moved/geocoded geometries applied
+    "etl_zone_assign",    // zone joins refreshed
+    "etl_dq_quarantine",  // rows routed to repair
+    "etl_backlog_check")  // late-arrival months flagged
+
+  def runReport(s: SparkSession, dir: String): DataFrame = {
+    val all = EtlQueries.queries ++ DqReport.queries
+    Steps.map { k =>
+      all(k)(s, dir).agg(count(lit(1)).as("n_rows"))
+        .select(lit(k).as("step"), col("n_rows"))
+    }.reduce(_.unionByName(_)).orderBy(col("step"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_run_report" -> (runReport _))
+
+  val oracles: Map[String, String] = Map(
+    "etl_run_report" -> {
+      val all = EtlQueries.oracles ++ DqReport.oracles
+      Steps.map { k =>
+        s"SELECT '$k' AS step, count(*)::BIGINT AS n_rows FROM (\n${all(k)}\n)"
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY step")
+    })
+}
