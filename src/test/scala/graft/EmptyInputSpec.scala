@@ -62,7 +62,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "ts_lttb", "graph_components", "sample_reservoir", "text_kn_counts",
     "sample_pps_systematic", "sample_kcenter", "emb_quantize_int8",
     "text_bpe_apply", "dedup_ngram_jaccard", "dedup_edit_distance",
-    "dedup_minhash_lsh")
+    "dedup_minhash_lsh", "ann_recall_eval", "dedup_recall_eval",
+    "etl_run_report", "dedup_weights", "etl_dq_quarantine")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {
