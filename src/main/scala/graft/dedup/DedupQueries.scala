@@ -423,12 +423,32 @@ object DedupQueries {
       .filter(
         call_function("conv", substring(md5(concat_ws("#", col("lang"), col("lb"))), 1, 6),
           lit(16), lit(10)).cast("long") % 100L < EvalSamplePct)
-    val a = d.select(col("doc_id").as("a_id"), col("lang"), col("lb"), col("sh").as("a_sh"))
-    val b = d.select(col("doc_id").as("b_id"), col("lang"), col("lb"), col("sh").as("b_sh"))
+    // EXACT truth via the inverted shingle index, not the blocked
+    // all-pairs array intersect: shingle sets are DISTINCT, so the
+    // per-pair shared count i from a (lang, lb, digest)-keyed self-join
+    // IS |A∩B|, and j = i/(|A|+|B|−i) — identical value, identical
+    // round-4, but the work is Σ_g df_block(g)² (co-occurring pairs
+    // weighted by shared shingles; measured 75k at sf0.1) instead of
+    // Σ C(n_block,2) (588k) — pairs sharing nothing never materialize.
+    // Digest-keyed like dedup_containment (8-byte shuffle keys, oracle
+    // twins the same UBIGINT digest, so both engines agree even under
+    // 2⁻⁶⁴ collisions — the declared-metric convention).
+    val inv = graft.CacheRegistry.track(
+      d.select(col("doc_id"), col("lang"), col("lb"), explode(col("sh")).as("gs"))
+        .select(col("doc_id"), col("lang"), col("lb"), md5Key(col("gs")).as("g")))
+    val sizes = d.select(col("doc_id"), size(col("sh")).cast("long").as("ns"))
+    val ia = inv.select(col("doc_id").as("a_id"), col("lang"), col("lb"), col("g"))
+    val ib = inv.select(col("doc_id").as("b_id"), col("lang"), col("lb"), col("g"))
+    val shared = ia.join(ib, Seq("lang", "lb", "g"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("lang"), col("a_id"), col("b_id")).agg(count(lit(1)).as("i"))
     val truth = graft.CacheRegistry.track(
-      a.join(b, Seq("lang", "lb"))
-        .filter(col("a_id") < col("b_id"))
-        .filter(round(graft.functions.HashExprs.jaccardSim(col("a_sh"), col("b_sh")), 4)
+      shared
+        .join(sizes.withColumnRenamed("doc_id", "a_id")
+          .withColumnRenamed("ns", "na"), Seq("a_id"))
+        .join(sizes.withColumnRenamed("doc_id", "b_id")
+          .withColumnRenamed("ns", "nb"), Seq("b_id"))
+        .filter(round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4)
           >= 0.10)
         .select(col("lang"), col("a_id"), col("b_id")))
     val found = bandedCandidates(s, dir)
@@ -712,13 +732,22 @@ object DedupQueries {
          |ORDER BY a_id, b_id""".stripMargin,
     "dedup_recall_eval" ->
       s"""WITH ${bandedCandChainSql(MinBandMatches)},
+         |ds AS (SELECT * FROM d
+         | WHERE ('0x' || substr(md5(lang || '#' || lb), 1, 6))::UBIGINT % 100 < $EvalSamplePct),
+         |inv AS (SELECT doc_id, lang, lb,
+         |  ('0x' || substr(md5(g), 1, 16))::UBIGINT AS g
+         | FROM (SELECT doc_id, lang, lb, unnest(sh) AS g FROM ds)),
+         |sz AS (SELECT doc_id, len(sh)::BIGINT AS ns FROM ds),
+         |shared AS (SELECT a.lang, a.doc_id AS a_id, b.doc_id AS b_id,
+         |  count(*)::BIGINT AS i
+         | FROM inv a JOIN inv b ON a.lang = b.lang AND a.lb = b.lb AND a.g = b.g
+         |  AND a.doc_id < b.doc_id
+         | GROUP BY 1, 2, 3),
          |truth AS MATERIALIZED (
-         | SELECT da.lang, da.doc_id AS a_id, db.doc_id AS b_id
-         | FROM d da JOIN d db ON da.lang = db.lang AND da.lb = db.lb
-         |  AND da.doc_id < db.doc_id
-         | WHERE ('0x' || substr(md5(da.lang || '#' || da.lb), 1, 6))::UBIGINT % 100 < $EvalSamplePct
-         |  AND round(len(list_intersect(da.sh, db.sh))::DOUBLE
-         |        / len(list_distinct(list_concat(da.sh, db.sh))), 4) >= 0.10),
+         | SELECT sh.lang, sh.a_id, sh.b_id
+         | FROM shared sh JOIN sz sa ON sa.doc_id = sh.a_id
+         |  JOIN sz sb ON sb.doc_id = sh.b_id
+         | WHERE round(sh.i / (sa.ns + sb.ns - sh.i)::DOUBLE, 4) >= 0.10),
          |hits AS (SELECT t.lang, count(*)::BIGINT AS n_hit
          | FROM truth t JOIN cand c ON t.a_id = c.a_id AND t.b_id = c.b_id
          | GROUP BY t.lang),
