@@ -160,7 +160,7 @@ object DqReport {
         |   CASE WHEN e.value > 100.0 THEN 'value_above_ceiling' END) AS failed_checks,
         |  ((e.props IS NULL OR e.props = '')::INT + (e.value < 0.0 OR e.value IS NULL)::INT +
         |   (e.user_id IS NULL OR e.user_id < 0)::INT + (d.event_id IS NOT NULL)::INT +
-        |   (e.value > 100.0)::INT)::BIGINT AS n_failed
+        |   CASE WHEN e.value > 100.0 THEN 1 ELSE 0 END)::BIGINT AS n_failed
         | FROM events e LEFT JOIN dup d USING (event_id))
         |SELECT event_id, failed_checks, n_failed FROM q
         |WHERE n_failed > 0 ORDER BY event_id""".stripMargin)

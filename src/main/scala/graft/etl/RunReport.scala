@@ -3,12 +3,13 @@ package graft.etl
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** #17e `etl_run_report` — the end-of-run summary the reference EMAILS
-  * after every scheduled run (`main.py:41-56` `send_email_notification`,
-  * called from `main()` with insert/update totals): one standing row per
-  * pipeline step with its output row count, i.e. the monitoring artifact
-  * a scheduler alerts on ("0 inserted for 3 days" is how this reference's
-  * real-world operators actually detect upstream breakage).
+/** #17e `etl_run_report` — per-step run summary, generalizing the
+  * reference's failure-notification hook (`main.py:41-56`
+  * `send_email_notification`, invoked from `main()`'s except branch at
+  * `main.py:1200` with a failure message) into the end-of-run artifact a
+  * real operator wants: one standing row per pipeline step with its
+  * output row count, i.e. the monitoring table a scheduler alerts on
+  * ("0 inserted for 3 days" is how upstream breakage actually surfaces).
   *
   * Drift-proof BY CONSTRUCTION: each step row re-runs the step's OWN
   * registered query and the oracle wraps the step's OWN registered oracle

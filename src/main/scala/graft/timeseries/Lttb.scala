@@ -30,7 +30,13 @@ import graft.Tables
   * point bit-for-bit, ties to the lowest event_id. Factors are widened to
   * decimal(38,0) (Spark) / HUGEINT (DuckDB): int64 would overflow once
   * bucket occupancy × time-span × value-scale passes ~2⁶³ (n ≳ 2M at this
-  * corpus' scales), int128 is exact to n ~ 10¹⁸.
+  * corpus' scales). The Spark side's true ceiling is the decimal(38,0)
+  * PRODUCT bound, 10³⁸ (below HUGEINT's ~1.7·10³⁸) — and with ANSI off an
+  * overflow would yield NULL, which sorts FIRST in the min_by key and
+  * would silently win the argmax. So calibration asserts the worst-case
+  * score 8·c³·X·Y < 10³⁸ (c = max bucket occupancy, X = time span, Y =
+  * max |cents|) and fails loudly instead; at telemetry scales (year span,
+  * 10⁶ cents) that admits n up to ~10¹² points per series.
   *
   * Scale: one calibration row (n, x₀); one map-side-combinable per-bucket
   * aggregate (B rows); lag/lead over the B-row frame (bounded by the
@@ -50,11 +56,22 @@ object Lttb {
       Tables.events(s, dir).select(col("event_id"),
         expr("unix_micros(ts) div 1000000").as("xs"),
         round(col("value") * 100).cast("long").as("yc")))
-    val cal = base.agg(count(lit(1)), min(col("xs"))).head
+    val cal = base.agg(count(lit(1)), min(col("xs")), max(col("xs")),
+      coalesce(max(abs(col("yc"))), lit(0L))).head
     if (cal.getLong(0) == 0L)
       return base.select(col("event_id"), lit(0L).as("bucket"),
         col("xs").as("x_sec"), col("yc").as("value_cents")).filter(lit(false))
     val (n, x0) = (cal.getLong(0), cal.getLong(1))
+    // decimal(38,0) product-bound guard (see scaladoc): worst-case |score|
+    // is 8·c³·X·Y with c = max bucket occupancy (dense ids ⇒ ≤ ⌈n/B⌉+1),
+    // X = time span, Y = max |cents|. With ANSI off an overflow would
+    // become NULL and NULL-wins the min_by argmax — so refuse loudly.
+    val occ = BigInt(n / Buckets + 2L)
+    val span = BigInt(cal.getLong(2) - x0).max(1)
+    val yMax = BigInt(cal.getLong(3)).max(1)
+    require(8 * occ.pow(3) * span * yMax < BigInt(10).pow(38),
+      s"ts_lttb: integer-exact score would exceed decimal(38,0) " +
+        s"(n=$n span=$span yMax=$yMax) — raise Buckets or rescale")
     val pts = base.select(col("event_id"),
       expr(s"event_id * ${Buckets}L div ${n}L").as("bucket"),
       (col("xs") - lit(x0)).as("x"), col("yc").as("y"))

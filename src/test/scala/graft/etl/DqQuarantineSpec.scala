@@ -30,12 +30,13 @@ class DqQuarantineSpec extends AnyFunSuite {
     val d = java.nio.file.Files.createTempDirectory("dqq").toString
     val t0 = new java.sql.Timestamp(1700000000000L)
     Seq(
-      (0L, t0, 1L, 5.0, "view", "{}"),                 // clean
-      (1L, t0, 2L, -1.0, "click", ""),                 // null_props + neg value
-      (2L, t0, -7L, 5.0, "view", "{}"),                // bad_user
-      (3L, t0, 3L, 250.0, "view", "{}"),               // over ceiling
-      (4L, t0, 4L, 5.0, "view", "{}"),                 // dup pair ↓
-      (4L, t0, 4L, 5.0, "view", "{}"))
+      (0L, t0, 1L, Some(5.0), "view", "{}"),           // clean
+      (1L, t0, 2L, Some(-1.0), "click", ""),           // null_props + neg value
+      (2L, t0, -7L, Some(5.0), "view", "{}"),          // bad_user
+      (3L, t0, 3L, Some(250.0), "view", "{}"),         // over ceiling
+      (4L, t0, 4L, Some(5.0), "view", "{}"),           // dup pair ↓
+      (4L, t0, 4L, Some(5.0), "view", "{}"),
+      (5L, t0, 5L, None: Option[Double], "view", "{}")) // NULL value — must quarantine
       .toDF("event_id", "ts", "user_id", "value", "event_type", "props")
       .write.mode("overwrite").parquet(s"$d/events.parquet")
     val got = SparkEntry.queries("etl_dq_quarantine")(spark, d).collect()
@@ -47,5 +48,9 @@ class DqQuarantineSpec extends AnyFunSuite {
     assert(got.find(_._1 == 2L).get._2 == "bad_user_id")
     assert(got.find(_._1 == 3L).get._2 == "value_above_ceiling")
     assert(got.filter(_._1 == 1L).head._3 == 2L)
+    // NULL value is a failure this operator exists to catch — and ONLY
+    // that rule fires (the ceiling rule must not NULL-poison n_failed)
+    assert(got.find(_._1 == 5L).map(r => (r._2, r._3)) ==
+      Some(("negative_or_null_value", 1L)), "NULL value quarantines exactly once")
   }
 }
