@@ -5,24 +5,33 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.{SparkEntry, TestSpark}
 
 /** `ann_recall_eval` contract: recall is the exact intersection ratio of
-  * the two variants' outputs against brute force (replayed from the ops'
-  * own results — the eval cannot drift from what it evaluates), bounded in
-  * [0,1], and both methods cover the full query set. */
+  * EVERY shipped approximate variant's output against brute force
+  * (replayed from the ops' own results — the eval cannot drift from what
+  * it evaluates), bounded in [0,1], every method covers the full query
+  * set, and the method list is exactly the engine's approximate-ANN
+  * surface. */
 class RecallEvalSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
   private val sf = TestSpark.sf
 
-  test("recall replays from the evaluated operators' own outputs") {
+  private val methodToKey = Map(
+    "ivf" -> "ann_ivf", "lsh" -> "ann_lsh_bucketed",
+    "multiprobe" -> "ann_multiprobe", "pq" -> "ann_pq",
+    "ivfpq" -> "ann_ivfpq", "hamming" -> "ann_hamming_rerank")
+
+  test("recall replays from the evaluated operators' own outputs, all six variants") {
     def pairs(name: String): Map[Long, Set[Long]] =
       SparkEntry.queries(name)(spark, sf).collect()
         .map(r => (r.getLong(0), r.getLong(1)))
         .groupBy(_._1).map { case (q, v) => q -> v.map(_._2).toSet }
     val exact = pairs("ann_topk_brute")
-    val byMethod = Map("ivf" -> pairs("ann_ivf"), "lsh" -> pairs("ann_lsh_bucketed"))
+    val byMethod = methodToKey.map { case (m, k) => m -> pairs(k) }
     val got = SparkEntry.queries("ann_recall_eval")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getDouble(4)))
     assert(got.nonEmpty)
+    assert(got.map(_._1).toSet == methodToKey.keySet,
+      "one row group per shipped approximate variant")
     got.foreach { case (method, q, k, nHit, recall) =>
       val ex = exact(q)
       assert(k == ex.size.toLong)
@@ -33,8 +42,19 @@ class RecallEvalSpec extends AnyFunSuite {
     }
     // full query-set coverage per method
     val qs = exact.keySet
-    byMethod.keys.foreach { m =>
+    methodToKey.keys.foreach { m =>
       assert(got.filter(_._1 == m).map(_._2).toSet == qs, s"$m covers all queries")
     }
+  }
+
+  test("the method list IS the approximate-ANN surface (no variant ships unaudited)") {
+    // every ann_* registered query except the exact baseline, the eval
+    // itself, and the non-top-k shapes (filtered/range) must appear
+    val annTopk = SparkEntry.queries.keys.filter(_.startsWith("ann_")).toSet --
+      Set("ann_topk_brute", "ann_recall_eval", "ann_filtered", "ann_range_search")
+    assert(methodToKey.values.toSet == annTopk,
+      s"recall eval must audit exactly $annTopk")
+    assert(RecallEval.Methods.map(_._1) == RecallEval.Methods.map(_._1).sorted,
+      "deterministic method order")
   }
 }
