@@ -23,14 +23,21 @@ import org.apache.spark.sql.functions._
   * run. */
 object RunReport {
 
-  /** The reference daily-run steps whose outputs the email summarizes. */
+  /** The reference daily-run steps whose outputs the summary reports —
+    * the FULL `main()` sequence (`main.py:1132+`): ingest, both CDC
+    * passes, the 8-zone refresh, intersection tallies, the vehicle
+    * crosswalk, blame allocation, plus the DQ/backlog monitors. */
   val Steps: Seq[String] = Seq(
-    "etl_ingest_dedup",   // new rows inserted past the NOT-IN dedup
-    "etl_cdc_tallies",    // updated kill/injury counts applied
-    "etl_cdc_geom",       // moved/geocoded geometries applied
-    "etl_zone_assign",    // zone joins refreshed
-    "etl_dq_quarantine",  // rows routed to repair
-    "etl_backlog_check")  // late-arrival months flagged
+    "etl_ingest_dedup",            // new rows inserted past the NOT-IN dedup
+    "etl_cdc_tallies",             // updated kill/injury counts applied
+    "etl_cdc_geom",                // moved/geocoded geometries applied
+    "etl_zone_assign",             // primary zone join refreshed
+    "etl_zone_multi",              // the ×8 zone-table refresh fan-out
+    "etl_intersection_crashcount", // intersection crash tallies rebuilt
+    "etl_vehicle_crosswalk",       // vehicle-code crosswalk applied
+    "etl_blame_allocation",        // contributing-factor blame split
+    "etl_dq_quarantine",           // rows routed to repair
+    "etl_backlog_check")           // late-arrival months flagged
 
   def runReport(s: SparkSession, dir: String): DataFrame = {
     val all = EtlQueries.queries ++ DqReport.queries
