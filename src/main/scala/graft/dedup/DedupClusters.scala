@@ -122,24 +122,20 @@ object DedupClusters {
     * `dedup_clusters`, `text_pipeline_report`, `CorpusPipeline.cleaned` —
     * reads the materialized edge list. This is exactly how a nightly
     * pipeline stages it (a parquet table between jobs); in-session the
-    * staging is an eager localCheckpoint, whose blocks persist for the
-    * session's lifetime by design (the artifact, like the centroid model,
+    * staging is an eager localCheckpoint registered with
+    * [[graft.StagedArtifacts]] (the artifact, like the centroid model,
     * outlives any one query — CacheRegistry's per-query release deliberately
-    * does not touch it; `clearCache()` is the explicit invalidation).
-    * The key carries the appId (a frame cannot outlive its SparkContext)
-    * and the table's file-listing fingerprint, so any rewrite of the corpus
-    * — even in-place — recomputes. */
-  private val pairCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
-  def clearCache(): Unit = pairCache.clear()
+    * does not touch it; a corpus rewrite recomputes on the new file-listing
+    * fingerprint AND evicts the superseded checkpoint's blocks;
+    * `clearCache()` is the explicit invalidation). */
+  def clearCache(): Unit = graft.StagedArtifacts.clear("dedupClusters/")
 
   private[graft] def verifiedPairs(s: SparkSession, dir: String): DataFrame =
-    pairCache.computeIfAbsent(
-      s"${s.sparkContext.applicationId}#$dir#" +
-        graft.sources.TableFingerprint.of(s, s"$dir/documents.parquet"),
-      _ => DedupQueries.ngramJaccard(s, dir).select("a_id", "b_id")
-        .localCheckpoint(true))
+    graft.StagedArtifacts.stage(s, s"dedupClusters/verifiedPairs#$dir",
+      graft.sources.TableFingerprint.of(s, s"$dir/documents.parquet")) {
+      DedupQueries.ngramJaccard(s, dir).select("a_id", "b_id")
+        .localCheckpoint(true)
+    }
 
   /** #20b: canonical doc per near-dup cluster, over the same verified
     * pair set as dedup_ngram_jaccard (staged once per session — above). */

@@ -47,30 +47,27 @@ object DedupQueries {
     * [[bandedCandidates]]) and `dedup_minhash_lsh`'s band frame. The
     * shingle+md5 sketch is each op's dominant corpus pass; a nightly
     * pipeline stages it as a parquet table between jobs, and in-session
-    * the staging is an eager localCheckpoint (the `DedupClusters.
-    * verifiedPairs` / `Kmeans.centroidCache` contract: the artifact
-    * outlives any one query; CacheRegistry's per-query release
-    * deliberately does not touch it; `clearSketchCache()` is the explicit
-    * invalidation). The key carries the appId and the table's
-    * file-listing fingerprint, so any corpus rewrite recomputes. */
-  private val sketchCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    * the staging is an eager localCheckpoint registered with
+    * [[graft.StagedArtifacts]] (the artifact outlives any one query —
+    * CacheRegistry's per-query release deliberately does not touch it —
+    * and a corpus REWRITE both recomputes on the new file-listing
+    * fingerprint and unpersists the superseded checkpoint's blocks;
+    * `clearSketchCache()` is the explicit invalidation). */
+  def clearSketchCache(): Unit = graft.StagedArtifacts.clear("dedup/")
 
-  def clearSketchCache(): Unit = { sketchCache.clear(); pairCountCache.clear() }
+  private def docFp(s: SparkSession, dir: String): String =
+    graft.sources.TableFingerprint.of(s, s"$dir/documents.parquet")
 
   private[graft] def stagedSketch(s: SparkSession, dir: String): DataFrame =
-    sketchCache.computeIfAbsent(
-      s"${s.sparkContext.applicationId}#$dir#" +
-        graft.sources.TableFingerprint.of(s, s"$dir/documents.parquet"),
-      _ => {
-        graft.functions.HashExprs.register(s)
-        Tables.documents(s, dir)
-          .select(col("doc_id"), col("lang"),
-            (col("n_chars") / lit(100)).cast("long").as("lb"),
-            shingles(col("text")).as("sh"))
-          .withColumn("sig", graft.functions.HashExprs.minhashSig(col("sh")))
-          .localCheckpoint(true)
-      })
+    graft.StagedArtifacts.stage(s, s"dedup/sketch#$dir", docFp(s, dir)) {
+      graft.functions.HashExprs.register(s)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") / lit(100)).cast("long").as("lb"),
+          shingles(col("text")).as("sh"))
+        .withColumn("sig", graft.functions.HashExprs.minhashSig(col("sh")))
+        .localCheckpoint(true)
+    }
 
   /** Session-scoped staged collision counts — (a_id, b_id, nm) for every
     * occupancy-capped banded collision pair (nm = matching signature
@@ -81,41 +78,64 @@ object DedupQueries {
     * [[EditMinBandMatches]]) are FILTERS of the same staged frame, so the
     * pair shuffle runs once per (corpus, fingerprint) per session. Same
     * lifecycle contract as the sketch cache ([[clearSketchCache]]
-    * invalidates both). Pair mass is linear by the hot-bucket cap, so the
-    * staged frame is O(corpus), never O(n²). */
-  private val pairCountCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
+    * invalidates both; supersede evicts). Pair mass is linear by the
+    * hot-bucket cap, so the staged frame is O(corpus), never O(n²). */
   private[dedup] def bandedPairCounts(s: SparkSession, dir: String): DataFrame =
-    pairCountCache.computeIfAbsent(
-      s"${s.sparkContext.applicationId}#$dir#" +
-        graft.sources.TableFingerprint.of(s, s"$dir/documents.parquet"),
-      _ => {
-        graft.functions.HashExprs.register(s)
-        // the staged sketch is already materialized — the posexplode
-        // feeding the hot-bucket ledger and both self-join sides reads
-        // checkpoint blocks, never re-running the shingle+signature pass
-        val banded = stagedSketch(s, dir)
-          .select(col("doc_id"), col("lang"), col("lb"), posexplode(col("sig")))
-          .withColumnsRenamed(Map("pos" -> "band", "col" -> "hval"))
-        // hot-bucket cap (MinHashLsh.MaxBandBucket — the shared declared
-        // metric): buckets holding (near-)byte-identical mass are exact
-        // dedup's job; excluding them keeps candidate mass linear
-        val hot = banded.groupBy(col("lang"), col("lb"), col("band"), col("hval"))
-          .agg(count(lit(1)).as("occ")).filter(col("occ") > MinHashLsh.MaxBandBucket)
-          .select(col("lang"), col("lb"), col("band"), col("hval"))
-        val cool = banded.join(broadcast(hot), Seq("lang", "lb", "band", "hval"), "left_anti")
-        val a = cool.select(col("doc_id").as("a_id"), col("lang"), col("lb"), col("band"), col("hval"))
-        val b = cool.select(col("doc_id").as("b_id"), col("lang"), col("lb"), col("band"), col("hval"))
-        // the dedup groupBy doubles as COLLISION COUNTING (C2LSH-style
-        // amplification): consumers threshold nm — same shuffle as a
-        // plain distinct, and the count makes the frame reusable across
-        // every amplification level
-        a.join(b, Seq("lang", "lb", "band", "hval"))
-          .filter(col("a_id") < col("b_id"))
-          .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("nm"))
-          .localCheckpoint(true)
-      })
+    graft.StagedArtifacts.stage(s, s"dedup/pairCounts#$dir", docFp(s, dir)) {
+      graft.functions.HashExprs.register(s)
+      // the staged sketch is already materialized — the posexplode
+      // feeding the hot-bucket ledger and both self-join sides reads
+      // checkpoint blocks, never re-running the shingle+signature pass
+      val banded = stagedSketch(s, dir)
+        .select(col("doc_id"), col("lang"), col("lb"), posexplode(col("sig")))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "hval"))
+      // hot-bucket cap (MinHashLsh.MaxBandBucket — the shared declared
+      // metric): buckets holding (near-)byte-identical mass are exact
+      // dedup's job; excluding them keeps candidate mass linear
+      val hot = banded.groupBy(col("lang"), col("lb"), col("band"), col("hval"))
+        .agg(count(lit(1)).as("occ")).filter(col("occ") > MinHashLsh.MaxBandBucket)
+        .select(col("lang"), col("lb"), col("band"), col("hval"))
+      val cool = banded.join(broadcast(hot), Seq("lang", "lb", "band", "hval"), "left_anti")
+      val a = cool.select(col("doc_id").as("a_id"), col("lang"), col("lb"), col("band"), col("hval"))
+      val b = cool.select(col("doc_id").as("b_id"), col("lang"), col("lb"), col("band"), col("hval"))
+      // the dedup groupBy doubles as COLLISION COUNTING (C2LSH-style
+      // amplification): consumers threshold nm — same shuffle as a
+      // plain distinct, and the count makes the frame reusable across
+      // every amplification level
+      a.join(b, Seq("lang", "lb", "band", "hval"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("nm"))
+        .localCheckpoint(true)
+    }
+
+  /** Session-staged INVERTED SHINGLE-DIGEST INDEX — (doc_id, lang, lb, ns,
+    * g) with one row per (document, distinct shingle), g the md5u64 digest
+    * ([[md5Key]]) and ns the doc's shingle-set size: the ladder's 4th rung.
+    * `dedup_containment` and `dedup_recall_eval` each need the corpus
+    * exploded and digest-hashed — the md5-per-shingle pass dominates both
+    * (the explode itself is cheap off the checkpointed sketch; the hash is
+    * not) — so it stages once per (corpus, fingerprint) like its siblings
+    * and both consumers read 8-byte digest rows from checkpoint blocks.
+    * At 100 TB this IS the inverted-index table a dedup pipeline persists
+    * next to the sketch. Same lifecycle (supersede evicts, clear
+    * invalidates); row count = total distinct shingles, O(corpus). */
+  private[dedup] def stagedInvIndex(s: SparkSession, dir: String): DataFrame =
+    graft.StagedArtifacts.stage(s, s"dedup/invIndex#$dir", docFp(s, dir)) {
+      // bh (the 0..99 block-hash bucket behind [[evalSamplePct]]) is
+      // computed per DOC here, before the explode, so sampling consumers
+      // filter on a plain long instead of re-hashing the block key per
+      // shingle row per join side
+      stagedSketch(s, dir)
+        .select(col("doc_id"), col("lang"), col("lb"),
+          size(col("sh")).cast("long").as("ns"),
+          (call_function("conv",
+            substring(md5(concat_ws("#", col("lang"), col("lb"))), 1, 6),
+            lit(16), lit(10)).cast("long") % 100L).as("bh"),
+          explode(col("sh")).as("gs"))
+        .select(col("doc_id"), col("lang"), col("lb"), col("ns"), col("bh"),
+          md5Key(col("gs")).as("g"))
+        .localCheckpoint(true)
+    }
 
   /** Banded, occupancy-capped candidate pairs within (lang, length-bucket)
     * blocks — the one candidate generator shared by `dedup_ngram_jaccard`
@@ -357,18 +377,13 @@ object DedupQueries {
 
   def containment(s: SparkSession, dir: String): DataFrame = {
     graft.functions.HashExprs.register(s)
-    // the per-doc shingle sets come from the session-staged sketch (ONE
-    // corpus shingle pass shared with the whole word-shingle family)
-    val d = stagedSketch(s, dir)
-      .select(col("doc_id"), col("sh"))
-      .filter(size(col("sh")) >= ContainMinShingles)
-    // persist: the exploded index feeds the df count AND the rare join —
-    // without it the corpus is re-exploded and re-hashed twice (measured:
-    // dropping this cache COSTS ~0.6 s at sf0.1 even off the checkpointed
-    // sketch — the md5 per shingle dominates, not the scan)
-    val inv = graft.CacheRegistry.track(
-      d.select(col("doc_id"), explode(col("sh")).as("gs"))
-        .select(col("doc_id"), md5Key(col("gs")).as("g")))
+    // the exploded, digest-hashed index comes from the session-staged
+    // 4th rung (ONE explode+md5 pass shared with dedup_recall_eval);
+    // the ContainMinShingles floor is a row filter on the carried ns —
+    // the df count and the rare join both read 8-byte checkpoint rows
+    val inv = stagedInvIndex(s, dir)
+      .filter(col("ns") >= ContainMinShingles)
+      .select(col("doc_id"), col("g"))
     val dfCapped = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= ContainDfCap).select("g")
     // persist: three consumers (per-doc rare counts + both self-join sides)
@@ -410,20 +425,29 @@ object DedupQueries {
     * (lang, length-bucket) blocks) — block-quadratic BY DEFINITION
     * (it is what banding exists to avoid). That is affordable precisely
     * because blocks are bounded at gate scale; a 100 TB run evaluates on
-    * a hash-sample of blocks (the plumbing is the [[EvalSamplePct]]
-    * predicate on the block key — shipped at 100, i.e. every block, so
-    * the gate checks the full truth; the sampled audit is the same plan
-    * with a smaller constant). Recall is exact integer counts + one
-    * rounded division. */
+    * a hash-sample of blocks: with `spark.graft.scale.approx=true` the
+    * same entry point compiles the genuine [[EvalSamplePctApprox]]%-of-
+    * blocks sample (an md5 block-key predicate — blocks are the sampling
+    * unit because recall is a within-block property, so a sampled block
+    * contributes its COMPLETE truth), conf-off runs [[EvalSamplePct]]=100
+    * — every block, the oracle-checked exact contract the driver gate
+    * exercises. ScaleModeSpec pins both forms. Recall is exact integer
+    * counts + one rounded division. */
   val EvalSamplePct = 100L
+
+  /** The conf-on block-sample rate: ~¼ of blocks, plenty for a recall
+    * audit (the gate corpora measure recall 1.0; at 100 TB the binomial
+    * CI at thousands of sampled true pairs is tighter than any decision
+    * threshold) at ¼ the block-quadratic truth cost. */
+  val EvalSamplePctApprox = 25L
+
+  private def evalSamplePct(s: SparkSession): Long =
+    if (graft.ScaleMode.approx(s)) EvalSamplePctApprox else EvalSamplePct
 
   def recallEval(s: SparkSession, dir: String): DataFrame = {
     graft.functions.HashExprs.register(s)
-    val d = stagedSketch(s, dir).select(col("doc_id"), col("lang"), col("lb"), col("sh"))
-      .filter(
-        call_function("conv", substring(md5(concat_ws("#", col("lang"), col("lb"))), 1, 6),
-          lit(16), lit(10)).cast("long") % 100L < EvalSamplePct)
-    // EXACT truth via the inverted shingle index, not the blocked
+    // EXACT truth via the session-staged inverted shingle index (the
+    // ladder's 4th rung, shared with dedup_containment), not the blocked
     // all-pairs array intersect: shingle sets are DISTINCT, so the
     // per-pair shared count i from a (lang, lb, digest)-keyed self-join
     // IS |A∩B|, and j = i/(|A|+|B|−i) — identical value, identical
@@ -432,22 +456,23 @@ object DedupQueries {
     // Σ C(n_block,2) (588k) — pairs sharing nothing never materialize.
     // Digest-keyed like dedup_containment (8-byte shuffle keys, oracle
     // twins the same UBIGINT digest, so both engines agree even under
-    // 2⁻⁶⁴ collisions — the declared-metric convention).
-    val inv = graft.CacheRegistry.track(
-      d.select(col("doc_id"), col("lang"), col("lb"), explode(col("sh")).as("gs"))
-        .select(col("doc_id"), col("lang"), col("lb"), md5Key(col("gs")).as("g")))
-    val sizes = d.select(col("doc_id"), size(col("sh")).cast("long").as("ns"))
-    val ia = inv.select(col("doc_id").as("a_id"), col("lang"), col("lb"), col("g"))
-    val ib = inv.select(col("doc_id").as("b_id"), col("lang"), col("lb"), col("g"))
-    val shared = ia.join(ib, Seq("lang", "lb", "g"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy(col("lang"), col("a_id"), col("b_id")).agg(count(lit(1)).as("i"))
+    // 2⁻⁶⁴ collisions — the declared-metric convention). The block
+    // sample predicate ([[evalSamplePct]]: 100 = every block in the
+    // oracle-checked exact form; the `scale.approx` conf compiles the
+    // genuine [[EvalSamplePctApprox]]-of-100 hash-block sample — the
+    // declared 100 TB audit) filters the index rows before any join.
+    val inv = stagedInvIndex(s, dir).filter(col("bh") < evalSamplePct(s))
+    // per-doc set sizes ride the index rows (ns), so the truth join needs
+    // no separate sizes frame: min() collapses the per-pair constant
+    val ia = inv.select(col("doc_id").as("a_id"), col("lang"), col("lb"),
+      col("g"), col("ns").as("na"))
+    val ib = inv.select(col("doc_id").as("b_id"), col("lang"), col("lb"),
+      col("g"), col("ns").as("nb"))
     val truth = graft.CacheRegistry.track(
-      shared
-        .join(sizes.withColumnRenamed("doc_id", "a_id")
-          .withColumnRenamed("ns", "na"), Seq("a_id"))
-        .join(sizes.withColumnRenamed("doc_id", "b_id")
-          .withColumnRenamed("ns", "nb"), Seq("b_id"))
+      ia.join(ib, Seq("lang", "lb", "g"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy(col("lang"), col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("i"), min(col("na")).as("na"), min(col("nb")).as("nb"))
         .filter(round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4)
           >= 0.10)
         .select(col("lang"), col("a_id"), col("b_id")))

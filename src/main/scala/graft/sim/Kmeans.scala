@@ -68,9 +68,14 @@ object Kmeans {
     * embeddings table), so any rewrite of the data — even an in-place
     * same-size one — retrains: Spark writes fresh UUID part-file names on
     * every overwrite, so the fingerprint cannot miss it. `clearCache()`
-    * remains for explicit invalidation. */
-  private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+    * remains for explicit invalidation. Supersede-evicting like the
+    * checkpointed staging rungs ([[graft.StagedArtifacts]]'s contract):
+    * the MODEL identity (dir, iters, subset) is the map key and the
+    * fingerprint a value check, so a rewritten corpus replaces the stale
+    * model instead of accumulating one dead entry per rewrite (driver
+    * arrays, not executor blocks — a bound on map growth, not storage). */
+  private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Array[Array[Double]])]()
 
   def clearCache(): Unit = centroidCache.clear()
 
@@ -83,7 +88,9 @@ object Kmeans {
     // empty corpus: no model to train (and nothing to key a cache on) —
     // callers emit a schema-complete empty frame
     if (n == 0) return Array.empty
-    centroidCache.computeIfAbsent(s"$dir#$iters#$n#$subset#${contentKey(s, dir)}", _ => {
+    val fp = s"$n#${contentKey(s, dir)}"
+    centroidCache.compute(s"$dir#$iters#$subset", (_, old) => {
+      if (old != null && old._1 == fp) old else (fp, {
       // a corpus smaller than the K floor trains with every vector as a
       // centroid — the oracle's `WHERE vec_id < kSql` yields the same n
       // rows, so the engines agree instead of Spark throwing on the
@@ -110,6 +117,7 @@ object Kmeans {
       }
       cents
     })
+    })._2
   }
 
   /** Assignment after `iters` Lloyd rounds, keeping the embedding column so

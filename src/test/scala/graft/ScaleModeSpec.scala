@@ -206,4 +206,36 @@ class ScaleModeSpec extends AnyFunSuite {
   }
 
   private val RollingQuantileWin = graft.timeseries.RollingQuantile.WindowDays
+
+  // ---------------------------------------------------------- recall audit
+
+  test("dedup_recall_eval: approx compiles the genuine block sample; exact form untouched") {
+    val exact = run("dedup_recall_eval").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    CacheRegistry.releaseAll()
+    val (approxRows, planStr) = withApprox {
+      val df = run("dedup_recall_eval")
+      (df.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap,
+        df.queryExecution.optimizedPlan.toString)
+    }
+    // (b) conf-on plan carries the <25 block-sample predicate on the
+    // md5 block key — a genuine sample, not the vacuous <100 form
+    assert(planStr.contains(s"< ${graft.dedup.DedupQueries.EvalSamplePctApprox}"),
+      "approx plan must filter blocks at the sampled rate")
+    assert(!planStr.contains("< 100"), "the full-truth predicate must be gone")
+    // (c) sampled truth is a per-block subset of the full truth: every
+    // sampled lang's counts are bounded by the exact run's
+    approxRows.foreach { case (lang, (nTrue, nHit)) =>
+      val (eTrue, eHit) = exact(lang)
+      assert(nTrue <= eTrue && nHit <= eHit, s"$lang sample exceeds full truth")
+      assert(nHit <= nTrue)
+    }
+    // (a) conf-off output identity after the conf round-trip (the staged
+    // index is shared between modes; the sample must be a per-consumer
+    // filter, never baked into the staged artifact)
+    val again = run("dedup_recall_eval").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    CacheRegistry.releaseAll()
+    assert(again == exact, "conf-off output unchanged after an approx run")
+  }
 }
