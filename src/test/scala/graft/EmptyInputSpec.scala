@@ -63,7 +63,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "sample_pps_systematic", "sample_kcenter", "emb_quantize_int8",
     "text_bpe_apply", "dedup_ngram_jaccard", "dedup_edit_distance",
     "dedup_minhash_lsh", "ann_recall_eval", "dedup_recall_eval",
-    "etl_run_report", "dedup_weights", "etl_dq_quarantine")
+    "etl_run_report", "dedup_weights", "etl_dq_quarantine",
+    "stats_hll_distinct", "stats_sketch_eval", "text_collocations")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {
