@@ -33,6 +33,7 @@ object SparkEntry {
       streaming.StreamDedup.queries ++ streaming.StreamNearDup.queries ++
       streaming.StreamAnomaly.queries ++ streaming.StreamTopK.queries ++
       streaming.StreamCdcApply.queries ++ streaming.StreamCep.queries ++
+      streaming.StreamDistinct.queries ++
       timeseries.TsQueries.queries ++ timeseries.CrossCorr.queries ++
       timeseries.RollingQuantile.queries ++ timeseries.Lttb.queries ++
       stats.SketchQueries.queries ++ stats.HeavyHitters.queries ++ stats.KmvSketch.queries ++
@@ -66,7 +67,7 @@ object SparkEntry {
       sim.VectorOps.oracles ++ streaming.StreamQueries.oracles ++
       streaming.StreamDedup.oracles ++ streaming.StreamAnomaly.oracles ++
       streaming.StreamTopK.oracles ++ streaming.StreamCdcApply.oracles ++
-      streaming.StreamCep.oracles ++
+      streaming.StreamCep.oracles ++ streaming.StreamDistinct.oracles ++
       timeseries.TsQueries.oracles ++ timeseries.CrossCorr.oracles ++
       timeseries.RollingQuantile.oracles ++ timeseries.Lttb.oracles ++
       stats.SketchQueries.oracles ++ stats.HeavyHitters.oracles ++ stats.KmvSketch.oracles ++

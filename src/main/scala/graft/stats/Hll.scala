@@ -50,12 +50,23 @@ object Hll {
 
   private def hex(c: Column): Column = md5(c.cast("string").cast("binary"))
 
-  def hllDistinct(s: SparkSession, dir: String): DataFrame = {
+  /** The (key, bucket) → register frame: one row per occupied register.
+    * `ev` must carry the group-key columns plus `user_id`. Exposed so the
+    * streaming twin (`stream_distinct`) feeds the SAME register chain
+    * through its stateful finalizer. */
+  private[graft] def registers(ev: DataFrame, keys: Seq[String]): DataFrame = {
     val h = hex(col("user_id"))
     val bucket = (conv(substring(h, 1, 2), 16, 10).cast("long") % M).as("bucket")
     val w = conv(substring(h, 3, 13), 16, 10).cast("long")
     val rho = when(w === 0L, lit(53L))
       .otherwise(lit(53L) - length(conv(w, 10, 2)).cast("long"))
+    ev.select(keys.map(col) :+ bucket :+ rho.as("rho"): _*)
+      .groupBy((keys :+ "bucket").map(col): _*).agg(max(col("rho")).as("m_j"))
+  }
+
+  /** Register frame → per-key sketch readout (occupied count, empty count,
+    * exact integer harmonic sum, α-estimate with linear counting). */
+  private[graft] def readout(regs: DataFrame, keys: Seq[String]): DataFrame = {
     val sOcc = sum(call_function("shiftleft", lit(1L),
       (lit(53L) - col("m_j")).cast("int"))).as("s_occ")
     val sScaled = (col("s_occ") +
@@ -65,13 +76,15 @@ object Hll {
     val est = when(eRaw <= lit(2.5 * M) && col("v_zero") > 0L,
         round(lit(M.toDouble) * log(lit(M.toDouble) / col("v_zero").cast("double")), 4))
       .otherwise(round(eRaw, 4))
-    Tables.events(s, dir)
-      .select(col("event_type"), bucket, rho.as("rho"))
-      .groupBy(col("event_type"), col("bucket")).agg(max(col("rho")).as("m_j"))
-      .groupBy(col("event_type")).agg(count(lit(1)).as("occ"), sOcc)
-      .select(col("event_type"), col("occ").as("n_buckets"),
-        (lit(M.toLong) - col("occ")).as("v_zero"), sScaled)
+    regs.groupBy(keys.map(col): _*).agg(count(lit(1)).as("occ"), sOcc)
+      .select(keys.map(col) :+ col("occ").as("n_buckets") :+
+        (lit(M.toLong) - col("occ")).as("v_zero") :+ sScaled: _*)
       .withColumn("est_distinct", est)
+  }
+
+  def hllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val keys = Seq("event_type")
+    readout(registers(Tables.events(s, dir), keys), keys)
       .orderBy(col("event_type"))
   }
 
@@ -106,30 +119,36 @@ object Hll {
     "stats_hll_distinct" -> (hllDistinct _),
     "stats_sketch_eval" -> (sketchEval _))
 
-  private val hllSql: String =
+  /** The whole sketch chain in DuckDB, parameterized by group key
+    * (`keyExpr` projects it from events, `keyCols` names it downstream) —
+    * shared verbatim by `stats_hll_distinct`, `stats_sketch_eval`, and the
+    * streaming twin's per-day oracle. */
+  private[graft] def hllSqlBy(keyExpr: String, keyCols: String): String =
     s"""WITH hh AS (
-       | SELECT event_type,
+       | SELECT $keyExpr,
        |  ('0x' || substr(md5(user_id::VARCHAR), 1, 2))::BIGINT % $M AS bucket,
        |  ('0x' || substr(md5(user_id::VARCHAR), 3, 13))::BIGINT AS w
        | FROM events),
        |reg AS (
-       | SELECT event_type, bucket,
+       | SELECT $keyCols, bucket,
        |  max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END)::BIGINT AS m_j
-       | FROM hh GROUP BY 1, 2),
+       | FROM hh GROUP BY $keyCols, bucket),
        |agg AS (
-       | SELECT event_type, count(*)::BIGINT AS occ,
+       | SELECT $keyCols, count(*)::BIGINT AS occ,
        |  sum(1::BIGINT << (53 - m_j))::BIGINT AS s_occ
-       | FROM reg GROUP BY 1),
+       | FROM reg GROUP BY $keyCols),
        |fin AS (
-       | SELECT event_type, occ AS n_buckets, ($M - occ)::BIGINT AS v_zero,
+       | SELECT $keyCols, occ AS n_buckets, ($M - occ)::BIGINT AS v_zero,
        |  (s_occ + ($M - occ) * (1::BIGINT << 53))::BIGINT AS s_scaled
        | FROM agg)
-       |SELECT event_type, n_buckets, v_zero, s_scaled,
+       |SELECT $keyCols, n_buckets, v_zero, s_scaled,
        | CASE WHEN $Alpha * ${M * M}.0 * $Scale / s_scaled <= ${2.5 * M}
        |        AND v_zero > 0
        |      THEN round($M.0 * ln($M.0 / v_zero), 4)
        |      ELSE round($Alpha * ${M * M}.0 * $Scale / s_scaled, 4) END AS est_distinct
        |FROM fin""".stripMargin
+
+  private val hllSql: String = hllSqlBy("event_type", "event_type")
 
   val oracles: Map[String, String] = Map(
     "stats_hll_distinct" -> s"$hllSql\nORDER BY event_type",

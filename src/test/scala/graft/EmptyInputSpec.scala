@@ -64,7 +64,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "text_bpe_apply", "dedup_ngram_jaccard", "dedup_edit_distance",
     "dedup_minhash_lsh", "ann_recall_eval", "dedup_recall_eval",
     "etl_run_report", "dedup_weights", "etl_dq_quarantine",
-    "stats_hll_distinct", "stats_sketch_eval", "text_collocations")
+    "stats_hll_distinct", "stats_sketch_eval", "text_collocations",
+    "stream_distinct")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {
