@@ -174,9 +174,45 @@ object DedupClusters {
       .orderBy(col("doc_id"))
   }
 
+  /** #28t `sample_split_group` — GROUP-aware train/val/test split: every
+    * member of a near-dup cluster lands on the same side. `sample_split`
+    * closes the exact-dup contamination hole by hashing content; this
+    * closes the NEAR-dup hole (the paraphrased/template-varied page whose
+    * twin a content hash cannot see — splitting those across train/test
+    * grades the model on memorized near-copies, the contamination class
+    * arXiv:2107.06499 measures). The split unit is the cluster: bucket =
+    * md5 of the CANONICAL id in `sample_split`'s exact 2²⁰ space, same
+    * 90/5/5 thresholds, singletons keyed by their own id — so the two
+    * split operators agree on policy and differ only in unit.
+    *
+    * Rides the session-staged verified pair graph like `dedup_weights`
+    * (one near-dup pass per session feeds clusters, weights, and this);
+    * past the label join the assignment is one map-side projection. The
+    * oracle composes the shared recursive cluster chain with
+    * `sample_split`'s bucket CASE — both halves are the registered
+    * definitions, so the operator cannot drift from either parent. */
+  def splitGroup(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    val lab = connectedComponents(verifiedPairs(s, dir), materialized = true)
+      .withColumnsRenamed(Map("id" -> "doc_id", "label" -> "canonical"))
+    val bucket = conv(substring(md5(col("canonical").cast("string")), 1, 6), 16, 10)
+      .cast("long") % graft.text.SampleSplit.Buckets
+    docs.join(lab, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("canonical"), col("doc_id")).as("canonical"))
+      .withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < graft.text.SampleSplit.TrainThreshold, "train")
+          .when(col("bucket") < graft.text.SampleSplit.ValThreshold, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("lang"), col("canonical"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> (clusters _),
-    "dedup_weights" -> (weights _))
+    "dedup_weights" -> (weights _),
+    "sample_split_group" -> (splitGroup _))
 
   private val pairsSql: String =
     s"""SELECT a.doc_id AS a_id, b.doc_id AS b_id
@@ -213,5 +249,19 @@ object DedupClusters {
          | FROM documents dd LEFT JOIN clust c ON c.doc_id = dd.doc_id),
          |sz AS (SELECT canonical, count(*)::BIGINT AS csize FROM allc GROUP BY canonical)
          |SELECT a.doc_id, a.canonical, sz.csize, (a.doc_id = a.canonical) AS keep
-         |FROM allc a JOIN sz USING (canonical) ORDER BY a.doc_id""".stripMargin)
+         |FROM allc a JOIN sz USING (canonical) ORDER BY a.doc_id""".stripMargin,
+    "sample_split_group" ->
+      s"""WITH RECURSIVE
+         |$clustersCteSql,
+         |allc AS (SELECT dd.doc_id, dd.lang, coalesce(c.canonical, dd.doc_id) AS canonical
+         | FROM documents dd LEFT JOIN clust c ON c.doc_id = dd.doc_id),
+         |b AS (SELECT doc_id, lang, canonical,
+         |  ('0x' || substr(md5(canonical::VARCHAR), 1, 6))::BIGINT
+         |    % ${graft.text.SampleSplit.Buckets} AS bucket
+         | FROM allc)
+         |SELECT doc_id, lang, canonical,
+         | CASE WHEN bucket < ${graft.text.SampleSplit.TrainThreshold} THEN 'train'
+         |      WHEN bucket < ${graft.text.SampleSplit.ValThreshold} THEN 'val'
+         |      ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin)
 }
