@@ -16,7 +16,7 @@ object SparkEntry {
       etl.FuzzyMatch.queries ++ etl.Anonymize.queries ++ etl.DqReport.queries ++
       etl.Survivorship.queries ++ etl.GeoCluster.queries ++ etl.RecordLinkage.queries ++
       etl.CompactionPlan.queries ++ etl.SchemaDrift.queries ++ etl.JoinProfile.queries ++
-      etl.ProfileSuggest.queries ++ etl.RunReport.queries ++
+      etl.ProfileSuggest.queries ++ etl.RunReport.queries ++ etl.Freshness.queries ++
       text.TextQueries.queries ++ text.ImportanceResample.queries ++ text.SampleSplit.queries ++ text.PpsSample.queries ++ text.HashEmbed.queries ++ text.PiiScrub.queries ++ text.BpeTrain.queries ++
       text.Reservoir.queries ++ text.KnCounts.queries ++
       text.LmScore.queries ++ text.ZipfFit.queries ++
@@ -51,7 +51,7 @@ object SparkEntry {
       etl.FuzzyMatch.oracles ++ etl.Anonymize.oracles ++ etl.DqReport.oracles ++
       etl.Survivorship.oracles ++ etl.GeoCluster.oracles ++ etl.RecordLinkage.oracles ++
       etl.CompactionPlan.oracles ++ etl.SchemaDrift.oracles ++ etl.JoinProfile.oracles ++
-      etl.ProfileSuggest.oracles ++ etl.RunReport.oracles ++
+      etl.ProfileSuggest.oracles ++ etl.RunReport.oracles ++ etl.Freshness.oracles ++
       text.TextQueries.oracles ++ text.ImportanceResample.oracles ++ text.SampleSplit.oracles ++ text.PpsSample.oracles ++ text.HashEmbed.oracles ++
       text.Reservoir.oracles ++ text.KnCounts.oracles ++
       text.PiiScrub.oracles ++ text.LmScore.oracles ++ text.ZipfFit.oracles ++
