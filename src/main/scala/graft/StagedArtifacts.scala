@@ -21,13 +21,31 @@ import org.apache.spark.sql.execution.LogicalRDD
   * carry their content fingerprint as a VALUE. When a key re-resolves to a
   * new fingerprint, the stale entry's checkpoint RDD is unpersisted (its
   * blocks leave executor storage immediately; the data is stale by
-  * definition, so losing it is correct) before the fresh build runs.
-  * Entries for other artifacts — including other dirs of the same family —
-  * are never touched. `StagedEvictionSpec` proves the contract end to end.
-  */
+  * definition, so losing it is correct) before the fresh build's result is
+  * handed out. Entries for other artifacts — including other dirs of the
+  * same family — are never touched. `StagedEvictionSpec` proves the
+  * contract end to end.
+  *
+  * Concurrency: the build runs OUTSIDE the map's bin locks (a ladder rung
+  * builds by staging its parent rung — a nested `stage` call — and
+  * ConcurrentHashMap.compute forbids that recursion). Each entry memoizes
+  * its frame under its own monitor, so concurrent builders of ONE artifact
+  * serialize while different artifacts (including a rung and its parent)
+  * never share a lock — the ladder is a DAG, so no cycle exists. */
 object StagedArtifacts {
 
-  private final case class Entry(fingerprint: String, df: DataFrame)
+  private final class Entry(val fingerprint: String, build0: () => DataFrame) {
+    private var built: DataFrame = null
+    /** Memoized build — at most one builder runs per entry. */
+    def df: DataFrame = synchronized {
+      if (built == null) built = build0()
+      built
+    }
+    /** Release checkpoint blocks if (and only if) this entry ever built. */
+    def unpersistIfBuilt(): Unit = synchronized {
+      if (built != null) unpersistCheckpoint(built)
+    }
+  }
 
   private val entries =
     new java.util.concurrent.ConcurrentHashMap[String, Entry]()
@@ -36,18 +54,26 @@ object StagedArtifacts {
     * staging — `build` must return an eagerly-materialized frame, normally
     * `localCheckpoint(true)`) on first use or on supersede. Same
     * fingerprint → the staged frame, zero recompute. New fingerprint →
-    * stale checkpoint unpersisted, fresh build. The per-key lock of
-    * `compute` also serializes concurrent builders of one artifact (the
-    * `computeIfAbsent` discipline this replaces). */
+    * the stale entry's checkpoint is unpersisted and the fresh build
+    * replaces it. */
   def stage(s: SparkSession, name: String, fingerprint: String)
-      (build: => DataFrame): DataFrame =
-    entries.compute(s"${s.sparkContext.applicationId}#$name", (_, old) => {
-      if (old != null && old.fingerprint == fingerprint) old
-      else {
-        if (old != null) unpersistCheckpoint(old.df)
-        Entry(fingerprint, build)
+      (build: => DataFrame): DataFrame = {
+    val key = s"${s.sparkContext.applicationId}#$name"
+    while (true) {
+      val cur = entries.get(key)
+      if (cur != null && cur.fingerprint == fingerprint) return cur.df
+      val fresh = new Entry(fingerprint, () => build)
+      val installed =
+        if (cur == null) entries.putIfAbsent(key, fresh) == null
+        else entries.replace(key, cur, fresh)
+      if (installed) {
+        if (cur != null) cur.unpersistIfBuilt()
+        return fresh.df
       }
-    }).df
+      // lost the install race — re-read and re-decide
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** Drop (and unpersist) every entry whose artifact name starts with
     * `prefix` — the explicit-invalidation hook behind the per-family
@@ -57,7 +83,7 @@ object StagedArtifacts {
     while (it.hasNext) {
       val e = it.next()
       if (e.getKey.substring(e.getKey.indexOf('#') + 1).startsWith(prefix)) {
-        unpersistCheckpoint(e.getValue.df)
+        e.getValue.unpersistIfBuilt()
         it.remove()
       }
     }

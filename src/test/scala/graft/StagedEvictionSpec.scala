@@ -62,4 +62,24 @@ class StagedEvictionSpec extends AnyFunSuite {
     assert(!spark.sparkContext.getPersistentRDDs.contains(keepId))
   }
 
+  test("nested staging never deadlocks or recursive-updates (a rung builds its parent)") {
+    // the ladder's real shape: building one artifact stages another. The
+    // map's bin locks must never be held during a build — with
+    // computeIfAbsent/compute this threw IllegalStateException(Recursive
+    // update) whenever the two keys collided in a bin (found by the full
+    // suite on the empty-corpus fixture). Exercise MANY nested pairs so a
+    // bin collision is certain regardless of hashing.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    (0 until 64).foreach { i =>
+      val outer = StagedArtifacts.stage(spark, s"nestSpec/outer$i", "fp") {
+        val inner = StagedArtifacts.stage(spark, s"nestSpec/inner$i", "fp") {
+          Seq(i.toLong).toDF("v").localCheckpoint(true)
+        }
+        inner.select((col("v") + 1L).as("v")).localCheckpoint(true)
+      }
+      assert(outer.head().getLong(0) == i + 1L)
+    }
+    StagedArtifacts.clear("nestSpec/")
+  }
 }
