@@ -62,23 +62,63 @@ object CountMin {
       .orderBy(col("user_id"))
   }
 
+  /** #35o `stats_cms_eval` — measured error of the Count-Min estimates
+    * against the exact per-probe counts: the frequency-sketch member of
+    * the eval family (`ann_recall_eval` / `dedup_recall_eval` /
+    * `stats_sketch_eval`), turning the CM theorem's two claims into
+    * checked numbers — `overestimate` must be ≥ 0 on EVERY row (the
+    * one-sided guarantee: min-of-counters can never undercount), and its
+    * magnitude is the actual collision mass vs the e·n/w bound a team
+    * sizes w against. Drift-proof composition: re-runs `stats_cms`'s own
+    * registered query; the oracle embeds its registered oracle. Exact
+    * truth is a pruned scan (user_id < NProbes pushes to parquet) + a
+    * 25-key aggregate — cheap at any scale, unlike the distinct-sketch
+    * evals' full `count(DISTINCT)`. */
+  def cmsEval(s: SparkSession, dir: String): DataFrame = {
+    val est = cmsFreq(s, dir)
+    val truth = Tables.events(s, dir)
+      .filter(col("user_id") >= 0L && col("user_id") < NProbes)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_true"))
+    est.join(broadcast(truth), Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        col("est_count"),
+        (col("est_count") - coalesce(col("n_true"), lit(0L))).as("overestimate"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stats_cms" -> (cmsFreq _))
+    "stats_cms" -> (cmsFreq _),
+    "stats_cms_eval" -> (cmsEval _))
+
+  private val cmsSql: String = {
+    val hashRows = (0 until D)
+      .map(r => s"(${r}, ${HashA(r)}, ${HashB(r)})").mkString(", ")
+    s"""WITH h(r, a, b) AS (VALUES $hashRows),
+       |c AS (SELECT h.r, ((e.user_id * h.a + h.b) % $HashP) % $W AS bucket,
+       |   count(*)::BIGINT AS cnt
+       | FROM events e CROSS JOIN h GROUP BY 1, 2),
+       |p AS (SELECT unnest(range(0, $NProbes)) AS user_id),
+       |pb AS (SELECT p.user_id, h.r,
+       |   ((p.user_id * h.a + h.b) % $HashP) % $W AS bucket
+       | FROM p CROSS JOIN h)
+       |SELECT pb.user_id, min(coalesce(c.cnt, 0))::BIGINT AS est_count
+       |FROM pb LEFT JOIN c ON pb.r = c.r AND pb.bucket = c.bucket
+       |GROUP BY pb.user_id ORDER BY pb.user_id""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
-    "stats_cms" -> {
-      val hashRows = (0 until D)
-        .map(r => s"(${r}, ${HashA(r)}, ${HashB(r)})").mkString(", ")
-      s"""WITH h(r, a, b) AS (VALUES $hashRows),
-         |c AS (SELECT h.r, ((e.user_id * h.a + h.b) % $HashP) % $W AS bucket,
-         |   count(*)::BIGINT AS cnt
-         | FROM events e CROSS JOIN h GROUP BY 1, 2),
-         |p AS (SELECT unnest(range(0, $NProbes)) AS user_id),
-         |pb AS (SELECT p.user_id, h.r,
-         |   ((p.user_id * h.a + h.b) % $HashP) % $W AS bucket
-         | FROM p CROSS JOIN h)
-         |SELECT pb.user_id, min(coalesce(c.cnt, 0))::BIGINT AS est_count
-         |FROM pb LEFT JOIN c ON pb.r = c.r AND pb.bucket = c.bucket
-         |GROUP BY pb.user_id ORDER BY pb.user_id""".stripMargin
-    })
+    "stats_cms" -> cmsSql,
+    // the eval oracle composes stats_cms's registered oracle verbatim
+    "stats_cms_eval" ->
+      s"""WITH est AS (SELECT user_id, est_count FROM (
+         |$cmsSql
+         |) t),
+         |tr AS (SELECT user_id, count(*)::BIGINT AS n_true FROM events
+         | WHERE user_id >= 0 AND user_id < $NProbes GROUP BY 1)
+         |SELECT est.user_id, coalesce(tr.n_true, 0)::BIGINT AS n_true,
+         | est.est_count,
+         | (est.est_count - coalesce(tr.n_true, 0))::BIGINT AS overestimate
+         |FROM est LEFT JOIN tr USING (user_id)
+         |ORDER BY est.user_id""".stripMargin)
 }

@@ -65,7 +65,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "dedup_minhash_lsh", "ann_recall_eval", "dedup_recall_eval",
     "etl_run_report", "dedup_weights", "etl_dq_quarantine",
     "stats_hll_distinct", "stats_sketch_eval", "text_collocations",
-    "stream_distinct", "sample_split_group", "text_zipf_fit", "etl_freshness")
+    "stream_distinct", "sample_split_group", "text_zipf_fit", "etl_freshness",
+    "stats_cms_eval")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {

@@ -60,4 +60,18 @@ class CmsSpec extends AnyFunSuite {
     val absent = (0L until CountMin.NProbes).filterNot(exact.contains)
     absent.foreach(u => assert(est(u) >= 0L))
   }
+
+  test("stats_cms_eval: one-sidedness holds on every row and both columns replay") {
+    val got = graft.SparkEntry.queries("stats_cms_eval")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == (0L until CountMin.NProbes), "one row per probe")
+    got.foreach { case (u, nTrue, estC, over) =>
+      assert(nTrue == exact.getOrElse(u, 0L), s"probe $u exact count drifted")
+      assert(estC == est(u), s"probe $u estimate drifted from stats_cms")
+      assert(over == estC - nTrue)
+      // THE Count-Min theorem as an executable invariant: the min of
+      // counters that each include the probe's own mass can never undercount
+      assert(over >= 0L, s"probe $u undercounted — one-sidedness violated")
+    }
+  }
 }
