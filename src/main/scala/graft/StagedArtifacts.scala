@@ -31,7 +31,20 @@ import org.apache.spark.sql.execution.LogicalRDD
   * ConcurrentHashMap.compute forbids that recursion). Each entry memoizes
   * its frame under its own monitor, so concurrent builders of ONE artifact
   * serialize while different artifacts (including a rung and its parent)
-  * never share a lock — the ladder is a DAG, so no cycle exists. */
+  * never share a lock — the ladder is a DAG, so no cycle exists.
+  *
+  * SUPERSEDE vs IN-FLIGHT READERS (contract, not a bug): eviction is
+  * immediate by design — the stale data is wrong by definition, and a
+  * nightly session cannot afford to pin 100 TB-scale checkpoint blocks
+  * behind a grace period. A `localCheckpoint` truncates lineage, so a
+  * reader that obtained the OLD fingerprint's frame and is still running
+  * jobs on it when a supersede lands will fail ("checkpoint block not
+  * found") rather than silently recompute. Callers that rewrite a staged
+  * artifact's source concurrently with readers of the old generation must
+  * quiesce those readers first (the gate and every in-repo consumer run
+  * read-then-supersede sequentially; `clear(prefix)` has the same
+  * semantics). Readers at the SAME fingerprint are always safe — supersede
+  * only fires on a fingerprint change. */
 object StagedArtifacts {
 
   private final class Entry(val fingerprint: String, build0: () => DataFrame) {

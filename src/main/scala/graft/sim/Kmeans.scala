@@ -74,8 +74,21 @@ object Kmeans {
     * fingerprint a value check, so a rewritten corpus replaces the stale
     * model instead of accumulating one dead entry per rewrite (driver
     * arrays, not executor blocks — a bound on map growth, not storage). */
-  private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, Array[Array[Double]])]()
+  private final class ModelEntry(val fingerprint: String,
+      build0: () => Array[Array[Double]]) {
+    private var built: Array[Array[Double]] = null
+    /** Memoized train — at most one trainer runs per entry, under the
+      * entry's OWN monitor, never the map's bin locks (the
+      * [[graft.StagedArtifacts]] Entry pattern: CHM.compute bodies must be
+      * short, and a multi-iteration Spark job is not). */
+    def value: Array[Array[Double]] = synchronized {
+      if (built == null) built = build0()
+      built
+    }
+  }
+
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ModelEntry]()
 
   def clearCache(): Unit = centroidCache.clear()
 
@@ -89,8 +102,7 @@ object Kmeans {
     // callers emit a schema-complete empty frame
     if (n == 0) return Array.empty
     val fp = s"$n#${contentKey(s, dir)}"
-    centroidCache.compute(s"$dir#$iters#$subset", (_, old) => {
-      if (old != null && old._1 == fp) old else (fp, {
+    def train(): Array[Array[Double]] = {
       // a corpus smaller than the K floor trains with every vector as a
       // centroid — the oracle's `WHERE vec_id < kSql` yields the same n
       // rows, so the engines agree instead of Spark throwing on the
@@ -116,8 +128,22 @@ object Kmeans {
         cents = next
       }
       cents
-    })
-    })._2
+    }
+    // install-then-train outside the map's locks (StagedArtifacts pattern):
+    // colliding trains of UNRELATED models no longer block each other for
+    // whole multi-iteration Spark jobs under a shared bin lock.
+    val key = s"$dir#$iters#$subset"
+    while (true) {
+      val cur = centroidCache.get(key)
+      if (cur != null && cur.fingerprint == fp) return cur.value
+      val fresh = new ModelEntry(fp, () => train())
+      val installed =
+        if (cur == null) centroidCache.putIfAbsent(key, fresh) == null
+        else centroidCache.replace(key, cur, fresh)
+      if (installed) return fresh.value
+      // lost the install race — re-read and re-decide
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Assignment after `iters` Lloyd rounds, keeping the embedding column so

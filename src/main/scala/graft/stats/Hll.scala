@@ -104,8 +104,10 @@ object Hll {
       .select(col("event_type"), col("est_distinct").as("kmv_est"))
     val hll = hllDistinct(s, dir)
       .select(col("event_type"), col("est_distinct").as("hll_est"))
+    // n_exact = 0 (a group whose rows all carry NULL user_id) would divide
+    // by zero: Spark NULL vs DuckDB inf — guard both engines identically.
     def err(est: Column): Column =
-      round((est - col("n_exact")) / col("n_exact"), 4)
+      when(col("n_exact") > 0L, round((est - col("n_exact")) / col("n_exact"), 4))
     // |event types| rows per side — broadcast the sketch readouts
     exact.join(broadcast(kmv), Seq("event_type"))
       .join(broadcast(hll), Seq("event_type"))
@@ -163,8 +165,12 @@ object Hll {
          |$hllSql
          |) th)
          |SELECT x.event_type, x.n_exact,
-         | kv.kmv_est, round((kv.kmv_est - x.n_exact) / x.n_exact, 4) AS kmv_rel_err,
-         | hv.hll_est, round((hv.hll_est - x.n_exact) / x.n_exact, 4) AS hll_rel_err
+         | kv.kmv_est,
+         | CASE WHEN x.n_exact > 0
+         |   THEN round((kv.kmv_est - x.n_exact) / x.n_exact, 4) END AS kmv_rel_err,
+         | hv.hll_est,
+         | CASE WHEN x.n_exact > 0
+         |   THEN round((hv.hll_est - x.n_exact) / x.n_exact, 4) END AS hll_rel_err
          |FROM x JOIN kv USING (event_type) JOIN hv USING (event_type)
          |ORDER BY event_type""".stripMargin)
 }

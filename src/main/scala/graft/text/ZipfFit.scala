@@ -64,10 +64,16 @@ object ZipfFit {
     val dxx = (n * col("sxx") - col("sx") * col("sx")).cast("double")
     val dyy = (n * col("syy") - col("sy") * col("sy")).cast("double")
     val dxy = (n * col("sxy") - col("sx") * col("sy")).cast("double")
+    // dyy = 0 (all fitted counts equal, e.g. every word appears once) would
+    // divide by zero: Spark's non-ANSI Divide yields NULL, DuckDB's IEEE
+    // division yields inf — guard BOTH engines identically (the
+    // CrossCorr/ts_trend discipline) so the degenerate corpus stays
+    // hash-identical: slope still reported, r2 NULL on both sides.
     m.filter(n >= MinPoints && (n * col("sxx") - col("sx") * col("sx")) > 0L)
       .select(col("lang"), n.as("n_points"),
         round(dxy / dxx, 4).as("slope"),
-        round(dxy * dxy / (dxx * dyy), 4).as("r2"))
+        when((n * col("syy") - col("sy") * col("sy")) > 0L,
+          round(dxy * dxy / (dxx * dyy), 4)).as("r2"))
       .orderBy(col("lang"))
   }
 
@@ -92,8 +98,10 @@ object ZipfFit {
          | FROM r GROUP BY 1)
          |SELECT lang, n AS n_points,
          | round((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE, 4) AS slope,
-         | round((n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy)::DOUBLE
-         |   / ((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE), 4) AS r2
+         | CASE WHEN (n * syy - sy * sy) > 0 THEN
+         |   round((n * sxy - sx * sy)::DOUBLE * (n * sxy - sx * sy)::DOUBLE
+         |     / ((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE), 4)
+         | END AS r2
          |FROM m
          |WHERE n >= $MinPoints AND (n * sxx - sx * sx) > 0
          |ORDER BY lang""".stripMargin)

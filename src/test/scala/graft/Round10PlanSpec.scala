@@ -49,6 +49,39 @@ class Round10PlanSpec extends AnyFunSuite {
       "the top-100 cut must push below the rank window")
   }
 
+  test("text_zipf_fit: rank cut pushes as WindowGroupLimit, never a full vocab sort") {
+    val p = plan("text_zipf_fit")
+    assert(!p.contains("Join"), "the fit is pure aggregation over the ranked head")
+    // the rank<=1000 cut must run BELOW the row_number window as a
+    // per-partition group limit, so the exchange carries at most 1000
+    // words per language — never the whole vocabulary
+    assert(p.contains("WindowGroupLimit"),
+      "the rank cut must push below the window as WindowGroupLimit")
+    assert(exchanges(p) <= 2, "word-count agg + lang repartition only")
+  }
+
+  test("etl_freshness: one fact aggregate + a one-row frontier broadcast") {
+    val p = plan("etl_freshness")
+    // the global frontier day is a one-row aggregate broadcast onto the
+    // per-type aggregate — never a window over the fact, never an SMJ
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 1,
+      "exactly the one-row frontier cross-broadcast")
+    assert(p.contains("IdentityBroadcastMode"), "frontier side must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(p.linesIterator.count(_.contains("FileScan")) == 2,
+      "per-type agg and frontier each scan events once, nothing else")
+  }
+
+  test("stats_cms_eval: exact truth is a pushed-predicate pruned scan; joins broadcast") {
+    val p = plan("stats_cms_eval")
+    // the exact per-probe truth must push user_id < 25 into the parquet
+    // scan (a 25-key sliver at any corpus scale, the whole point)
+    assert(p.contains("LessThan(user_id,25)"),
+      "truth scan must carry the pushed user_id<25 predicate")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("sample_split_group: rides the staged pair graph, never re-detects") {
     graft.dedup.DedupClusters.verifiedPairs(spark, sf) // staged
     val p = plan("sample_split_group")

@@ -33,10 +33,15 @@ class HllSpec extends AnyFunSuite {
     val s = regs.map(r => 1L << (53 - r)).sum
     val v = Hll.M - occ
     val eRaw = Hll.Alpha * (Hll.M * Hll.M).toDouble * Hll.Scale / s.toDouble
+    // HALF_UP to match production (Spark round / BigDecimal in
+    // StreamDistinct.estimate) — math.rint is HALF_EVEN and would diverge
+    // on an exact .00005 tie (ADVICE r10)
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     val est =
       if (eRaw <= 2.5 * Hll.M && v > 0)
-        math.rint(Hll.M.toDouble * math.log(Hll.M.toDouble / v) * 10000) / 10000
-      else math.rint(eRaw * 10000) / 10000
+        r4(Hll.M.toDouble * math.log(Hll.M.toDouble / v))
+      else r4(eRaw)
     (occ, v, s, est)
   }
 

@@ -52,6 +52,24 @@ class ZipfFitSpec extends AnyFunSuite {
     }
   }
 
+  test("degenerate corpus (all counts equal, dyy = 0) keeps the row with r2 NULL") {
+    // every word appears exactly once: ranks differ (dxx > 0) but all
+    // log-counts are 0 (dyy = 0). Unguarded, Spark's non-ANSI Divide gives
+    // NULL while DuckDB's IEEE division gives NaN — the ADVICE r10 finding.
+    // The guard must keep the row (slope defined) and NULL the r2 in BOTH
+    // engines.
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("zipf_degen").toString
+    val text = (1 to 10).map(k => s"u$k").mkString(" ")
+    Seq((0L, text, "xx", "synth", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = SparkEntry.queries("text_zipf_fit")(spark, d).collect()
+    assert(got.length == 1, "the degenerate language must still report")
+    assert(got.head.getDouble(2) == 0.0, "flat counts fit slope 0")
+    assert(got.head.isNullAt(3), "r2 undefined when dyy = 0 — NULL, not NaN/inf")
+  }
+
   test("planted perfect-Zipf corpus fits slope ~ -1 at r2 ~ 1") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("zipf").toString
