@@ -66,7 +66,9 @@ class EmptyInputSpec extends AnyFunSuite {
     "etl_run_report", "dedup_weights", "etl_dq_quarantine",
     "stats_hll_distinct", "stats_sketch_eval", "text_collocations",
     "stream_distinct", "sample_split_group", "text_zipf_fit", "etl_freshness",
-    "stats_cms_eval")
+    "stats_cms_eval",
+    // round-11 additions
+    "text_quality_classifier")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {

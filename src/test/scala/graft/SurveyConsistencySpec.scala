@@ -36,6 +36,16 @@ class SurveyConsistencySpec extends AnyFunSuite {
     assert(dupKeys.isEmpty, s"duplicate §2 keys: ${dupKeys.toSeq.sorted}")
   }
 
+  test("README's operator counts match the compiled registry (no hand-count drift)") {
+    val readme = java.nio.file.Files.readString(java.nio.file.Paths.get("README.md"))
+    val m = "§2, (\\d+) entries — (\\d+) with".r.findFirstMatchIn(readme).getOrElse(
+      fail("README.md must state the §2 entry/oracle counts"))
+    assert(m.group(1).toInt == SparkEntry.queries.size,
+      s"README says ${m.group(1)} entries; SparkEntry.queries has ${SparkEntry.queries.size}")
+    assert(m.group(2).toInt == SparkEntry.oracleSql.size,
+      s"README says ${m.group(2)} oracled; SparkEntry.oracleSql has ${SparkEntry.oracleSql.size}")
+  }
+
   test("every oracle entry points at an implemented query") {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(dangling.isEmpty, s"oracle SQL with no query: $dangling")

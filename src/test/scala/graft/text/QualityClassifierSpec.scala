@@ -1,0 +1,156 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+/** `text_quality_classifier` contract:
+  *  - a planted separable corpus (disjoint vocabularies, positives passing
+  *    the gopher gate with lang=en) trains to real separation — the model
+  *    must beat the majority-class baseline and use both verdicts;
+  *  - the WHOLE integerized GD chain replays driver-side from first
+  *    principles (features, labels, 12 iterations, margins) — the
+  *    `HllSpec` replica discipline: any merge-order or rounding drift in
+  *    the distributed chain turns this red;
+  *  - pred is the exact integer compare margin_i >= 0. */
+class QualityClassifierSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def r0(x: Double): Long = java.math.BigDecimal.valueOf(x)
+    .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
+  /** Full driver-side replica of the registered training + scoring chain:
+    * doc texts + langs in, (margin_i, label) per doc out. */
+  private def replica(docs: Seq[(Long, String, String)]): Map[Long, (Long, Long)] = {
+    // features: hashed-bigram signed sums, L2-normalized, integerized
+    val feats: Map[Long, Map[Int, Long]] = docs.map { case (id, text, _) =>
+      val ws = text.toLowerCase.split("\\s+", -1).filter(_.nonEmpty)
+      val raw = ws.zip(ws.drop(1)).map { case (a, b) => s"$a $b" }
+        .foldLeft(Map.empty[Int, Long]) { (m, bg) =>
+          val h = java.lang.Long.parseLong(md5hex(bg).substring(0, 10), 16)
+          val dim = (h % QualityClassifier.Dims).toInt
+          val sign = (h / QualityClassifier.Dims) % 2 * 2 - 1
+          m.updated(dim, m.getOrElse(dim, 0L) + sign)
+        }.filter(_._2 != 0L)
+      val ss = raw.values.map(v => v * v).sum
+      val bg = raw.map { case (d, v) => d -> r0(v.toDouble * 10000.0 / math.sqrt(ss.toDouble)) }
+      // aux: gopher-convention tokens (no lower, no empty filter)
+      val gw = text.split("\\s+", -1)
+      val lenX = math.min(r0(math.log(gw.length.toDouble + 1.0) * 1000.0), 10000L)
+      val uniq = java.math.BigDecimal.valueOf(gw.distinct.length.toDouble / gw.length)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      val uniqX = r0(uniq * 10000.0)
+      id -> (bg + (QualityClassifier.LenDim -> lenX) + (QualityClassifier.UniqDim -> uniqX))
+    }.toMap
+    // labels: gopher keep && lang == en
+    val labels: Map[Long, Long] = docs.map { case (id, text, lang) =>
+      val gw = text.split("\\s+", -1)
+      val n = gw.length
+      val mwl = java.math.BigDecimal.valueOf(gw.map(_.length.toLong).sum.toDouble / n)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      val uq = java.math.BigDecimal.valueOf(gw.distinct.length.toDouble / n)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      val keep = n >= 25 && n <= 10000 && mwl >= 3.0 && mwl <= 10.0 && uq >= 0.35
+      id -> (if (keep && lang == "en") 1L else 0L)
+    }.toMap
+    // 12 full-batch GD iterations, integer chain
+    val nDocs = docs.size.toLong
+    val w = Array.fill(QualityClassifier.BiasDim + 1)(0L)
+    def marginOf(id: Long): Long =
+      feats(id).map { case (d, x) => w(d) * x }.sum + w(QualityClassifier.BiasDim) * 10000L
+    for (_ <- 1 to QualityClassifier.Iters) {
+      val p6 = docs.map { case (id, _, _) =>
+        id -> r0(1.0 / (1.0 + math.exp(-(marginOf(id).toDouble / 1.0e13))) * 1000000.0)
+      }.toMap
+      val g = Array.fill(QualityClassifier.BiasDim + 1)(0L)
+      docs.foreach { case (id, _, _) =>
+        val resid = p6(id) - labels(id) * 1000000L
+        feats(id).foreach { case (d, x) => g(d) += resid * x }
+        g(QualityClassifier.BiasDim) += resid * 10000L
+      }
+      (0 to QualityClassifier.BiasDim).foreach { j =>
+        w(j) -= r0(g(j) * QualityClassifier.Lr.toDouble / (10.0 * nDocs))
+      }
+    }
+    docs.map { case (id, _, _) => id -> (marginOf(id), labels(id)) }.toMap
+  }
+
+  private def writeDocs(dir: String, docs: Seq[(Long, String, String)]): Unit = {
+    import spark.implicits._
+    docs.map { case (id, t, l) => (id, t, l, "synth", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  /** Planted corpus: positives are en docs over one vocabulary, negatives
+    * zh docs over a disjoint one — both pass the word-count/uniqueness
+    * gates so the LABEL separation is carried by lang (i.e. by the bigram
+    * profile), exactly the Wiki-vs-pool shape the classifier distills. */
+  private lazy val planted: Seq[(Long, String, String)] = {
+    val rng = new scala.util.Random(7)
+    (0 until 60).map { i =>
+      val (vocab, lang) = if (i % 2 == 0) ((0 until 40).map(k => s"alpha$k"), "en")
+      else ((0 until 40).map(k => s"beta$k"), "zh")
+      val text = (0 until 30).map(_ => vocab(rng.nextInt(40))).mkString(" ")
+      (i.toLong, text, lang)
+    }
+  }
+
+  private lazy val plantedDir = {
+    val d = java.nio.file.Files.createTempDirectory("qclf").toString
+    writeDocs(d, planted)
+    d
+  }
+
+  test("planted separable corpus trains to real separation") {
+    QualityClassifier.clearCache()
+    val got = SparkEntry.queries("text_quality_classifier")(spark, plantedDir).collect()
+    graft.CacheRegistry.releaseAll()
+    assert(got.length == 60)
+    val acc = got.count(r => (r.getLong(1) == 1L) == r.getBoolean(4)) / 60.0
+    assert(acc >= 0.85, s"accuracy $acc must beat the 0.5 base rate decisively")
+    val preds = got.map(_.getBoolean(4)).distinct
+    assert(preds.length == 2, "both verdicts must occur — not a constant classifier")
+  }
+
+  test("the full integerized GD chain replays driver-side from first principles") {
+    QualityClassifier.clearCache()
+    val got = SparkEntry.queries("text_quality_classifier")(spark, plantedDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(1), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    graft.CacheRegistry.releaseAll()
+    val exp = replica(planted)
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (id, (margin, label)) =>
+      val (gm, gl, gs, gp) = got(id)
+      assert(gm == margin, s"doc $id margin diverged (got $gm, replica $margin)")
+      assert(gl == label, s"doc $id label diverged")
+      val score = java.math.BigDecimal.valueOf(
+          1.0 / (1.0 + math.exp(-(margin.toDouble / 1.0e13))))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      assert(gs == score, s"doc $id score diverged")
+      assert(gp == (margin >= 0L), "pred must be the exact margin_i >= 0 compare")
+    }
+  }
+
+  test("model memoizes per corpus fingerprint and retrains on rewrite") {
+    QualityClassifier.clearCache()
+    val d = java.nio.file.Files.createTempDirectory("qclf_memo").toString
+    writeDocs(d, planted)
+    val first = SparkEntry.queries("text_quality_classifier")(spark, d).collect()
+    graft.CacheRegistry.releaseAll()
+    // rewrite with flipped languages — labels flip, the model must retrain
+    val flipped = planted.map { case (id, t, l) => (id, t, if (l == "en") "zh" else "en") }
+    writeDocs(d, flipped)
+    val second = SparkEntry.queries("text_quality_classifier")(spark, d).collect()
+    graft.CacheRegistry.releaseAll()
+    val firstPos = first.filter(_.getLong(1) == 1L).map(_.getLong(0)).toSet
+    val secondPos = second.filter(_.getLong(1) == 1L).map(_.getLong(0)).toSet
+    assert(firstPos.nonEmpty && secondPos.nonEmpty && firstPos.intersect(secondPos).isEmpty,
+      "rewritten corpus must retrain on the flipped labels")
+  }
+}
