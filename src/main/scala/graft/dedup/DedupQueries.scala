@@ -551,6 +551,60 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** #20l `dedup_rewrite_exact` — EXACT-BOUNDARY duplicated-passage
+    * removal: the boundary-extension step of ExactSubstr (arXiv:2107.06499
+    * §4) that `dedup_rewrite`'s disjoint chunks miss. A duplicated run at
+    * a non-chunk-aligned offset leaves its first/last partial chunks alive
+    * under the stride-[[RewriteSpan]] cut; here windows slide at STRIDE 1,
+    * so every [[RewriteSpan]]-word substring is digest-checked at every
+    * offset and a word is removed iff SOME covering window instance is a
+    * non-first duplicate (global first-occurrence-wins on the packed
+    * (doc_id, pos) key, the `dedup_rewrite` convention). A duplicated
+    * passage of length ≥ [[RewriteSpan]] is therefore removed to the exact
+    * word: interior words always have a fully-inside matching window,
+    * while words outside the passage are covered only by straddling
+    * windows whose digests are unique. Self-overlapping periodic repeats
+    * (e.g. "a a a a …") can erode into the kept first copy — the
+    * documented over-removal ExactSubstr's released tool also accepts.
+    *
+    * Scale: stride-1 windows cost ×[[RewriteSpan]] the chunk pass's rows —
+    * the classical price of exact boundaries (the reference point is the
+    * paper's suffix array; the distributed form is this digest
+    * equi-join). Still strictly linear: one map-side-combinable min
+    * aggregate on the digest, one uniform digest join back, removed word
+    * positions collapse per doc (collect_set bounded by document length),
+    * and reassembly is a map-side higher-order filter — no self-join, no
+    * driver state. */
+  def rewriteExact(s: SparkSession, dir: String): DataFrame = {
+    val L = RewriteSpan
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+    // persist: feeds the keeper aggregate AND the join back
+    val wins = graft.CacheRegistry.track(docs
+      .withColumn("nw", size(col("w")).cast("long"))
+      .filter(col("nw") >= L)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0L), col("nw") - L)).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(array_join(slice(col("w"), (col("pos") + 1L).cast("int"), lit(L)), " ")).as("dg"))
+      .withColumn("k", col("doc_id") * RewritePosCap + col("pos")))
+    val k0 = wins.groupBy(col("dg")).agg(min(col("k")).as("k0"))
+    val removedByDoc = wins.join(k0, Seq("dg"))
+      .filter(col("k") =!= col("k0"))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (L - 1L))).as("wpos"))
+      .groupBy(col("doc_id")).agg(collect_set(col("wpos")).as("rp"))
+    val rp = coalesce(col("rp"), array().cast("array<long>"))
+    val keptArr = transform(
+      filter(sequence(lit(0L), size(col("w")).cast("long") - 1L),
+        i => !array_contains(rp, i)),
+      i => element_at(col("w"), (i + 1L).cast("int")))
+    docs.join(removedByDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_words"),
+        size(keptArr).cast("long").as("n_kept"),
+        array_join(keptArr, " ").as("cleaned_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** #20h Boilerplate removal by document frequency — the CCNet/RefinedWeb
     * cleaning rule (Wenzek et al. 2020 dedup §4.1; Penedo et al. 2023 line
     * dedup): a segment that recurs across ≥ [[BoilerMinDocs]] DISTINCT
@@ -623,6 +677,7 @@ object DedupQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_spans"            -> (spans _),
     "dedup_rewrite"          -> (rewrite _),
+    "dedup_rewrite_exact"    -> (rewriteExact _),
     "text_boilerplate"       -> (boilerplate _),
     "dedup_cdc_chunks"       -> (cdcDedup _),
     "dedup_exact"            -> (exact _),
@@ -698,6 +753,27 @@ object DedupQueries {
          | coalesce(rb.n_kept, 0)::BIGINT AS n_kept,
          | coalesce(rb.cleaned_text, '') AS cleaned_text
          |FROM ww LEFT JOIN rb ON rb.doc_id = ww.doc_id
+         |ORDER BY ww.doc_id""".stripMargin,
+    "dedup_rewrite_exact" ->
+      s"""WITH ww AS MATERIALIZED (SELECT doc_id, $w AS w FROM documents),
+         |wins AS MATERIALIZED (SELECT doc_id, pos,
+         |  md5(array_to_string(list_slice(w, pos + 1, pos + $RewriteSpan), ' ')) AS dg,
+         |  doc_id * $RewritePosCap + pos AS k
+         | FROM (SELECT doc_id, w,
+         |   unnest(range(0, greatest(len(w) - ${RewriteSpan - 1}, 0))) AS pos FROM ww) t),
+         |k0 AS (SELECT dg, min(k) AS k0 FROM wins GROUP BY dg),
+         |rem AS (SELECT DISTINCT wins.doc_id, wins.pos + u.r AS wpos
+         | FROM wins JOIN k0 USING (dg)
+         | CROSS JOIN (SELECT unnest(range(0, $RewriteSpan)) AS r) u
+         | WHERE wins.k != k0.k0),
+         |rpd AS (SELECT doc_id, list(wpos) AS rp FROM rem GROUP BY doc_id)
+         |SELECT ww.doc_id, len(ww.w)::BIGINT AS n_words,
+         | len(list_filter(range(0, len(ww.w)),
+         |   i -> NOT list_contains(coalesce(rpd.rp, []), i)))::BIGINT AS n_kept,
+         | coalesce(array_to_string(list_transform(list_filter(range(0, len(ww.w)),
+         |   i -> NOT list_contains(coalesce(rpd.rp, []), i)),
+         |   i -> ww.w[i + 1]), ' '), '') AS cleaned_text
+         |FROM ww LEFT JOIN rpd ON rpd.doc_id = ww.doc_id
          |ORDER BY ww.doc_id""".stripMargin,
     "text_boilerplate" ->
       s"""WITH ww AS (SELECT doc_id, $w AS w FROM documents),
