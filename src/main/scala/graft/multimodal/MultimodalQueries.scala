@@ -161,12 +161,95 @@ object MultimodalQueries {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** #30g Scene-level video near-dup — segments from `mm_scene_detect`
+    * carrying content digests, paired scene-to-scene: the case
+    * `mm_frame_overlap`'s whole-video distinct-digest count DILUTES
+    * (re-cut footage with an inserted/replaced intro shares most scenes,
+    * but its shared-frame count mixes into the whole-video total with no
+    * segment identity). Drift-proof composition: re-runs the registered
+    * `mm_frame_sample` and `mm_scene_detect` queries; the oracle embeds
+    * both registered oracles. Scene id = running boundary count per video;
+    * scene digest = md5 of the ordered frame-digest chain; per-video
+    * scenes DISTINCT first (internal repeats must not inflate pairs), then
+    * one uniform digest equi-join — only genuinely matching scenes join,
+    * no all-pairs scan. Verdict is exact-integer: near-dup iff shared
+    * scenes cover ≥ half the smaller video (2·shared ≥ min(nₐ, n_b));
+    * the round-4 Jaccard rides along for auditability. Scale: the scene
+    * aggregate state is bounded by frames-per-video; the pair join keys on
+    * md5; the ≤|videos|-row scene counts broadcast back. */
+  def sceneNearDup(s: SparkSession, dir: String): DataFrame = {
+    val frames = frameSample(s, dir)
+      .select(col("doc_id"), col("frame_idx"), col("frame_digest"))
+    val bounds = sceneDetect(s, dir)
+      .select(col("doc_id"), col("frame_idx"), col("is_boundary"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scenes = frames.join(bounds, Seq("doc_id", "frame_idx"))
+      .withColumn("scene_id", sum(col("is_boundary").cast("long")).over(w))
+      .groupBy(col("doc_id"), col("scene_id"))
+      .agg(md5(array_join(transform(
+        array_sort(collect_list(struct(col("frame_idx"), col("frame_digest")))),
+        x => x.getField("frame_digest")), "")).as("scene_digest"))
+    val perDoc = graft.CacheRegistry.track(
+      scenes.select(col("doc_id"), col("scene_digest")).distinct())
+    val counts = perDoc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_scenes"))
+    val a = perDoc.select(col("doc_id").as("a_id"), col("scene_digest"))
+    val b = perDoc.select(col("doc_id").as("b_id"), col("scene_digest"))
+    a.join(b, "scene_digest")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("shared_scenes"))
+      .join(broadcast(counts.select(col("doc_id").as("a_id"),
+        col("n_scenes").as("n_scenes_a"))), Seq("a_id"))
+      .join(broadcast(counts.select(col("doc_id").as("b_id"),
+        col("n_scenes").as("n_scenes_b"))), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), col("shared_scenes"),
+        col("n_scenes_a"), col("n_scenes_b"),
+        round(col("shared_scenes").cast("double") /
+          (col("n_scenes_a") + col("n_scenes_b") - col("shared_scenes")), 4)
+          .as("scene_jaccard"),
+        (lit(2L) * col("shared_scenes") >= least(col("n_scenes_a"), col("n_scenes_b")))
+          .as("is_neardup"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (binaryMeta _),
     "mm_frame_sample" -> (frameSample _),
     "mm_quality_gate" -> (qualityGate _),
     "mm_scene_detect" -> (sceneDetect _),
+    "mm_scene_neardup" -> (sceneNearDup _),
     "mm_frame_overlap" -> (frameOverlap _))
+
+  /** Registered oracles of the frame/scene chain, extracted so the
+    * `mm_scene_neardup` composition embeds them VERBATIM (the drift-proof
+    * discipline). */
+  private def frameSampleOracle: String =
+    s"""WITH $frameCteSql
+       |SELECT doc_id, frame_idx, n_frames, start_pos, end_pos,
+       | md5(substr(text, start_pos::INT, greatest(0, end_pos - start_pos + 1)::INT)) AS frame_digest
+       |FROM g ORDER BY doc_id, frame_idx""".stripMargin
+
+  private def sceneDetectOracle: String =
+    s"""WITH $frameCteSql,
+       |ft AS (SELECT doc_id, frame_idx,
+       |  substr(text, start_pos::INT, greatest(0, end_pos - start_pos + 1)::INT) AS t
+       | FROM g),
+       |h AS (SELECT doc_id, frame_idx,
+       |  length(regexp_replace(t, '[^a-g]', '', 'g'))::BIGINT AS h1,
+       |  length(regexp_replace(t, '[^h-n]', '', 'g'))::BIGINT AS h2,
+       |  length(regexp_replace(t, '[^o-u]', '', 'g'))::BIGINT AS h3,
+       |  length(regexp_replace(t, '[^v-z]', '', 'g'))::BIGINT AS h4
+       | FROM ft),
+       |p AS (SELECT *,
+       |  lag(h1) OVER w AS p1, lag(h2) OVER w AS p2,
+       |  lag(h3) OVER w AS p3, lag(h4) OVER w AS p4
+       | FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx))
+       |SELECT doc_id, frame_idx,
+       | (abs(h1-p1) + abs(h2-p2) + abs(h3-p3) + abs(h4-p4))::BIGINT AS dist,
+       | coalesce(4 * (abs(h1-p1) + abs(h2-p2) + abs(h3-p3) + abs(h4-p4))
+       |   > h1+h2+h3+h4+p1+p2+p3+p4, false) AS is_boundary
+       |FROM p ORDER BY doc_id, frame_idx""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "mm_binary_meta" ->
@@ -197,31 +280,34 @@ object MultimodalQueries {
         |SELECT doc_id, media_type, byte_len, width, height,
         | (reasons = '') AS keep, reasons
         |FROM r ORDER BY doc_id""".stripMargin,
-    "mm_frame_sample" ->
-      s"""WITH $frameCteSql
-         |SELECT doc_id, frame_idx, n_frames, start_pos, end_pos,
-         | md5(substr(text, start_pos::INT, greatest(0, end_pos - start_pos + 1)::INT)) AS frame_digest
-         |FROM g ORDER BY doc_id, frame_idx""".stripMargin,
-    "mm_scene_detect" ->
-      s"""WITH $frameCteSql,
-         |ft AS (SELECT doc_id, frame_idx,
-         |  substr(text, start_pos::INT, greatest(0, end_pos - start_pos + 1)::INT) AS t
-         | FROM g),
-         |h AS (SELECT doc_id, frame_idx,
-         |  length(regexp_replace(t, '[^a-g]', '', 'g'))::BIGINT AS h1,
-         |  length(regexp_replace(t, '[^h-n]', '', 'g'))::BIGINT AS h2,
-         |  length(regexp_replace(t, '[^o-u]', '', 'g'))::BIGINT AS h3,
-         |  length(regexp_replace(t, '[^v-z]', '', 'g'))::BIGINT AS h4
-         | FROM ft),
-         |p AS (SELECT *,
-         |  lag(h1) OVER w AS p1, lag(h2) OVER w AS p2,
-         |  lag(h3) OVER w AS p3, lag(h4) OVER w AS p4
-         | FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx))
-         |SELECT doc_id, frame_idx,
-         | (abs(h1-p1) + abs(h2-p2) + abs(h3-p3) + abs(h4-p4))::BIGINT AS dist,
-         | coalesce(4 * (abs(h1-p1) + abs(h2-p2) + abs(h3-p3) + abs(h4-p4))
-         |   > h1+h2+h3+h4+p1+p2+p3+p4, false) AS is_boundary
-         |FROM p ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_frame_sample" -> frameSampleOracle,
+    "mm_scene_detect" -> sceneDetectOracle,
+    "mm_scene_neardup" ->
+      s"""WITH fs AS MATERIALIZED (SELECT doc_id, frame_idx, frame_digest
+         | FROM ($frameSampleOracle) tf),
+         |sd AS MATERIALIZED (SELECT doc_id, frame_idx, is_boundary
+         | FROM ($sceneDetectOracle) ts),
+         |sc AS (SELECT f.doc_id, f.frame_idx, f.frame_digest,
+         |  sum(CASE WHEN s.is_boundary THEN 1 ELSE 0 END) OVER (
+         |    PARTITION BY f.doc_id ORDER BY f.frame_idx
+         |    ROWS UNBOUNDED PRECEDING) AS scene_id
+         | FROM fs f JOIN sd s ON s.doc_id = f.doc_id AND s.frame_idx = f.frame_idx),
+         |dg AS MATERIALIZED (SELECT DISTINCT doc_id, scene_digest FROM (
+         |  SELECT doc_id, md5(string_agg(frame_digest, '' ORDER BY frame_idx)) AS scene_digest
+         |  FROM sc GROUP BY doc_id, scene_id) t),
+         |cnt AS MATERIALIZED (SELECT doc_id, count(*)::BIGINT AS n_scenes FROM dg GROUP BY 1),
+         |pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*)::BIGINT AS shared_scenes
+         | FROM dg a JOIN dg b ON a.scene_digest = b.scene_digest AND a.doc_id < b.doc_id
+         | GROUP BY 1, 2)
+         |SELECT pr.a_id, pr.b_id, pr.shared_scenes,
+         | ca.n_scenes AS n_scenes_a, cb.n_scenes AS n_scenes_b,
+         | round(pr.shared_scenes::DOUBLE /
+         |   (ca.n_scenes + cb.n_scenes - pr.shared_scenes), 4) AS scene_jaccard,
+         | 2 * pr.shared_scenes >= least(ca.n_scenes, cb.n_scenes) AS is_neardup
+         |FROM pr
+         |JOIN cnt ca ON ca.doc_id = pr.a_id
+         |JOIN cnt cb ON cb.doc_id = pr.b_id
+         |ORDER BY a_id, b_id""".stripMargin,
     "mm_frame_overlap" ->
       s"""WITH $frameCteSql,
          |fd AS (SELECT DISTINCT doc_id,
