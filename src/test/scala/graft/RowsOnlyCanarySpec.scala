@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Frozen-digest canaries for the five rows-only operators that previously
+  * had replay specs but NO cross-run output pin (`stats_approx`,
+  * `stream_neardup`, `emb_pca`, `text_bpe_vocab`, `text_bpe_apply`) —
+  * closing the trust asymmetry with the `dedup_cdc_chunks` /
+  * `mm_phash_neardup` house standard (`FrozenDigestSpec`): the COMPLETE
+  * output on the frozen [[FrozenFixtures]] tables is pinned as (row count,
+  * md5 over every canonically-rendered row, sorted). A replay spec changes
+  * in lockstep with the implementation; this canary does not — any
+  * estimator, merge-order, banding, eigen-iteration, or merge-table
+  * regression that alters ONE value in ONE row turns it red.
+  *
+  * The digest covers every column of every row (nulls rendered as "∅"),
+  * so "complete expected output" holds without 40×9 literal tables; one
+  * human-readable anchor row per operator keeps failures diagnosable. */
+class RowsOnlyCanarySpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def snapshot(q: String): (Int, String, Seq[String]) = {
+    val rows = SparkEntry.queries(q)(spark, FrozenFixtures.dir(spark)).collect()
+    CacheRegistry.releaseAll()
+    val rendered = rows.map(_.toSeq.map(v => if (v == null) "∅" else v.toString)
+      .mkString("|")).toSeq.sorted
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(rendered.mkString("\n").getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (rows.length, md5, rendered)
+  }
+
+  /** query -> (frozen row count, frozen complete-output md5, one frozen
+    * anchor row). Captured from the shipped implementations on the frozen
+    * fixture; re-capture deliberately when semantics change. */
+  private val frozen = Seq(
+    ("stats_approx", 4, "6d5bc5f94b766c1452ef6fe205e1fd7c",
+      "click|12|12|124.0|124.0|237.0|235.60000000000002|75"),
+    ("stream_neardup", 10, "23e3bfb0019cc756f34b7a10cf2dda76",
+      "1|0|0.9375"),
+    ("emb_pca", 40, "5e54874a114d5073b631ecf481bf2442",
+      "0|-1.758947|0.198174|0.789135|0.56005|-0.363558|-0.572096|0.409117|0.237641"),
+    ("text_bpe_vocab", 20, "896b58f9a1703c9fde8be898bde594cb",
+      "0|445|231|1.9264"),
+    ("text_bpe_apply", 20, "5e5390303fafd4397ed331bab2118b35",
+      "10|160|43|29|44|25|28|25|21|24|25|42|33|21|51|29|27|21|44|29|39|33|44|25|42|32|43|40|42|29|51|21|23|54|23|39|33|44|21|23|44|21|22|39|49|44|23|21|42|25|25|42|43|40|42|25|43|43|22|39|24|54|1|0|52|3|6|50|52|5|3|49|2|52|7|0|49|3|52|8|7|49|4|52|7|49|5|52|2|4|49|6|52|4|1|49|7|52|5|8|49|8|52|7|5|49|9|52|9|2|50|0|52|1|2|50|1|52|2|9|50|2|52|4|6|50|3|52|6|3|50|4|52|8|0|50|5|52|0|50|6|52|1|7|50|7|52|3|4|50|8|52|5|1|50|9|52|6|8|49|2|0"))
+
+  frozen.foreach { case (q, expCount, expMd5, anchor) =>
+    test(s"$q output on the frozen fixture matches the checked-in digest exactly") {
+      val (count, md5, rendered) = snapshot(q)
+      assert(count == expCount, s"$q row count drifted: $count != $expCount")
+      assert(rendered.contains(anchor),
+        s"$q anchor row vanished — first rows now: ${rendered.take(2)}")
+      assert(md5 == expMd5,
+        s"$q complete-output digest drifted ($md5 != $expMd5); if the change " +
+          "is a DELIBERATE semantic update, re-capture the frozen values")
+    }
+  }
+}

@@ -14,40 +14,11 @@ import graft.{SparkEntry, TestSpark}
   * self-replay spec (which would change in lockstep) cannot provide. */
 class FrozenDigestSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
-  import spark.implicits._
 
-  /** The frozen corpus: a base doc and four small edits (insert / replace /
-    * truncate / duplicate), two exact twins, three unrelated docs, and ten
-    * template docs sharing a boilerplate prefix with unique tails. */
-  private def corpus: Seq[(Long, String)] = {
-    val base = (1 to 60).map(i => s"tok${(i * 7) % 23}n$i").mkString(" ")
-    val ws = base.split(" ")
-    val inserted = (ws.take(30) :+ "INSERTED").concat(ws.drop(30)).mkString(" ")
-    val replaced = ws.updated(45, "REPLACED").mkString(" ")
-    val truncated = ws.take(48).mkString(" ")
-    val header = "site header navigation terms privacy contact about careers press"
-    Seq(
-      0L -> base,
-      1L -> inserted,
-      2L -> replaced,
-      3L -> truncated,
-      4L -> base,                       // exact twin of 0
-      5L -> "completely different content about catalyst optimizer rules and physical planning",
-      6L -> "another unrelated passage mentioning shuffle exchanges and broadcast thresholds today",
-      7L -> "third standalone text with no overlap in vocabulary whatsoever here now",
-      8L -> (header + " unique tail eight alpha beta gamma delta epsilon zeta eta theta"),
-      9L -> (header + " unique tail nine iota kappa lambda mu nu xi omicron pi")
-    ) ++ (10L until 20L).map(i =>
-      i -> (header + s" body $i " + (1 to 20).map(j => s"w${(i * 31 + j * 17) % 97}u$j").mkString(" ")))
-  }
-
-  private lazy val dir: String = {
-    val d = java.nio.file.Files.createTempDirectory("frozen20").toString
-    corpus.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
-    d
-  }
+  /** The frozen 20-doc corpus now lives in [[graft.FrozenFixtures]]
+    * (shared with `RowsOnlyCanarySpec`); the checked-in digest tables
+    * below depend on its exact construction. */
+  private lazy val dir: String = graft.FrozenFixtures.dir(spark)
 
   /** (chunk_digest, n_docs, n_occurrences, min_doc, max_doc) — captured
     * once from the shipped implementation and frozen. The md5 digests pin
