@@ -68,14 +68,30 @@ object StagedArtifacts {
     * `localCheckpoint(true)`) on first use or on supersede. Same
     * fingerprint → the staged frame, zero recompute. New fingerprint →
     * the stale entry's checkpoint is unpersisted and the fresh build
-    * replaces it. */
+    * replaces it.
+    *
+    * DISK MODE (opt-in): when `spark.graft.stageDir` (conf) or
+    * `SPARK_GRAFT_STAGE_DIR` (env) names a directory, rungs persist there
+    * as parquet under `<dir>/<artifact>/fp=<md5(fingerprint)>` — the
+    * "nightly pipeline writes staging tables" posture made literal. A
+    * restarted session (or another session sharing the dir) finds
+    * yesterday's rung on disk and reads it instead of rebuilding; a new
+    * fingerprint writes its own rung and DELETES superseded fingerprint
+    * dirs of the same artifact (supersede-overwrite, the eviction contract
+    * on disk). Completion is judged by Spark's `_SUCCESS` marker, so a
+    * torn write rebuilds instead of serving partial data. */
   def stage(s: SparkSession, name: String, fingerprint: String)
       (build: => DataFrame): DataFrame = {
     val key = s"${s.sparkContext.applicationId}#$name"
+    val disk = stageRoot(s)
     while (true) {
       val cur = entries.get(key)
       if (cur != null && cur.fingerprint == fingerprint) return cur.df
-      val fresh = new Entry(fingerprint, () => build)
+      val fresh = new Entry(fingerprint,
+        disk match {
+          case Some(root) => () => diskResolve(s, root, name, fingerprint, () => build)
+          case None => () => build
+        })
       val installed =
         if (cur == null) entries.putIfAbsent(key, fresh) == null
         else entries.replace(key, cur, fresh)
@@ -86,6 +102,39 @@ object StagedArtifacts {
       // lost the install race — re-read and re-decide
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  private def stageRoot(s: SparkSession): Option[String] =
+    Option(s.conf.get("spark.graft.stageDir", null))
+      .orElse(sys.env.get("SPARK_GRAFT_STAGE_DIR"))
+      .filter(_.nonEmpty)
+
+  /** Disk-mode resolution: read the rung if a COMPLETE parquet for this
+    * fingerprint exists; otherwise build, persist, evict superseded
+    * fingerprint dirs, release the build's checkpoint blocks (the parquet
+    * is now the authority), and serve the read-back frame. */
+  private def diskResolve(s: SparkSession, root: String, name: String,
+      fingerprint: String, build: () => DataFrame): DataFrame = {
+    val safeName = name.replaceAll("[^A-Za-z0-9._-]", "_")
+    val fpHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(fingerprint.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val artDir = new java.io.File(root, safeName)
+    val path = new java.io.File(artDir, s"fp=$fpHash")
+    if (!new java.io.File(path, "_SUCCESS").isFile) {
+      val built = build()
+      built.write.mode("overwrite").parquet(path.toString)
+      unpersistCheckpoint(built)
+      // supersede-overwrite: stale fingerprints of THIS artifact only
+      Option(artDir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("fp=") && f.getName != s"fp=$fpHash")
+        .foreach(deleteRecursively)
+    }
+    s.read.parquet(path.toString)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   /** Drop (and unpersist) every entry whose artifact name starts with
