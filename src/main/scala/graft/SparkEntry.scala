@@ -20,6 +20,7 @@ object SparkEntry {
       text.TextQueries.queries ++ text.ImportanceResample.queries ++ text.SampleSplit.queries ++ text.PpsSample.queries ++ text.HashEmbed.queries ++ text.PiiScrub.queries ++ text.BpeTrain.queries ++
       text.Reservoir.queries ++ text.KnCounts.queries ++
       text.LmScore.queries ++ text.ZipfFit.queries ++ text.QualityClassifier.queries ++
+      text.UnigramTrain.queries ++
       text.CorpusPipeline.queries ++
       dedup.DedupQueries.queries ++
       dedup.MinHashLsh.queries ++ dedup.SimHash.queries ++

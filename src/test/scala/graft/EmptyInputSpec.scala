@@ -68,7 +68,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "stream_distinct", "sample_split_group", "text_zipf_fit", "etl_freshness",
     "stats_cms_eval",
     // round-11 additions
-    "text_quality_classifier", "dedup_rewrite_exact", "mm_scene_neardup")
+    "text_quality_classifier", "dedup_rewrite_exact", "mm_scene_neardup",
+    "text_unigram_vocab")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {

@@ -41,6 +41,8 @@ class RowsOnlyCanarySpec extends AnyFunSuite {
       "0|-1.758947|0.198174|0.789135|0.56005|-0.363558|-0.572096|0.409117|0.237641"),
     ("text_bpe_vocab", 20, "896b58f9a1703c9fde8be898bde594cb",
       "0|445|231|1.9264"),
+    ("text_unigram_vocab", 120, "e987402a02859e39efe11a820a61123c",
+      "100|E|-6293881|4"),
     ("text_bpe_apply", 20, "5e5390303fafd4397ed331bab2118b35",
       "10|160|43|29|44|25|28|25|21|24|25|42|33|21|51|29|27|21|44|29|39|33|44|25|42|32|43|40|42|29|51|21|23|54|23|39|33|44|21|23|44|21|22|39|49|44|23|21|42|25|25|42|43|40|42|25|43|43|22|39|24|54|1|0|52|3|6|50|52|5|3|49|2|52|7|0|49|3|52|8|7|49|4|52|7|49|5|52|2|4|49|6|52|4|1|49|7|52|5|8|49|8|52|7|5|49|9|52|9|2|50|0|52|1|2|50|1|52|2|9|50|2|52|4|6|50|3|52|6|3|50|4|52|8|0|50|5|52|0|50|6|52|1|7|50|7|52|3|4|50|8|52|5|1|50|9|52|6|8|49|2|0"))
 
