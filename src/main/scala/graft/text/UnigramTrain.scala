@@ -159,7 +159,8 @@ object UnigramTrain {
       .join(broadcast(segDf), Seq("word"))
       .select(explode(split(col("pieces"), "")).as("piece"))
       .groupBy(col("piece")).agg(count(lit(1)).as("n_uses"))
-    vocabDf.join(uses, Seq("piece"), "left")
+    // uses has at most |vocab| rows (pieces ARE vocab members) — broadcast
+    vocabDf.join(broadcast(uses), Seq("piece"), "left")
       .select(col("rank"), col("piece"), col("logprob_i"),
         coalesce(col("n_uses"), lit(0L)).as("n_uses"))
       .orderBy(col("rank"))

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan pins for the round-11 operators — asserted at authoring
+  * time so the 100 TB-safe shapes cannot silently regress (the round-10
+  * verdict's standing demand). */
+class Round11PlanSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def plan(name: String): String = {
+    val p = SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+    CacheRegistry.releaseAll()
+    p
+  }
+
+  test("text_quality_classifier: scoring is broadcast/hash joins over doc_id, never SMJ/NLJ") {
+    val p = plan("text_quality_classifier")
+    assert(p.contains("BroadcastHashJoin"), "label/margin joins broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("dedup_rewrite_exact: window explode + digest min-agg, keeper join on dg, no NLJ") {
+    val p = plan("dedup_rewrite_exact")
+    assert(p.contains("explode(sequence"), "stride-1 windows and removed positions explode")
+    assert(p.linesIterator.exists(l => l.contains("HashAggregate") && l.contains("min(k")),
+      "global first-occurrence keeper is one min aggregate on the digest")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("mm_scene_neardup: pair join keys on the scene digest; counts broadcast back") {
+    val p = plan("mm_scene_neardup")
+    assert(p.contains("scene_digest"), "the equi-join key is the scene digest")
+    assert(p.contains("BroadcastHashJoin"), "per-video scene counts broadcast back")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("text_unigram_vocab: segmentation and usage ride broadcasts, never SMJ") {
+    val p = plan("text_unigram_vocab")
+    assert(p.contains("BroadcastHashJoin"), "word→pieces table and uses readout broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+}
