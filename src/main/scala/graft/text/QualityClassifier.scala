@@ -214,8 +214,40 @@ object QualityClassifier {
       .orderBy(col("doc_id"))
   }
 
+  /** #28y `text_classifier_eval` — the eval-family audit for the trained
+    * gate (the `ann_recall_eval`/`stats_sketch_eval` discipline applied to
+    * the classifier): confusion counts and guarded metrics of the model's
+    * verdicts against its own training labels, as ONE standing
+    * oracle-checked row. Drift-proof composition: re-runs the registered
+    * classifier query (training included); the oracle embeds the
+    * registered classifier oracle. Train-set metrics are the honest claim
+    * here (the gate's labels ARE the distilled heuristic — what a team
+    * checks is how faithfully the learned surface reproduces it); guards:
+    * precision NULL when nothing is predicted positive, recall NULL when
+    * no positives exist — identical CASE on both engines. */
+  def classifierEval(s: SparkSession, dir: String): DataFrame = {
+    val scored = qualityClassifier(s, dir)
+    val tp = sum(when(col("label") === 1L && col("pred"), 1L).otherwise(0L))
+    val fp = sum(when(col("label") === 0L && col("pred"), 1L).otherwise(0L))
+    val fn = sum(when(col("label") === 1L && !col("pred"), 1L).otherwise(0L))
+    val tn = sum(when(col("label") === 0L && !col("pred"), 1L).otherwise(0L))
+    scored.agg(count(lit(1)).as("n_docs"), tp.as("tp"), fp.as("fp"),
+        fn.as("fn"), tn.as("tn"))
+      .select(col("n_docs"), col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("n_docs") > 0L,
+          round((col("tp") + col("tn")).cast("double") / col("n_docs"), 4))
+          .as("accuracy"),
+        when(col("tp") + col("fp") > 0L,
+          round(col("tp").cast("double") / (col("tp") + col("fp")), 4))
+          .as("precision"),
+        when(col("tp") + col("fn") > 0L,
+          round(col("tp").cast("double") / (col("tp") + col("fn")), 4))
+          .as("recall"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_quality_classifier" -> (qualityClassifier _))
+    "text_quality_classifier" -> (qualityClassifier _),
+    "text_classifier_eval" -> (classifierEval _))
 
   // ---- DuckDB replay of the full training chain --------------------------
 
@@ -240,8 +272,9 @@ object QualityClassifier {
 
   private val fin = Iters + 1
 
-  val oracles: Map[String, String] = Map(
-    "text_quality_classifier" ->
+  /** The registered classifier oracle, extracted so `text_classifier_eval`
+    * embeds it VERBATIM (the drift-proof discipline). */
+  private def classifierOracle: String =
       s"""WITH lab AS MATERIALIZED (
          | SELECT g.doc_id,
          |  (CASE WHEN g.keep AND d.lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS y
@@ -282,5 +315,24 @@ object QualityClassifier {
          | round(1.0 / (1.0 + exp(-(mi::DOUBLE / $MScale))), 6) AS score,
          | mi >= 0 AS pred
          |FROM m$fin
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "text_quality_classifier" -> classifierOracle,
+    "text_classifier_eval" ->
+      s"""WITH sc AS (SELECT * FROM ($classifierOracle) t),
+         |c AS (SELECT count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN label = 1 AND pred THEN 1 ELSE 0 END)::BIGINT AS tp,
+         |  sum(CASE WHEN label = 0 AND pred THEN 1 ELSE 0 END)::BIGINT AS fp,
+         |  sum(CASE WHEN label = 1 AND NOT pred THEN 1 ELSE 0 END)::BIGINT AS fn,
+         |  sum(CASE WHEN label = 0 AND NOT pred THEN 1 ELSE 0 END)::BIGINT AS tn
+         | FROM sc)
+         |SELECT n_docs, tp, fp, fn, tn,
+         | CASE WHEN n_docs > 0
+         |   THEN round((tp + tn)::DOUBLE / n_docs, 4) END AS accuracy,
+         | CASE WHEN tp + fp > 0
+         |   THEN round(tp::DOUBLE / (tp + fp), 4) END AS precision,
+         | CASE WHEN tp + fn > 0
+         |   THEN round(tp::DOUBLE / (tp + fn), 4) END AS recall
+         |FROM c""".stripMargin)
 }

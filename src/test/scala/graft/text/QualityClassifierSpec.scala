@@ -137,6 +137,31 @@ class QualityClassifierSpec extends AnyFunSuite {
     }
   }
 
+  test("text_classifier_eval replays from the classifier's own output, metrics defined on the planted corpus") {
+    QualityClassifier.clearCache()
+    val scored = SparkEntry.queries("text_quality_classifier")(spark, plantedDir).collect()
+      .map(r => (r.getLong(1) == 1L, r.getBoolean(4)))
+    graft.CacheRegistry.releaseAll()
+    val got = SparkEntry.queries("text_classifier_eval")(spark, plantedDir).collect()
+    graft.CacheRegistry.releaseAll()
+    assert(got.length == 1)
+    val r = got.head
+    val (tp, fp, fn, tn) = (scored.count(t => t._1 && t._2).toLong,
+      scored.count(t => !t._1 && t._2).toLong,
+      scored.count(t => t._1 && !t._2).toLong,
+      scored.count(t => !t._1 && !t._2).toLong)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      (60L, tp, fp, fn, tn), "confusion counts must replay from the scored output")
+    def r4(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(r.getDouble(5) == r4((tp + tn).toDouble / 60.0))
+    assert(r.getDouble(5) >= 0.85, "planted-corpus accuracy carries into the eval")
+    assert(!r.isNullAt(6) && !r.isNullAt(7),
+      "a separating classifier has defined precision and recall")
+    assert(r.getDouble(6) == r4(tp.toDouble / (tp + fp)))
+    assert(r.getDouble(7) == r4(tp.toDouble / (tp + fn)))
+  }
+
   test("model memoizes per corpus fingerprint and retrains on rewrite") {
     QualityClassifier.clearCache()
     val d = java.nio.file.Files.createTempDirectory("qclf_memo").toString
