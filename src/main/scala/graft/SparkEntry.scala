@@ -34,7 +34,7 @@ object SparkEntry {
       streaming.StreamDedup.queries ++ streaming.StreamNearDup.queries ++
       streaming.StreamAnomaly.queries ++ streaming.StreamTopK.queries ++
       streaming.StreamCdcApply.queries ++ streaming.StreamCep.queries ++
-      streaming.StreamDistinct.queries ++
+      streaming.StreamDistinct.queries ++ streaming.StreamQualityScore.queries ++
       timeseries.TsQueries.queries ++ timeseries.CrossCorr.queries ++
       timeseries.RollingQuantile.queries ++ timeseries.Lttb.queries ++
       stats.SketchQueries.queries ++ stats.HeavyHitters.queries ++ stats.KmvSketch.queries ++
@@ -70,6 +70,7 @@ object SparkEntry {
       streaming.StreamDedup.oracles ++ streaming.StreamAnomaly.oracles ++
       streaming.StreamTopK.oracles ++ streaming.StreamCdcApply.oracles ++
       streaming.StreamCep.oracles ++ streaming.StreamDistinct.oracles ++
+      streaming.StreamQualityScore.oracles ++
       timeseries.TsQueries.oracles ++ timeseries.CrossCorr.oracles ++
       timeseries.RollingQuantile.oracles ++ timeseries.Lttb.oracles ++
       stats.SketchQueries.oracles ++ stats.HeavyHitters.oracles ++ stats.KmvSketch.oracles ++

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -62,6 +62,19 @@ object HashExprs {
       ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
   }
 
+  /** First 10 hex digits (top 5 bytes) of md5 as a non-negative long — the
+    * 40-bit cross-engine hash behind the hashed-bigram feature space
+    * (`text_hash_embed` / `text_quality_classifier` convention): the Spark
+    * Column twin is `conv(substring(md5(t), 1, 10), 16, 10)::bigint`, the
+    * DuckDB twin `('0x' || substr(md5(t), 1, 10))::BIGINT`. */
+  def md5u40(bytes: Array[Byte]): Long = {
+    val md = md5Tl.get()
+    md.reset()
+    val d = md.digest(bytes)
+    ((d(0) & 0xffL) << 32) | ((d(1) & 0xffL) << 24) | ((d(2) & 0xffL) << 16) |
+      ((d(3) & 0xffL) << 8) | (d(4) & 0xffL)
+  }
+
   val MinHashP = 2147483647L // 2^31 - 1
 
   /** splitmix64 finalizer — deterministic pseudo-random bits from an index,
@@ -103,6 +116,22 @@ object HashExprs {
     r.createOrReplaceTempFunction("del_neighbors", buildDelNeighbors, "built-in")
     r.createOrReplaceTempFunction("cdc_chunks",
       exprs => CdcChunks(exprs.head), "built-in")
+    r.createOrReplaceTempFunction("quality_margin", buildQualityMargin, "built-in")
+  }
+
+  /** Builder requiring the trained weights as a literal array (the model is
+    * a plan-time constant — the "broadcast 67 longs" deployment shape). */
+  val buildQualityMargin: Seq[Expression] => Expression = { exprs =>
+    val w = exprs(1) match {
+      case e if e.foldable => e.eval(null) match {
+        case a: ArrayData => a.toLongArray()
+        case other => throw new IllegalArgumentException(
+          s"quality_margin weights must be an array<bigint> literal, got $other")
+      }
+      case _ => throw new IllegalArgumentException(
+        "quality_margin weights must be a literal")
+    }
+    QualityMargin(exprs.head, w)
   }
 
   /** Builder requiring a literal maxDel (the neighborhood depth is a
@@ -146,6 +175,8 @@ object HashExprs {
     TopCells(arr(exprs(0)), cents, k)
   }
 
+  def qualityMargin(text: Column, w: Array[Long]): Column =
+    call_function("quality_margin", text, lit(w))
   def minhashSig(c: Column): Column = call_function("minhash_sig", c)
   def simhash64(c: Column): Column = call_function("simhash64", c)
   def shingles3(c: Column): Column = call_function("shingles3", c)
@@ -220,6 +251,50 @@ object HashRuntime {
     val bIt = bc.values().iterator()
     while (bIt.hasNext) { val v = bIt.next(); if (v > 1) dup += v }
     InternalRow(words.length.toLong, topWord, nBigrams.toLong, dup)
+  }
+
+  /** See QualityMargin. One pass per document: lower+split+filter exactly
+    * as the training chain's `filter(split(lower(text)))` (UTF8String
+    * lowering = Spark's Lower under the default collation), hashed-bigram
+    * signed sums into `dims` buckets, HALF_UP L2 integerization (the
+    * BigDecimal.valueOf form Spark's `round` uses), gopher aux stats off
+    * the RAW split, exact-integer dot product with the trained weights. */
+  def qualityMargin(input: UTF8String, w: Array[Long]): Long = {
+    val dims = w.length - 3
+    def r0(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val ws = input.toLowerCase.toString.split("\\s+", -1).filter(_.nonEmpty)
+    val wr = new Array[Long](dims)
+    var i = 0
+    while (i < ws.length - 1) {
+      val h = HashExprs.md5u40(
+        (ws(i) + " " + ws(i + 1)).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      wr((h % dims).toInt) += (h / dims % 2) * 2 - 1
+      i += 1
+    }
+    var ss = 0L
+    var d = 0
+    while (d < dims) { ss += wr(d) * wr(d); d += 1 }
+    var mi = 0L
+    if (ss > 0L) {
+      val sq = java.lang.Math.sqrt(ss.toDouble)
+      d = 0
+      while (d < dims) {
+        if (wr(d) != 0L) mi += w(d) * r0(wr(d).toDouble * 10000.0 / sq)
+        d += 1
+      }
+    }
+    // aux features: the gopher convention — RAW whitespace split, no filter
+    val gw = input.toString.split("\\s+", -1)
+    val nWords = gw.length.toLong
+    val lenX = java.lang.Math.min(
+      r0(java.lang.Math.log(nWords.toDouble + 1.0) * 1000.0), 10000L)
+    val uniq = new java.util.HashSet[String](gw.length * 2)
+    i = 0
+    while (i < gw.length) { uniq.add(gw(i)); i += 1 }
+    val ur = java.math.BigDecimal.valueOf(uniq.size.toDouble / nWords)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    mi + w(dims) * lenX + w(dims + 1) * r0(ur * 10000.0) + w(dims + 2) * 10000L
   }
 
   /** See MinHashSignature. */
@@ -563,6 +638,42 @@ case class RepStats(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.HashRuntime.repStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Exact-integer margin of one document under the trained hashed-bigram
+  * quality model (`text_quality_classifier`): the whole scoring chain —
+  * lowercased whitespace bigrams, 40-bit md5 bucket hash with ±1 second-hash
+  * sign, per-doc HALF_UP L2 integerization, gopher aux stats, bias — in ONE
+  * compiled call per row. Weight layout: [0, n−3) bigram buckets, then
+  * scaled log-length, uniq-ratio, bias (the bucket count is inferred from
+  * the weight length). Bit-identical to the classifier's distributed
+  * explode→groupBy→window margin chain (StreamQualityScoreSpec pins it
+  * doc-by-doc), which is what makes the trained gate deployable as a
+  * STATELESS STREAMING SELECT — the nested-lambda formulation of the same
+  * math is the §6 interpreted-HOF trap (re-evaluates the token array per
+  * bucket: minutes per micro-batch at 500 docs). */
+case class QualityMargin(child: Expression, weights: Array[Long])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "quality_margin"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if weights.length >= 4 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      "quality_margin needs >= 4 weights (buckets + len/uniq/bias)")
+    case t => TypeCheckResult.TypeCheckFailure(s"quality_margin needs string, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    HashRuntime.qualityMargin(input.asInstanceOf[UTF8String], weights)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("qmWeights", weights, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashRuntime.qualityMargin($c, $wRef)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

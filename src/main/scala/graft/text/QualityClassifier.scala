@@ -198,6 +198,33 @@ object QualityClassifier {
     throw new IllegalStateException("unreachable")
   }
 
+  /** The trained model for `dir` (memoized; empty array on empty corpus) —
+    * the seam the streaming scorer ([[graft.streaming.StreamQualityScore]])
+    * loads its broadcast weights through. */
+  private[graft] def modelFor(s: SparkSession, dir: String): Array[Long] = {
+    val feat = CacheRegistry.track(features(s, dir))
+    val lab = CacheRegistry.track(labels(s, dir))
+    val n = lab.count()
+    if (n == 0) Array.empty else trainedWeights(s, dir, feat, lab, n)
+  }
+
+  /** SINGLE-PASS map-side margin of one document text under weights `w` —
+    * the compiled [[graft.functions.QualityMargin]] expression computing
+    * the whole feature+margin chain (bigram signed sums, per-row L2
+    * integerization, aux stats, bias) in one JVM call per row, numerically
+    * IDENTICAL to [[margins]]'s distributed explode→groupBy→window chain
+    * (StreamQualityScoreSpec pins equality doc-by-doc). This is what makes
+    * scoring STREAM-COMPATIBLE: no shuffle, no window, no state — one
+    * codegen'd expression per record. (A nested-lambda formulation of the
+    * same math hits the §6 interpreted-HOF re-evaluation trap: the token
+    * array is recomputed per bucket — O(Dims·words²) regex work per doc.) */
+  private[graft] def mapSideMargin(w: Array[Long], text: Column): Column =
+    graft.functions.HashExprs.qualityMargin(text, w)
+
+  /** Score round-6 + verdict from an exact-integer margin column. */
+  private[graft] def readout(mi: Column): Seq[Column] = Seq(
+    mi.as("margin_i"), round(sigmoid(mi), 6).as("score"), (mi >= 0L).as("pred"))
+
   def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
     val feat = CacheRegistry.track(features(s, dir))
     val lab = CacheRegistry.track(labels(s, dir))
@@ -274,7 +301,7 @@ object QualityClassifier {
 
   /** The registered classifier oracle, extracted so `text_classifier_eval`
     * embeds it VERBATIM (the drift-proof discipline). */
-  private def classifierOracle: String =
+  private[graft] def classifierOracle: String =
       s"""WITH lab AS MATERIALIZED (
          | SELECT g.doc_id,
          |  (CASE WHEN g.keep AND d.lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS y

@@ -38,6 +38,16 @@ class Round11PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("stream_quality_score: scoring is one shuffle-free projection (stream-deployable shape)") {
+    val p = plan("stream_quality_score")
+    assert(!p.contains("Join"), "the single-pass scorer joins nothing")
+    assert(!p.contains("HashAggregate") && !p.contains("Window"),
+      "no aggregate, no window — per-record expression only")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1 && !p.contains("hashpartitioning"),
+      s"only the output sort's range exchange is allowed, saw $exchanges")
+  }
+
   test("text_unigram_vocab: segmentation and usage ride broadcasts, never SMJ") {
     val p = plan("text_unigram_vocab")
     assert(p.contains("BroadcastHashJoin"), "word→pieces table and uses readout broadcast")
