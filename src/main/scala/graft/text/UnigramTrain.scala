@@ -166,6 +166,52 @@ object UnigramTrain {
       .orderBy(col("rank"))
   }
 
+  /** #28z `text_unigram_apply` — corpus tokenization under the learned
+    * unigram model: the token-ID STREAM per document (the pretraining
+    * artifact; `text_unigram_vocab` publishes the model, this emits the
+    * sequence a trainer consumes), completing the tokenizer-family symmetry
+    * with `text_bpe_vocab`/`text_bpe_apply`. Ids ARE the published vocab
+    * RANKS (count desc, piece asc — content-stable, partitioning
+    * independent), so the two operators share one identity the spec pins:
+    * the frequency histogram of every emitted id equals the vocab table's
+    * distributed `n_uses` recount, piece for piece. Out-of-dictionary
+    * words (below the trainer's frequency floor) emit nothing — the BPE
+    * apply miss-counts-0 convention. Scale shape: the model is
+    * vocabulary-sized driver state; the corpus pass is posexplode → ONE
+    * broadcast word→ids join → per-doc reassembly via the sorted-struct
+    * collect bounded by doc length; rows-only by the family precedent
+    * (data-dependent EM chain — no static SQL oracle), trust =
+    * UnigramSpec's independent-replica id streams + the vocab-identity
+    * test + the RowsOnlyCanarySpec frozen-fixture pin. */
+  def unigramApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dict = BpeTrain.wordCounts(s, dir)
+    val model = train(dict)
+    val lp = model.map { case (p, (_, l)) => p -> l }
+    // id = the published rank (unigramVocab's count-desc, piece-asc order)
+    val ids = model.toSeq.sortBy { case (p, (c, _)) => (-c, p) }.zipWithIndex
+      .map { case ((p, _), r) => p -> (r.toLong + 1L) }.toMap
+    val tokTable =
+      if (dict.isEmpty) s.createDataFrame(Seq.empty[(String, Seq[Long])])
+        .toDF("word", "ids")
+      else dict.toSeq.map { case (w, _) => (w, viterbi(w, lp).map(ids)) }
+        .toDF("word", "ids")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode_outer(split(col("text"), "\\s+")))
+      .filter(col("col").isNull || col("col") =!= "")
+      .join(broadcast(tokTable), col("col") === col("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(flatten(array_sort(collect_list(struct(col("pos"),
+          coalesce(col("ids"), array().cast("array<long>")).as("ids"))))
+        .getField("ids")).as("token_ids"))
+      // rows-only frames still sort and ship the stream as the '|'-joined
+      // scalar (the driver-gate convention, etl/EtlQueries.scala:118)
+      .select(col("doc_id"), size(col("token_ids")).cast("long").as("n_tokens"),
+        array_join(col("token_ids").cast("array<string>"), "|").as("token_ids"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_unigram_vocab" -> (unigramVocab _))
+    "text_unigram_vocab" -> (unigramVocab _),
+    "text_unigram_apply" -> (unigramApply _))
 }

@@ -69,7 +69,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "stats_cms_eval",
     // round-11 additions
     "text_quality_classifier", "dedup_rewrite_exact", "mm_scene_neardup",
-    "text_unigram_vocab", "text_classifier_eval", "stream_quality_score")
+    "text_unigram_vocab", "text_classifier_eval", "stream_quality_score",
+    "text_unigram_apply")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {

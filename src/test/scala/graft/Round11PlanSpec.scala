@@ -53,4 +53,11 @@ class Round11PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "word→pieces table and uses readout broadcast")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("text_unigram_apply: one broadcast word→ids join, per-doc reassembly, never SMJ/NLJ") {
+    val p = plan("text_unigram_apply")
+    assert(p.contains("BroadcastHashJoin"), "the vocabulary-sized token table broadcasts")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
 }

@@ -2,9 +2,10 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Frozen-digest canaries for the five rows-only operators that previously
-  * had replay specs but NO cross-run output pin (`stats_approx`,
-  * `stream_neardup`, `emb_pca`, `text_bpe_vocab`, `text_bpe_apply`) —
+/** Frozen-digest canaries for every rows-only operator whose replay spec
+  * had NO cross-run output pin (`stats_approx`, `stream_neardup`,
+  * `emb_pca`, and the tokenizer-trainer family `text_bpe_vocab` /
+  * `text_bpe_apply` / `text_unigram_vocab` / `text_unigram_apply`) —
   * closing the trust asymmetry with the `dedup_cdc_chunks` /
   * `mm_phash_neardup` house standard (`FrozenDigestSpec`): the COMPLETE
   * output on the frozen [[FrozenFixtures]] tables is pinned as (row count,
@@ -43,6 +44,8 @@ class RowsOnlyCanarySpec extends AnyFunSuite {
       "0|445|231|1.9264"),
     ("text_unigram_vocab", 120, "e987402a02859e39efe11a820a61123c",
       "100|E|-6293881|4"),
+    ("text_unigram_apply", 20, "54d9a6fbdc94ec03fcdffb0b91f47384",
+      "0|205|46|82|1|6|10|12|3|5|50|8|1|52|1|98|13|49|2|7|1|76|14|1|7|2|4|1|2|77|51|82|3|1|11|2|47|12|16|2|70|18|48|71|1|95|78|12|76|57|18|96|72|1|93|73|1|97|74|12|10|9|18|4|10|3|1|48|94|18|9|10|17|46|10|6|1|6|10|11|12|3|10|13|50|10|7|1|16|10|14|1|4|10|4|49|5|9|1|9|5|3|1|7|5|16|1|5|17|51|5|6|1|11|5|11|12|16|5|13|99|5|7|1|17|5|14|12|9|5|4|18|6|8|9|1|3|8|3|1|14|8|16|12|8|17|18|4|8|6|1|13|8|11|18|9|8|13|46|8|7|1|6|8|14|12|3|8|4|50|19|9|1|52|3|1|4|19|16|49|19|17|1|9|19|6|1|7|19|11|1|19|13|51|19|7|1|11|19|14|12|52|4|18|48|13|9"),
     ("text_bpe_apply", 20, "5e5390303fafd4397ed331bab2118b35",
       "10|160|43|29|44|25|28|25|21|24|25|42|33|21|51|29|27|21|44|29|39|33|44|25|42|32|43|40|42|29|51|21|23|54|23|39|33|44|21|23|44|21|22|39|49|44|23|21|42|25|25|42|43|40|42|25|43|43|22|39|24|54|1|0|52|3|6|50|52|5|3|49|2|52|7|0|49|3|52|8|7|49|4|52|7|49|5|52|2|4|49|6|52|4|1|49|7|52|5|8|49|8|52|7|5|49|9|52|9|2|50|0|52|1|2|50|1|52|2|9|50|2|52|4|6|50|3|52|6|3|50|4|52|8|0|50|5|52|0|50|6|52|1|7|50|7|52|3|4|50|8|52|5|1|50|9|52|6|8|49|2|0"))
 
