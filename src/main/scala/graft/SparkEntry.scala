@@ -39,7 +39,7 @@ object SparkEntry {
       timeseries.RollingQuantile.queries ++ timeseries.Lttb.queries ++
       stats.SketchQueries.queries ++ stats.HeavyHitters.queries ++ stats.KmvSketch.queries ++
       stats.Correlation.queries ++ stats.CountMin.queries ++ stats.Concentration.queries ++
-      stats.Hll.queries ++ text.Collocations.queries ++
+      stats.Hll.queries ++ stats.Bootstrap.queries ++ text.Collocations.queries ++
       graph.PageRank.queries ++ graph.Triangles.queries ++ graph.Neighbors.queries ++
       graph.Bfs.queries ++ graph.KCore.queries ++ graph.Hits.queries ++
       graph.LabelProp.queries ++ graph.Components.queries ++
@@ -75,7 +75,7 @@ object SparkEntry {
       timeseries.RollingQuantile.oracles ++ timeseries.Lttb.oracles ++
       stats.SketchQueries.oracles ++ stats.HeavyHitters.oracles ++ stats.KmvSketch.oracles ++
       stats.Correlation.oracles ++ stats.CountMin.oracles ++ stats.Concentration.oracles ++
-      stats.Hll.oracles ++ text.Collocations.oracles ++
+      stats.Hll.oracles ++ stats.Bootstrap.oracles ++ text.Collocations.oracles ++
       graph.PageRank.oracles ++ graph.Triangles.oracles ++ graph.Neighbors.oracles ++
       graph.Bfs.oracles ++ graph.KCore.oracles ++ graph.Hits.oracles ++
       graph.LabelProp.oracles ++ graph.Components.oracles ++

@@ -54,6 +54,16 @@ class Round11PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("stats_bootstrap: pruned scan, no fact join — CI joins only |types|-row aggregates") {
+    val p = plan("stats_bootstrap")
+    assert(p.contains("BroadcastHashJoin"), "full-mean × CI join broadcasts the bounded side")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.linesIterator.exists(l => l.contains("ReadSchema") &&
+      !l.contains("props") && !l.contains("user_id")),
+      "the bootstrap scan prunes to event_type/event_id/value")
+  }
+
   test("text_unigram_apply: one broadcast word→ids join, per-doc reassembly, never SMJ/NLJ") {
     val p = plan("text_unigram_apply")
     assert(p.contains("BroadcastHashJoin"), "the vocabulary-sized token table broadcasts")
