@@ -54,6 +54,12 @@ class Round11PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("text_lm_eval: split CASE pre-explode, uniform-key model joins, no NLJ") {
+    val p = plan("text_lm_eval")
+    assert(p.contains("InMemoryTableScan"), "train counts and scoring share the cached bigram pass")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("stats_bootstrap: pruned scan, no fact join — CI joins only |types|-row aggregates") {
     val p = plan("stats_bootstrap")
     assert(p.contains("BroadcastHashJoin"), "full-mean × CI join broadcasts the bounded side")
