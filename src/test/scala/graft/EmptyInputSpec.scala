@@ -70,7 +70,8 @@ class EmptyInputSpec extends AnyFunSuite {
     // round-11 additions
     "text_quality_classifier", "dedup_rewrite_exact", "mm_scene_neardup",
     "text_unigram_vocab", "text_classifier_eval", "stream_quality_score",
-    "text_unigram_apply", "stats_bootstrap", "text_lm_eval")
+    "text_unigram_apply", "stats_bootstrap", "text_lm_eval",
+    "sample_mix_eval")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {

@@ -54,6 +54,12 @@ class Round11PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("sample_mix_eval: |langs|-key counts, broadcast total — only bounded NLJ sides") {
+    val p = plan("sample_mix_eval")
+    assert(p.contains("BroadcastHashJoin"), "kept counts broadcast against the full counts")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("text_lm_eval: split CASE pre-explode, uniform-key model joins, no NLJ") {
     val p = plan("text_lm_eval")
     assert(p.contains("InMemoryTableScan"), "train counts and scoring share the cached bigram pass")
