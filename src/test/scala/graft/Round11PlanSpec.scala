@@ -54,6 +54,12 @@ class Round11PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("graph_modularity: uniform-key endpoint joins reduce to one row, no CartesianProduct") {
+    val p = plan("graph_modularity")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("InMemoryTableScan"), "edges and community map are shared via cache")
+  }
+
   test("sample_mix_eval: |langs|-key counts, broadcast total — only bounded NLJ sides") {
     val p = plan("sample_mix_eval")
     assert(p.contains("BroadcastHashJoin"), "kept counts broadcast against the full counts")
