@@ -54,6 +54,12 @@ class Round11PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("ts_mannkendall: the pairwise sum self-joins the daily aggregate, never facts") {
+    val p = plan("ts_mannkendall")
+    assert(p.contains("InMemoryTableScan"), "both pair sides read the cached daily aggregate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("graph_modularity: uniform-key endpoint joins reduce to one row, no CartesianProduct") {
     val p = plan("graph_modularity")
     assert(!p.contains("CartesianProduct"))
