@@ -27,7 +27,7 @@ object GraftExtensions {
     "minhash_sig", "simhash64", "shingles3", "bigrams_all",
     "cosine_sim", "jaccard_sim", "hyperplane_bands", "top_cells", "rep_stats",
     "sig_match_count", "phash64", "pq_score", "vec_sub", "del_neighbors",
-    "cdc_chunks")
+    "cdc_chunks", "quality_margin")
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -78,5 +78,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       HashExprs.buildDelNeighbors))
     ext.injectFunction(fn("cdc_chunks", classOf[CdcChunks],
       exprs => CdcChunks(exprs.head)))
+    ext.injectFunction(fn("quality_margin", classOf[QualityMargin],
+      HashExprs.buildQualityMargin))
   }
 }

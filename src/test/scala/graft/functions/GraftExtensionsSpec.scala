@@ -51,7 +51,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "SELECT pq_score(array(0L, 1L), array(array(1.0D, 2.0D), array(3.0D, 4.0D)))",
       "SELECT vec_sub(array(1.0D, 2.0D), array(0.5D, 0.25D))",
       "SELECT del_neighbors('abc', 2)",
-      "SELECT cdc_chunks('a few words to chunk into pieces')")
+      "SELECT cdc_chunks('a few words to chunk into pieces')",
+      "SELECT quality_margin('score this text', array(1L, -2L, 3L, 4L))")
     assert(exercised.size == GraftExtensions.InjectedNames.size)
     // every function is SQL-callable end to end (builder + type coercion)
     exercised.foreach { q =>
