@@ -18,11 +18,18 @@ import graft.Tables
   * parametric t: distribution-free error bars on any corpus mean.
   *
   * Determinism contract (the house checklist):
-  *  - multiplicities are pure hash arithmetic — hu = first 12 md5 hex
-  *    chars of "event_id#replicate" as a 48-bit integer, weight =
-  *    #{k : hu ≥ [[Thresholds]](k)} with T(k) = ⌊P(Poisson(1) ≤ k)·2⁴⁸⌋
-  *    — integer compares against literals interpolated into BOTH engines
-  *    from the same Scala constants (zero drift by construction);
+  *  - multiplicities are pure hash arithmetic — ONE 48-bit md5 coordinate
+  *    per ROW (h = first 12 md5 hex chars of the event id), fanned to the
+  *    B replicates by the affine family hu_b = ((2b+1)·h + 40503·b + 13)
+  *    mod 2⁴⁸ (the MinHash signature trick, `HashExprs.minhashSig`: an
+  *    odd multiplier is a bijection of the 2⁴⁸ ring, so every replicate
+  *    coordinate stays uniform while the corpus pays |rows| digests
+  *    instead of |rows|·B — the difference between 0.6 M and 38 M md5
+  *    calls at sf0.1); weight = #{k : hu_b ≥ [[Thresholds]](k)} with
+  *    T(k) = ⌊P(Poisson(1) ≤ k)·2⁴⁸⌋ — integer compares against literals
+  *    interpolated into BOTH engines from the same Scala constants (zero
+  *    drift by construction; (2b+1)·h < 2⁵⁵ keeps the product BIGINT-safe
+  *    in both engines);
   *  - row values integerize at the source (vi = round(value·10⁴) BIGINT),
   *    so Σ(k·vi) and Σk are exact order-independent integers; each
   *    replicate mean is ONE fixed-form IEEE readout (skv/sk/10⁴);
@@ -65,15 +72,20 @@ object Bootstrap {
   private def weight(hu: Column): Column =
     Thresholds.map(t => when(hu >= lit(t), 1L).otherwise(0L)).reduce(_ + _)
 
+  /** 2⁴⁸ — the hash-coordinate ring. */
+  val HSpace = 281474976710656L
+
   def bootstrap(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.events(s, dir)
-      .select(col("event_type"), col("event_id"),
+      .select(col("event_type"),
+        conv(substring(md5(col("event_id").cast("string")), 1, 12), 16, 10)
+          .cast("long").as("h"),
         round(col("value") * lit(VScale.toDouble), 0).cast("long").as("vi"))
-    val hu = conv(substring(md5(concat(col("event_id").cast("string"),
-      lit("#"), col("b").cast("string"))), 1, 12), 16, 10).cast("long")
+    val hu = ((lit(2L) * col("b") + 1L) * col("h") +
+      lit(40503L) * col("b") + 13L) % lit(HSpace)
     val reps = base
-      .select(col("event_type"), col("event_id"), col("vi"),
-        explode(sequence(lit(0), lit(B - 1))).as("b"))
+      .select(col("event_type"), col("h"), col("vi"),
+        explode(sequence(lit(0L), lit(B - 1L))).as("b"))
       .select(col("event_type"), col("b"), col("vi"), weight(hu).as("k"))
       .groupBy(col("event_type"), col("b"))
       .agg(sum(col("k") * col("vi")).as("skv"), sum(col("k")).as("sk"))
@@ -110,7 +122,8 @@ object Bootstrap {
   val oracles: Map[String, String] = Map(
     "stats_bootstrap" ->
       s"""WITH base AS MATERIALIZED (
-         | SELECT event_type, event_id,
+         | SELECT event_type,
+         |  ('0x' || substr(md5(event_id::VARCHAR), 1, 12))::BIGINT AS h,
          |  round(value * $VScale.0, 0)::BIGINT AS vi
          | FROM events),
          |reps AS MATERIALIZED (
@@ -119,7 +132,7 @@ object Bootstrap {
          |  SELECT event_type, vi, b, ($thrSql)::BIGINT AS k
          |  FROM (
          |   SELECT event_type, vi, r.b AS b,
-         |    ('0x' || substr(md5(event_id::VARCHAR || '#' || r.b::VARCHAR), 1, 12))::BIGINT AS hu
+         |    ((2 * r.b + 1) * h + 40503 * r.b + 13) % $HSpace AS hu
          |   FROM base CROSS JOIN (SELECT unnest(range(0, $B))::BIGINT AS b) r))
          | GROUP BY 1, 2 HAVING sum(k) > 0),
          |ranked AS (

@@ -20,7 +20,8 @@ class BootstrapSpec extends AnyFunSuite {
       .map("%02x".format(_)).mkString
 
   private def weight(eventId: Long, b: Int): Long = {
-    val hu = java.lang.Long.parseLong(md5hex(s"$eventId#$b").take(12), 16)
+    val h = java.lang.Long.parseLong(md5hex(eventId.toString).take(12), 16)
+    val hu = ((2L * b + 1L) * h + 40503L * b + 13L) % Bootstrap.HSpace
     Bootstrap.Thresholds.count(t => hu >= t).toLong
   }
 
