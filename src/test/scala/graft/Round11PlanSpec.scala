@@ -54,6 +54,14 @@ class Round11PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("ts_theilsen: pair medians rank-select on the cached daily aggregate, no collect") {
+    val p = plan("ts_theilsen")
+    assert(p.contains("InMemoryTableScan"), "pair sides and residuals read the cached daily aggregate")
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"),
+      "the median is a window rank-select")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("ts_mannkendall: the pairwise sum self-joins the daily aggregate, never facts") {
     val p = plan("ts_mannkendall")
     assert(p.contains("InMemoryTableScan"), "both pair sides read the cached daily aggregate")
