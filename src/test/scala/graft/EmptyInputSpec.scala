@@ -71,7 +71,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "text_quality_classifier", "dedup_rewrite_exact", "mm_scene_neardup",
     "text_unigram_vocab", "text_classifier_eval", "stream_quality_score",
     "text_unigram_apply", "stats_bootstrap", "text_lm_eval",
-    "sample_mix_eval", "graph_modularity", "ts_mannkendall", "ts_theilsen")
+    "sample_mix_eval", "graph_modularity", "ts_mannkendall", "ts_theilsen",
+    "graph_assortativity")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {

@@ -68,6 +68,12 @@ class Round11PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("graph_assortativity: endpoint-degree joins reduce to one moments row, no NLJ") {
+    val p = plan("graph_assortativity")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("InMemoryTableScan"), "degree count and endpoint joins share the cached edges")
+  }
+
   test("graph_modularity: uniform-key endpoint joins reduce to one row, no CartesianProduct") {
     val p = plan("graph_modularity")
     assert(!p.contains("CartesianProduct"))
