@@ -112,29 +112,35 @@ object StagedArtifacts {
   /** Disk-mode resolution: read the rung if a COMPLETE parquet for this
     * fingerprint exists; otherwise build, persist, evict superseded
     * fingerprint dirs, release the build's checkpoint blocks (the parquet
-    * is now the authority), and serve the read-back frame. */
+    * is now the authority), and serve the read-back frame.
+    *
+    * All probes and deletions go through Hadoop's `FileSystem` resolved
+    * FROM the stage path itself — so a non-local stage dir (`hdfs://`,
+    * `s3a://`) gets the same reuse and supersede-eviction semantics as
+    * `file:`; a `java.io.File` probe would silently never see a remote
+    * `_SUCCESS` and rebuild + rewrite the rung every session while stale
+    * fingerprint dirs accumulate forever. */
   private def diskResolve(s: SparkSession, root: String, name: String,
       fingerprint: String, build: () => DataFrame): DataFrame = {
+    import org.apache.hadoop.fs.Path
     val safeName = name.replaceAll("[^A-Za-z0-9._-]", "_")
     val fpHash = java.security.MessageDigest.getInstance("MD5")
       .digest(fingerprint.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val artDir = new java.io.File(root, safeName)
-    val path = new java.io.File(artDir, s"fp=$fpHash")
-    if (!new java.io.File(path, "_SUCCESS").isFile) {
+    val artDir = new Path(root, safeName)
+    val fs = artDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val path = new Path(artDir, s"fp=$fpHash")
+    if (!fs.exists(new Path(path, "_SUCCESS"))) {
       val built = build()
       built.write.mode("overwrite").parquet(path.toString)
       unpersistCheckpoint(built)
       // supersede-overwrite: stale fingerprints of THIS artifact only
-      Option(artDir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith("fp=") && f.getName != s"fp=$fpHash")
-        .foreach(deleteRecursively)
+      val stale =
+        if (fs.exists(artDir)) fs.listStatus(artDir).toSeq else Seq.empty
+      stale.map(_.getPath)
+        .filter(p => p.getName.startsWith("fp=") && p.getName != s"fp=$fpHash")
+        .foreach(p => fs.delete(p, true): Unit)
     }
     s.read.parquet(path.toString)
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete(): Unit
   }
 
   /** Drop (and unpersist) every entry whose artifact name starts with

@@ -574,7 +574,16 @@ object DedupQueries {
     * aggregate on the digest, one uniform digest join back, removed word
     * positions collapse per doc (collect_set bounded by document length),
     * and reassembly is a map-side higher-order filter — no self-join, no
-    * driver state. */
+    * driver state.
+    *
+    * Packing bound: the first-occurrence key reuses [[RewritePosCap]] on
+    * stride-1 WORD positions, so the per-document limit here is 1M WORDS
+    * — tighter than the chunk pass's bound (1M chunks ≈ 8M words). Past
+    * it the packed (doc_id, pos) key collides across documents and the
+    * global first occurrence can be mis-selected; documents.text at every
+    * driver SF tops out orders of magnitude below the bound, and a 100 TB
+    * deployment with longer docs should raise the cap (or split the key)
+    * rather than rely on silent wraparound. */
   def rewriteExact(s: SparkSession, dir: String): DataFrame = {
     val L = RewriteSpan
     val docs = Tables.documents(s, dir)

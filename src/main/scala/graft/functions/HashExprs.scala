@@ -131,7 +131,7 @@ object HashExprs {
       case _ => throw new IllegalArgumentException(
         "quality_margin weights must be a literal")
     }
-    QualityMargin(exprs.head, w)
+    QualityMargin(exprs.head, w.toIndexedSeq)
   }
 
   /** Builder requiring a literal maxDel (the neighborhood depth is a
@@ -654,9 +654,16 @@ case class RepStats(child: Expression) extends UnaryExpression {
   * doc-by-doc), which is what makes the trained gate deployable as a
   * STATELESS STREAMING SELECT — the nested-lambda formulation of the same
   * math is the §6 interpreted-HOF trap (re-evaluates the token array per
-  * bucket: minutes per micro-batch at 500 docs). */
-case class QualityMargin(child: Expression, weights: Array[Long])
+  * bucket: minutes per micro-batch at 500 docs).
+  *
+  * Weights are an `IndexedSeq` (value equality), NOT an `Array`: case-class
+  * equality over an Array is reference-based, so two structurally identical
+  * quality_margin expressions would never canonicalize together and
+  * Catalyst CSE would evaluate the (expensive) margin twice. */
+case class QualityMargin(child: Expression, weights: IndexedSeq[Long])
     extends UnaryExpression {
+
+  private lazy val weightArr: Array[Long] = weights.toArray
 
   override def dataType: DataType = LongType
   override def prettyName: String = "quality_margin"
@@ -668,10 +675,10 @@ case class QualityMargin(child: Expression, weights: Array[Long])
   }
 
   override def nullSafeEval(input: Any): Any =
-    HashRuntime.qualityMargin(input.asInstanceOf[UTF8String], weights)
+    HashRuntime.qualityMargin(input.asInstanceOf[UTF8String], weightArr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val wRef = ctx.addReferenceObj("qmWeights", weights, "long[]")
+    val wRef = ctx.addReferenceObj("qmWeights", weightArr, "long[]")
     defineCodeGen(ctx, ev, c => s"graft.functions.HashRuntime.qualityMargin($c, $wRef)")
   }
 

@@ -150,14 +150,17 @@ object UnigramTrain {
     // distributed usage recount: segment each dictionary word once on the
     // driver (vocabulary-sized), broadcast the word→pieces table, and let
     // the corpus pass be explode → broadcast join → explode → count
+    // word → pieces ships as a real ARRAY column (no delimiter byte to
+    // collide with dictionary content: under a delimited string, any word
+    // containing the separator would silently corrupt the recount)
     val segDf = dict.toSeq
-      .map { case (w, _) => (w, viterbi(w, lp).mkString("")) }
+      .map { case (w, _) => (w, viterbi(w, lp)) }
       .toDF("word", "pieces")
     val uses = Tables.documents(s, dir)
       .select(explode(split(col("text"), "\\s+")).as("word"))
       .filter(col("word") =!= "")
       .join(broadcast(segDf), Seq("word"))
-      .select(explode(split(col("pieces"), "")).as("piece"))
+      .select(explode(col("pieces")).as("piece"))
       .groupBy(col("piece")).agg(count(lit(1)).as("n_uses"))
     // uses has at most |vocab| rows (pieces ARE vocab members) — broadcast
     vocabDf.join(broadcast(uses), Seq("piece"), "left")
@@ -198,7 +201,11 @@ object UnigramTrain {
         .toDF("word", "ids")
     Tables.documents(s, dir)
       .select(col("doc_id"), posexplode_outer(split(col("text"), "\\s+")))
-      .filter(col("col").isNull || col("col") =!= "")
+      // map empty tokens (whitespace-only / empty text splits to [""]) to
+      // NULL instead of filtering the row: every document keeps at least
+      // one row through the groupBy, so an all-whitespace doc emits
+      // n_tokens = 0 rather than vanishing from the output
+      .withColumn("col", when(col("col") === "", lit(null)).otherwise(col("col")))
       .join(broadcast(tokTable), col("col") === col("word"), "left")
       .groupBy(col("doc_id"))
       .agg(flatten(array_sort(collect_list(struct(col("pos"),

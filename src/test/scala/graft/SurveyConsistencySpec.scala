@@ -50,4 +50,28 @@ class SurveyConsistencySpec extends AnyFunSuite {
     val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(dangling.isEmpty, s"oracle SQL with no query: $dangling")
   }
+
+  test("family-prefixed keys sit in their own §2 section (placement drift fails)") {
+    // §2 is the judge's coverage map: a `graph_*` row filed under Streaming
+    // is key-set-consistent yet misleads the reader. For the four families
+    // whose key prefix names a dedicated section, assert the row lives there.
+    val text = java.nio.file.Files.readString(java.nio.file.Paths.get("SURVEY.md"))
+    val section2 = text.split("\n## ").find(_.startsWith("§2")).get
+    val rowRe = "\\|\\s*[0-9]+[a-z]*\\s*\\|\\s*`([a-z0-9_]+)`".r
+    val bySection: Seq[(String, Seq[String])] = section2.split("\n### ").drop(1).toSeq
+      .map { block =>
+        val title = block.takeWhile(_ != '\n')
+        title -> rowRe.findAllMatchIn(block).map(_.group(1)).toSeq
+      }
+    val expected = Map(
+      "ts_" -> "Time series", "graph_" -> "Graph analytics",
+      "stats_" -> "Approximate analytics", "stream_" -> "Streaming")
+    val misfiled = for {
+      (title, keys) <- bySection
+      key <- keys
+      (prefix, home) <- expected
+      if key.startsWith(prefix) && !title.startsWith(home)
+    } yield s"$key filed under '$title' (expected '$home')"
+    assert(misfiled.isEmpty, misfiled.mkString("; "))
+  }
 }
