@@ -72,7 +72,9 @@ class EmptyInputSpec extends AnyFunSuite {
     "text_unigram_vocab", "text_classifier_eval", "stream_quality_score",
     "text_unigram_apply", "stats_bootstrap", "text_lm_eval",
     "sample_mix_eval", "graph_modularity", "ts_mannkendall", "ts_theilsen",
-    "graph_assortativity")
+    "graph_assortativity",
+    // round-12 additions
+    "graph_scc")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {
