@@ -43,7 +43,7 @@ object SparkEntry {
       graph.PageRank.queries ++ graph.Triangles.queries ++ graph.Neighbors.queries ++
       graph.Bfs.queries ++ graph.KCore.queries ++ graph.Hits.queries ++
       graph.LabelProp.queries ++ graph.Components.queries ++ graph.Modularity.queries ++ graph.Assortativity.queries ++ graph.Scc.queries ++
-      analytics.FunnelQueries.queries
+      analytics.FunnelQueries.queries ++ ModelRegistry.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -79,5 +79,5 @@ object SparkEntry {
       graph.PageRank.oracles ++ graph.Triangles.oracles ++ graph.Neighbors.oracles ++
       graph.Bfs.oracles ++ graph.KCore.oracles ++ graph.Hits.oracles ++
       graph.LabelProp.oracles ++ graph.Components.oracles ++ graph.Modularity.oracles ++ graph.Assortativity.oracles ++ graph.Scc.oracles ++
-      analytics.FunnelQueries.oracles
+      analytics.FunnelQueries.oracles ++ ModelRegistry.oracles
 }

@@ -104,6 +104,10 @@ object StagedArtifacts {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Whether disk-mode staging is active for this session (the registry's
+    * storage column reads this). */
+  private[graft] def diskMode(s: SparkSession): Boolean = stageRoot(s).isDefined
+
   private def stageRoot(s: SparkSession): Option[String] =
     Option(s.conf.get("spark.graft.stageDir", null))
       .orElse(sys.env.get("SPARK_GRAFT_STAGE_DIR"))

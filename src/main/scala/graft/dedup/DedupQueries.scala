@@ -55,7 +55,7 @@ object DedupQueries {
     * `clearSketchCache()` is the explicit invalidation). */
   def clearSketchCache(): Unit = graft.StagedArtifacts.clear("dedup/")
 
-  private def docFp(s: SparkSession, dir: String): String =
+  private[graft] def docFp(s: SparkSession, dir: String): String =
     graft.sources.TableFingerprint.of(s, s"$dir/documents.parquet")
 
   private[graft] def stagedSketch(s: SparkSession, dir: String): DataFrame =
@@ -80,7 +80,7 @@ object DedupQueries {
     * lifecycle contract as the sketch cache ([[clearSketchCache]]
     * invalidates both; supersede evicts). Pair mass is linear by the
     * hot-bucket cap, so the staged frame is O(corpus), never O(n²). */
-  private[dedup] def bandedPairCounts(s: SparkSession, dir: String): DataFrame =
+  private[graft] def bandedPairCounts(s: SparkSession, dir: String): DataFrame =
     graft.StagedArtifacts.stage(s, s"dedup/pairCounts#$dir", docFp(s, dir)) {
       graft.functions.HashExprs.register(s)
       // the staged sketch is already materialized — the posexplode
@@ -119,7 +119,7 @@ object DedupQueries {
     * At 100 TB this IS the inverted-index table a dedup pipeline persists
     * next to the sketch. Same lifecycle (supersede evicts, clear
     * invalidates); row count = total distinct shingles, O(corpus). */
-  private[dedup] def stagedInvIndex(s: SparkSession, dir: String): DataFrame =
+  private[graft] def stagedInvIndex(s: SparkSession, dir: String): DataFrame =
     graft.StagedArtifacts.stage(s, s"dedup/invIndex#$dir", docFp(s, dir)) {
       // bh (the 0..99 block-hash bucket behind [[evalSamplePct]]) is
       // computed per DOC here, before the explode, so sampling consumers

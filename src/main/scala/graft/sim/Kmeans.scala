@@ -95,7 +95,7 @@ object Kmeans {
   private def contentKey(s: SparkSession, dir: String): String =
     graft.sources.TableFingerprint.of(s, s"$dir/embeddings.parquet")
 
-  private def trainedCentroids(s: SparkSession, dir: String, iters: Int,
+  private[graft] def trainedCentroids(s: SparkSession, dir: String, iters: Int,
       e: DataFrame, subset: String = "all"): Array[Array[Double]] = {
     val n = e.count()
     // empty corpus: no model to train (and nothing to key a cache on) —

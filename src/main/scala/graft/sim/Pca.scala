@@ -132,7 +132,7 @@ object Pca {
 
   /** One corpus pass → (n, mean, top-PcDims eigenpairs of the sample
     * covariance). Exposed for the spec's independent checks. */
-  private[sim] def trainedModel(s: SparkSession, dir: String): Option[(Long, Array[Double], Array[Double], Array[Array[Double]])] = {
+  private[graft] def trainedModel(s: SparkSession, dir: String): Option[(Long, Array[Double], Array[Double], Array[Array[Double]])] = {
     import s.implicits._
     val moments = Tables.embeddings(s, dir)
       .select(col("embedding")).as[Seq[Float]]

@@ -74,7 +74,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "sample_mix_eval", "graph_modularity", "ts_mannkendall", "ts_theilsen",
     "graph_assortativity",
     // round-12 additions
-    "graph_scc", "ts_holtwinters", "text_pii_audit", "text_pii_scrub")
+    "graph_scc", "ts_holtwinters", "text_pii_audit", "text_pii_scrub",
+    "model_registry")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {
