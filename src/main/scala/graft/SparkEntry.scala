@@ -55,7 +55,7 @@ object SparkEntry {
       etl.ProfileSuggest.oracles ++ etl.RunReport.oracles ++ etl.Freshness.oracles ++
       text.TextQueries.oracles ++ text.ImportanceResample.oracles ++ text.SampleSplit.oracles ++ text.PpsSample.oracles ++ text.HashEmbed.oracles ++
       text.Reservoir.oracles ++ text.KnCounts.oracles ++
-      text.PiiScrub.oracles ++ text.LmScore.oracles ++ text.LmEval.oracles ++ text.MixEval.oracles ++ text.ZipfFit.oracles ++
+      text.PiiScrub.oracles ++ text.BpeTrain.oracles ++ text.UnigramTrain.oracles ++ sim.Pca.oracles ++ text.LmScore.oracles ++ text.LmEval.oracles ++ text.MixEval.oracles ++ text.ZipfFit.oracles ++
       text.QualityClassifier.oracles ++
       text.CorpusPipeline.oracles ++ dedup.DedupQueries.oracles ++
       dedup.DedupClusters.oracles ++ dedup.MinHashLsh.oracles ++

@@ -180,5 +180,34 @@ object Pca {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_pca" -> (embPca _))
 
-  val oracles: Map[String, String] = Map.empty
+  /** MODEL-AS-LITERAL oracle (`graft.OracleContext`): the learned mean ·
+    * eigenvector products interpolate as double literals (shortest-repr
+    * rendering round-trips bit-exactly through DuckDB's correctly-rounded
+    * parser), and the projection replays as the IDENTICAL left-associated
+    * 64-term sum the Spark plan folds — so the gate hash-checks the whole
+    * centering+projection arithmetic cross-engine. Training (the Jacobi
+    * eigensolver) stays covered by PcaSpec's independent checks and the
+    * frozen canary. A `def`: the literals must train on the corpus the
+    * dump targets, known only at Verify time. */
+  def oracles: Map[String, String] = Map(
+    "emb_pca" -> (graft.OracleContext.get match {
+      case None => graft.OracleContext.Placeholder
+      case Some((s, dir)) => trainedModel(s, dir) match {
+        case None =>
+          "SELECT vec_id, " +
+            (0 until PcDims).map(k => s"0.0 AS p$k").mkString(", ") +
+            " FROM embeddings WHERE false"
+        case Some((_, mean, _, vecs)) =>
+          val scoreCols = (0 until PcDims).map { k =>
+            val w = vecs(k)
+            val shift = (0 until EmbDims).map(j => mean(j) * w(j)).sum
+            val terms = (0 until EmbDims)
+              .map(j => s"embedding[${j + 1}]::DOUBLE * ${w(j)}")
+              .mkString(" + ")
+            s"round($terms - $shift, 6) AS p$k"
+          }
+          s"""SELECT vec_id, ${scoreCols.mkString(",\n ")}
+             |FROM embeddings ORDER BY vec_id""".stripMargin
+      }
+    }))
 }

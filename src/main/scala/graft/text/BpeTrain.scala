@@ -189,7 +189,11 @@ object BpeTrain {
         (w, syms.map(ids)) }).toDF("word", "ids")
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), posexplode_outer(split(col("text"), "\\s+")))
-      .filter(col("col").isNull || col("col") =!= "")
+      // empty tokens (whitespace-only/empty text splits to [""]) map to
+      // NULL instead of dropping the row, so every document keeps a row
+      // through the groupBy and emits n_tokens = 0 (the unigram-apply
+      // round-11-advice convention, mirrored for family consistency)
+      .withColumn("col", when(col("col") === "", lit(null)).otherwise(col("col")))
     docs.join(broadcast(tokTable), col("col") === col("word"), "left")
       .groupBy(col("doc_id"))
       .agg(flatten(array_sort(collect_list(struct(col("pos"),
@@ -206,4 +210,44 @@ object BpeTrain {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_vocab" -> (bpeVocab _),
     "text_bpe_apply" -> (bpeApply _))
+
+  /** Shared MODEL-AS-LITERAL apply oracle (`graft.OracleContext`): the
+    * learned word→ids table interpolates as a VALUES literal and the
+    * tokenization replays as split → positional zip → literal join →
+    * ordered string_agg — so the gate hash-checks the whole apply
+    * arithmetic cross-engine while the trainer chain stays replay-spec +
+    * canary covered. Used by both tokenizer families. */
+  private[text] def applyOracleSql(wordIds: Seq[(String, Seq[Long])]): String = {
+    val seg =
+      if (wordIds.isEmpty) "SELECT '' AS word, '' AS ids, 0::BIGINT AS n WHERE false"
+      else "VALUES " + wordIds.map { case (w, ids) =>
+        s"(${graft.OracleContext.sqlStr(w)}, " +
+          s"${graft.OracleContext.sqlStr(ids.mkString("|"))}, ${ids.length}::BIGINT)"
+      }.mkString(", ")
+    s"""WITH seg(word, ids, n) AS ($seg),
+       |t AS (SELECT doc_id, unnest(arr) AS word,
+       |  unnest(range(1, len(arr) + 1)) AS pos
+       | FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS arr
+       |  FROM documents)),
+       |j AS (SELECT t.doc_id, t.pos, seg.ids, seg.n
+       | FROM t LEFT JOIN seg ON seg.word = t.word)
+       |SELECT doc_id, coalesce(sum(n), 0)::BIGINT AS n_tokens,
+       | coalesce(string_agg(ids, '|' ORDER BY pos), '') AS token_ids
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** `text_bpe_apply` oracle — see [[applyOracleSql]]; a `def` because the
+    * literal vocab trains on the corpus the dump targets. `text_bpe_vocab`
+    * stays rows-only (its OUTPUT is the data-dependent trainer state). */
+  def oracles: Map[String, String] = Map(
+    "text_bpe_apply" -> (graft.OracleContext.get match {
+      case None => graft.OracleContext.Placeholder
+      case Some((s, dir)) =>
+        val dict = wordCounts(s, dir)
+        val merges = learn(dict, NumMerges)
+        val wordSyms = dict.map { case (w, _) => w -> symbolsOf(w, merges) }
+        val vocab = wordSyms.iterator.flatMap(_._2).toSet.toSeq.sorted
+        val ids = vocab.iterator.zipWithIndex.map { case (t, i) => t -> i.toLong }.toMap
+        applyOracleSql(wordSyms.toSeq.map { case (w, syms) => w -> syms.map(ids) })
+    }))
 }

@@ -221,4 +221,24 @@ object UnigramTrain {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_unigram_vocab" -> (unigramVocab _),
     "text_unigram_apply" -> (unigramApply _))
+
+  /** `text_unigram_apply` oracle — MODEL-AS-LITERAL via the shared
+    * [[BpeTrain.applyOracleSql]]: the learned word→rank-ids segmentation
+    * interpolates as a VALUES literal trained on the dump corpus
+    * (`graft.OracleContext`), so the gate hash-checks the tokenization
+    * arithmetic cross-engine; the EM trainer stays replay-spec + canary
+    * covered, and `text_unigram_vocab` stays rows-only (its OUTPUT is the
+    * trainer state). */
+  def oracles: Map[String, String] = Map(
+    "text_unigram_apply" -> (graft.OracleContext.get match {
+      case None => graft.OracleContext.Placeholder
+      case Some((s, dir)) =>
+        val dict = BpeTrain.wordCounts(s, dir)
+        val model = train(dict)
+        val lp = model.map { case (p, (_, l)) => p -> l }
+        val ids = model.toSeq.sortBy { case (p, (c, _)) => (-c, p) }.zipWithIndex
+          .map { case ((p, _), r) => p -> (r.toLong + 1L) }.toMap
+        BpeTrain.applyOracleSql(
+          dict.toSeq.map { case (w, _) => w -> viterbi(w, lp).map(ids) })
+    }))
 }
