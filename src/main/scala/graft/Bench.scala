@@ -75,7 +75,10 @@ object Bench {
     // Persist the complete per-query record in-repo: the driver's artifact
     // keeps only the tail of the stdout line, so without this file most of
     // each round's timings are lost to the project history.
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
+    // SPARK_GRAFT_BENCH_OUT redirects the record (the SCALING.md runs must
+    // not clobber the judged BENCH_FULL.json — the round-9 overwrite trap).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] persist failed: $e") }
     spark.stop()
   }
