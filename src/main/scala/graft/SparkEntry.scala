@@ -18,7 +18,7 @@ object SparkEntry {
       etl.CompactionPlan.queries ++ etl.SchemaDrift.queries ++ etl.JoinProfile.queries ++
       etl.ProfileSuggest.queries ++ etl.RunReport.queries ++ etl.Freshness.queries ++
       text.TextQueries.queries ++ text.ImportanceResample.queries ++ text.SampleSplit.queries ++ text.PpsSample.queries ++ text.HashEmbed.queries ++ text.PiiScrub.queries ++ text.BpeTrain.queries ++
-      text.Reservoir.queries ++ text.KnCounts.queries ++
+      text.Reservoir.queries ++ text.KnCounts.queries ++ text.KnScore.queries ++
       text.LmScore.queries ++ text.LmEval.queries ++ text.MixEval.queries ++ text.ZipfFit.queries ++ text.QualityClassifier.queries ++
       text.UnigramTrain.queries ++
       text.CorpusPipeline.queries ++
@@ -42,7 +42,7 @@ object SparkEntry {
       stats.Hll.queries ++ stats.Bootstrap.queries ++ text.Collocations.queries ++
       graph.PageRank.queries ++ graph.Triangles.queries ++ graph.Neighbors.queries ++
       graph.Bfs.queries ++ graph.KCore.queries ++ graph.Hits.queries ++
-      graph.LabelProp.queries ++ graph.Components.queries ++ graph.Modularity.queries ++ graph.Assortativity.queries ++ graph.Scc.queries ++
+      graph.LabelProp.queries ++ graph.Components.queries ++ graph.Modularity.queries ++ graph.Assortativity.queries ++ graph.Scc.queries ++ graph.Reciprocity.queries ++
       analytics.FunnelQueries.queries ++ ModelRegistry.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -54,7 +54,7 @@ object SparkEntry {
       etl.CompactionPlan.oracles ++ etl.SchemaDrift.oracles ++ etl.JoinProfile.oracles ++
       etl.ProfileSuggest.oracles ++ etl.RunReport.oracles ++ etl.Freshness.oracles ++
       text.TextQueries.oracles ++ text.ImportanceResample.oracles ++ text.SampleSplit.oracles ++ text.PpsSample.oracles ++ text.HashEmbed.oracles ++
-      text.Reservoir.oracles ++ text.KnCounts.oracles ++
+      text.Reservoir.oracles ++ text.KnCounts.oracles ++ text.KnScore.oracles ++
       text.PiiScrub.oracles ++ text.BpeTrain.oracles ++ text.UnigramTrain.oracles ++ sim.Pca.oracles ++ text.LmScore.oracles ++ text.LmEval.oracles ++ text.MixEval.oracles ++ text.ZipfFit.oracles ++
       text.QualityClassifier.oracles ++
       text.CorpusPipeline.oracles ++ dedup.DedupQueries.oracles ++
@@ -78,6 +78,6 @@ object SparkEntry {
       stats.Hll.oracles ++ stats.Bootstrap.oracles ++ text.Collocations.oracles ++
       graph.PageRank.oracles ++ graph.Triangles.oracles ++ graph.Neighbors.oracles ++
       graph.Bfs.oracles ++ graph.KCore.oracles ++ graph.Hits.oracles ++
-      graph.LabelProp.oracles ++ graph.Components.oracles ++ graph.Modularity.oracles ++ graph.Assortativity.oracles ++ graph.Scc.oracles ++
+      graph.LabelProp.oracles ++ graph.Components.oracles ++ graph.Modularity.oracles ++ graph.Assortativity.oracles ++ graph.Scc.oracles ++ graph.Reciprocity.oracles ++
       analytics.FunnelQueries.oracles ++ ModelRegistry.oracles
 }

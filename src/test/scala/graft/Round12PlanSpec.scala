@@ -25,4 +25,20 @@ class Round12PlanSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"),
       "sizes and output read the cached label frame, not a recompute")
   }
+
+  test("graph_reciprocity: mutual count is a LeftSemi hash join; the only BNLJ is the one-row readout cross") {
+    val p = plan("graph_reciprocity")
+    assert(!p.contains("CartesianProduct"), "no CartesianProduct")
+    assert(p.contains("LeftSemi"), "mutual count must be a semi join, not a full pair join")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"only the one-row readout cross may BNLJ, found $bnlj")
+  }
+
+  test("text_kn_score: equi-joins only; the cached instance stream feeds model AND scoring") {
+    val p = plan("text_kn_score")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "scoring joins must stay equi-joins")
+    assert(p.contains("InMemoryTableScan"),
+      "the bigram instance cache must feed the scoring join, not a re-explode")
+  }
 }
