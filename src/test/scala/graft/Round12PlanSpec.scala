@@ -41,4 +41,13 @@ class Round12PlanSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"),
       "the bigram instance cache must feed the scoring join, not a re-explode")
   }
+
+  test("ts_periodogram: trig table broadcasts; no NLJ; daily frame cached for both moment passes") {
+    val p = plan("ts_periodogram")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "trig join must stay an equi-join")
+    assert(p.contains("BroadcastHashJoin"), "the 104-row trig table must broadcast")
+    assert(p.contains("InMemoryTableScan"),
+      "the centered daily frame must feed sxx AND the moment pass from cache")
+  }
 }
