@@ -75,7 +75,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "graph_assortativity",
     // round-12 additions
     "graph_scc", "ts_holtwinters", "text_pii_audit", "text_pii_scrub",
-    "model_registry", "graph_reciprocity", "text_kn_score", "ts_periodogram")
+    "model_registry", "graph_reciprocity", "text_kn_score", "ts_periodogram",
+    "text_perplexity_buckets")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {

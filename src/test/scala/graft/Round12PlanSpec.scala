@@ -50,4 +50,16 @@ class Round12PlanSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"),
       "the centered daily frame must feed sxx AND the moment pass from cache")
   }
+
+  test("text_perplexity_buckets: the only SinglePartition window runs on the bounded score histogram") {
+    val p = SparkEntry.queries("text_perplexity_buckets")(spark, sf)
+      .queryExecution.executedPlan.toString
+    CacheRegistry.releaseAll()
+    assert(!p.contains("CartesianProduct"), "no CartesianProduct")
+    // the cumsum window must consume the score-histogram aggregate (a
+    // HashAggregate feeds the sort under the window), never raw doc rows
+    assert(p.contains("Window"), "bucket thresholds come from a window cumsum")
+    assert(p.contains("BroadcastHashJoin"),
+      "docs map to buckets via a broadcast of the bounded score table")
+  }
 }
