@@ -27,7 +27,7 @@ object SparkEntry {
       dedup.DedupClusters.queries ++ dedup.IncrementalNearDup.queries ++
       sim.SimQueries.queries ++ sim.Mmr.queries ++ sim.AnnLsh.queries ++ sim.AnnIvf.queries ++
       sim.AnnPq.queries ++ sim.AnnIvfPq.queries ++
-      sim.VectorOps.queries ++ sim.Kmeans.queries ++ sim.Pca.queries ++ sim.KCenter.queries ++
+      sim.VectorOps.queries ++ sim.Kmeans.queries ++ sim.Pca.queries ++ sim.Whiten.queries ++ sim.KCenter.queries ++
       sim.QuantizeInt8.queries ++ sim.BinaryEmb.queries ++ sim.RecallEval.queries ++
       multimodal.MultimodalQueries.queries ++ multimodal.PhashNearDup.queries ++
       streaming.StreamQueries.queries ++
@@ -55,7 +55,7 @@ object SparkEntry {
       etl.ProfileSuggest.oracles ++ etl.RunReport.oracles ++ etl.Freshness.oracles ++
       text.TextQueries.oracles ++ text.ImportanceResample.oracles ++ text.SampleSplit.oracles ++ text.PpsSample.oracles ++ text.HashEmbed.oracles ++
       text.Reservoir.oracles ++ text.KnCounts.oracles ++ text.KnScore.oracles ++
-      text.PiiScrub.oracles ++ text.BpeTrain.oracles ++ text.UnigramTrain.oracles ++ sim.Pca.oracles ++ text.LmScore.oracles ++ text.PerplexityBuckets.oracles ++ text.LmEval.oracles ++ text.MixEval.oracles ++ text.ZipfFit.oracles ++
+      text.PiiScrub.oracles ++ text.BpeTrain.oracles ++ text.UnigramTrain.oracles ++ sim.Pca.oracles ++ sim.Whiten.oracles ++ text.LmScore.oracles ++ text.PerplexityBuckets.oracles ++ text.LmEval.oracles ++ text.MixEval.oracles ++ text.ZipfFit.oracles ++
       text.QualityClassifier.oracles ++
       text.CorpusPipeline.oracles ++ dedup.DedupQueries.oracles ++
       dedup.DedupClusters.oracles ++ dedup.MinHashLsh.oracles ++
