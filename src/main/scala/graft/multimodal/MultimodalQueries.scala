@@ -50,7 +50,7 @@ object MultimodalQueries {
     * frameOverlap consumes the unsorted rows (its distinct/join would
     * destroy the sort anyway, so paying the range-partition Exchange there
     * would be pure waste). */
-  private def sampledFrames(s: SparkSession, dir: String): DataFrame = {
+  private[multimodal] def sampledFrames(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir)
       .filter(col("doc_id") % 3 === 2)
       .select(col("doc_id"), col("text"),
@@ -224,7 +224,7 @@ object MultimodalQueries {
   /** Registered oracles of the frame/scene chain, extracted so the
     * `mm_scene_neardup` composition embeds them VERBATIM (the drift-proof
     * discipline). */
-  private def frameSampleOracle: String =
+  private[multimodal] def frameSampleOracle: String =
     s"""WITH $frameCteSql
        |SELECT doc_id, frame_idx, n_frames, start_pos, end_pos,
        | md5(substr(text, start_pos::INT, greatest(0, end_pos - start_pos + 1)::INT)) AS frame_digest
