@@ -25,13 +25,19 @@ for op in ("dedup_exact dedup_ngram_jaccard dedup_edit_distance dedup_containmen
            "dedup_minhash_lsh dedup_clusters dedup_weights dedup_rewrite "
            "dedup_rewrite_exact dedup_simhash text_pipeline_report "
            "text_quality_classifier graph_pagerank graph_components graph_kcore "
-           "graph_labelprop graph_triangles graph_bfs graph_scc").split():
+           "graph_labelprop graph_triangles graph_bfs graph_scc "
+           # round-12 additions: the scale study is a living instrument —
+           # corpus-heavy operators join the measurement set the round they land
+           "text_kn_score text_ngram_novelty text_perplexity_buckets "
+           "text_pii_scrub graph_closeness graph_reciprocity "
+           "mm_keyframe_select").split():
     TABLE_OF[op] = "documents"
 for op in ("ann_topk_brute ann_lsh_bucketed ann_multiprobe ann_ivf ann_pq "
            "ann_ivfpq ann_hamming_rerank ann_range_search emb_kmeans "
            "dedup_semantic dedup_embedding_cosine dedup_embedding_lsh").split():
     TABLE_OF[op] = "embeddings"
-for op in "etl_geo_cluster stats_bootstrap".split():
+for op in ("etl_geo_cluster stats_bootstrap "
+           "ts_periodogram ts_holtwinters stats_linreg").split():
     TABLE_OF[op] = "events"
 
 
