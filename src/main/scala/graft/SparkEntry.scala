@@ -34,7 +34,7 @@ object SparkEntry {
       streaming.StreamDedup.queries ++ streaming.StreamNearDup.queries ++
       streaming.StreamAnomaly.queries ++ streaming.StreamTopK.queries ++
       streaming.StreamCdcApply.queries ++ streaming.StreamCep.queries ++
-      streaming.StreamDistinct.queries ++ streaming.StreamQualityScore.queries ++
+      streaming.StreamDistinct.queries ++ streaming.StreamQualityScore.queries ++ streaming.StreamLinreg.queries ++
       timeseries.TsQueries.queries ++ timeseries.CrossCorr.queries ++
       timeseries.RollingQuantile.queries ++ timeseries.Lttb.queries ++ timeseries.MannKendall.queries ++ timeseries.TheilSen.queries ++ timeseries.HoltWinters.queries ++ timeseries.Periodogram.queries ++
       stats.SketchQueries.queries ++ stats.HeavyHitters.queries ++ stats.KmvSketch.queries ++
@@ -70,7 +70,7 @@ object SparkEntry {
       streaming.StreamDedup.oracles ++ streaming.StreamAnomaly.oracles ++
       streaming.StreamTopK.oracles ++ streaming.StreamCdcApply.oracles ++
       streaming.StreamCep.oracles ++ streaming.StreamDistinct.oracles ++
-      streaming.StreamQualityScore.oracles ++
+      streaming.StreamQualityScore.oracles ++ streaming.StreamLinreg.oracles ++
       timeseries.TsQueries.oracles ++ timeseries.CrossCorr.oracles ++
       timeseries.RollingQuantile.oracles ++ timeseries.Lttb.oracles ++ timeseries.MannKendall.oracles ++ timeseries.TheilSen.oracles ++ timeseries.HoltWinters.oracles ++ timeseries.Periodogram.oracles ++
       stats.SketchQueries.oracles ++ stats.HeavyHitters.oracles ++ stats.KmvSketch.oracles ++

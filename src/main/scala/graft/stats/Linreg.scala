@@ -74,11 +74,12 @@ object Linreg {
     "r2" -> ("CASE WHEN b0c IS NOT NULL AND sst > 0 THEN round(1.0 - " +
       "(dyy - b0c * dy - b1c * d1y - b2c * d2y) / sst, 6) END"))
 
-  /** Core over an explicit (event_type, y, x1, x2) integer frame — split
-    * out so the spec can plant exact-fit, collinear, and zero-variance
-    * anchors. */
-  private[stats] def linregOf(base: DataFrame): DataFrame = {
-    val mom = base.groupBy(col("event_type")).agg(
+  /** The ten sufficient moments per type — a plain streaming-able
+    * aggregation (sums and a count), the canonical mergeable statistic.
+    * Works on any (event_type, y, x1, x2) frame, batch or streaming —
+    * which is what makes `stream_linreg` a zero-new-math deployment. */
+  private[graft] def momentsOf(base: DataFrame): DataFrame =
+    base.groupBy(col("event_type")).agg(
       count(lit(1)).as("n"),
       sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
       sum(col("x1") * col("x1")).as("s11"),
@@ -88,18 +89,32 @@ object Linreg {
       sum(col("x1") * col("y")).as("s1y"),
       sum(col("x2") * col("y")).as("s2y"),
       sum(col("y") * col("y")).as("syy"))
+
+  /** The stateless readout over a moment frame: the shared formula-string
+    * layers (Cramer + R²), no aggregation — streaming-legal as a post-agg
+    * projection. */
+  private[graft] def readout(mom: DataFrame): DataFrame = {
     val withL = (layer2 ++ layer3 ++ layer4 ++ layer5)
       .foldLeft(mom) { case (df, (name, sql)) => df.withColumn(name, expr(sql)) }
     withL.select(col("event_type"), col("n"), col("b0"), col("b1_hour"),
-        col("b2_dow"), col("r2"))
-      .orderBy(col("event_type"))
+      col("b2_dow"), col("r2"))
   }
 
-  def linreg(s: SparkSession, dir: String): DataFrame =
-    linregOf(Tables.events(s, dir).select(col("event_type"),
+  /** Core over an explicit (event_type, y, x1, x2) integer frame — split
+    * out so the spec can plant exact-fit, collinear, and zero-variance
+    * anchors. */
+  private[stats] def linregOf(base: DataFrame): DataFrame =
+    readout(momentsOf(base)).orderBy(col("event_type"))
+
+  /** The shared fact projection (event_type, y, x1, x2) — batch form. */
+  private[graft] def factFrame(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(col("event_type"),
       round(round(col("value"), 2) * 100).cast("long").as("y"),
       hour(col("ts")).cast("long").as("x1"),
-      ((datediff(to_date(col("ts")), lit("1970-01-01")).cast("long") + 3) % 7).as("x2")))
+      ((datediff(to_date(col("ts")), lit("1970-01-01")).cast("long") + 3) % 7).as("x2"))
+
+  def linreg(s: SparkSession, dir: String): DataFrame =
+    linregOf(factFrame(s, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_linreg" -> (linreg _))
