@@ -39,7 +39,7 @@ object SparkEntry {
       timeseries.RollingQuantile.queries ++ timeseries.Lttb.queries ++ timeseries.MannKendall.queries ++ timeseries.TheilSen.queries ++ timeseries.HoltWinters.queries ++ timeseries.Periodogram.queries ++
       stats.SketchQueries.queries ++ stats.HeavyHitters.queries ++ stats.KmvSketch.queries ++
       stats.Correlation.queries ++ stats.CountMin.queries ++ stats.Concentration.queries ++
-      stats.Hll.queries ++ stats.Bootstrap.queries ++ stats.Linreg.queries ++ text.Collocations.queries ++
+      stats.Hll.queries ++ stats.Bootstrap.queries ++ stats.Linreg.queries ++ stats.Anova.queries ++ text.Collocations.queries ++
       graph.PageRank.queries ++ graph.Triangles.queries ++ graph.Neighbors.queries ++
       graph.Bfs.queries ++ graph.KCore.queries ++ graph.Hits.queries ++
       graph.LabelProp.queries ++ graph.Components.queries ++ graph.Modularity.queries ++ graph.Assortativity.queries ++ graph.Scc.queries ++ graph.Reciprocity.queries ++ graph.Closeness.queries ++
@@ -75,7 +75,7 @@ object SparkEntry {
       timeseries.RollingQuantile.oracles ++ timeseries.Lttb.oracles ++ timeseries.MannKendall.oracles ++ timeseries.TheilSen.oracles ++ timeseries.HoltWinters.oracles ++ timeseries.Periodogram.oracles ++
       stats.SketchQueries.oracles ++ stats.HeavyHitters.oracles ++ stats.KmvSketch.oracles ++
       stats.Correlation.oracles ++ stats.CountMin.oracles ++ stats.Concentration.oracles ++
-      stats.Hll.oracles ++ stats.Bootstrap.oracles ++ stats.Linreg.oracles ++ text.Collocations.oracles ++
+      stats.Hll.oracles ++ stats.Bootstrap.oracles ++ stats.Linreg.oracles ++ stats.Anova.oracles ++ text.Collocations.oracles ++
       graph.PageRank.oracles ++ graph.Triangles.oracles ++ graph.Neighbors.oracles ++
       graph.Bfs.oracles ++ graph.KCore.oracles ++ graph.Hits.oracles ++
       graph.LabelProp.oracles ++ graph.Components.oracles ++ graph.Modularity.oracles ++ graph.Assortativity.oracles ++ graph.Scc.oracles ++ graph.Reciprocity.oracles ++ graph.Closeness.oracles ++
