@@ -77,7 +77,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "graph_scc", "ts_holtwinters", "text_pii_audit", "text_pii_scrub",
     "model_registry", "graph_reciprocity", "text_kn_score", "ts_periodogram",
     "text_perplexity_buckets", "emb_whiten", "graph_closeness", "stats_linreg",
-    "text_ngram_novelty", "mm_keyframe_select", "stream_linreg", "stats_anova")
+    "text_ngram_novelty", "mm_keyframe_select", "stream_linreg", "stats_anova",
+    "graph_coreness")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {
