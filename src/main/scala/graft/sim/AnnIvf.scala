@@ -28,7 +28,7 @@ object AnnIvf {
     * both engines agree at every scale factor. */
   def cellsFor(n: Long): Int = math.max(MinCells, math.ceil(math.sqrt(n / 2.0)).toInt)
 
-  private def cellsSql: String =
+  private[sim] def cellsSql: String =
     s"(SELECT greatest($MinCells, ceil(sqrt(count(*) / 2.0))::BIGINT) FROM e)"
 
   val MinCells = 16
