@@ -48,10 +48,13 @@ class RecallEvalSpec extends AnyFunSuite {
   }
 
   test("the method list IS the approximate-ANN surface (no variant ships unaudited)") {
-    // every ann_* registered query except the exact baseline, the eval
-    // itself, and the non-top-k shapes (filtered/range) must appear
+    // every ann_* registered query except the exact baseline, the evals
+    // (recall_eval audits retrieval; cell_stats audits cost — it returns
+    // cells, not neighbor lists, so recall@k is undefined for it), and
+    // the non-top-k shapes (filtered/range) must appear
     val annTopk = SparkEntry.queries.keys.filter(_.startsWith("ann_")).toSet --
-      Set("ann_topk_brute", "ann_recall_eval", "ann_filtered", "ann_range_search")
+      Set("ann_topk_brute", "ann_recall_eval", "ann_cell_stats",
+        "ann_filtered", "ann_range_search")
     assert(methodToKey.values.toSet == annTopk,
       s"recall eval must audit exactly $annTopk")
     assert(RecallEval.Methods.map(_._1) == RecallEval.Methods.map(_._1).sorted,
