@@ -75,6 +75,21 @@ class CorenessSpec extends AnyFunSuite {
     }
   }
 
+  test("family consistency: graph_kcore's 3-core membership IS coreness >= 3") {
+    // two independent implementations of the same mathematics — fixed-k
+    // synchronous peeling vs the H-index iteration — must agree exactly
+    // on the shared corpus graph, or one of them is wrong
+    val core3 = SparkEntry.queries("graph_kcore")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val coreness = SparkEntry.queries("graph_coreness")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(core3.keySet == coreness.keySet && core3.nonEmpty)
+    core3.foreach { case (node, inCore) =>
+      assert(inCore == (coreness(node) >= KCore.CoreK),
+        s"node $node: kcore says $inCore, coreness says ${coreness(node)}")
+    }
+  }
+
   private def runOn(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
     val rows = Coreness.corenessOf(spark, nodes.toDF("doc_id"), edges.toDF("u", "v"))
       .collect()
