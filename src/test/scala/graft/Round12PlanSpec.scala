@@ -51,6 +51,43 @@ class Round12PlanSpec extends AnyFunSuite {
       "the centered daily frame must feed sxx AND the moment pass from cache")
   }
 
+  test("emb_whiten: whitening is one map pass — no join, no aggregate exchange before the sort") {
+    val p = plan("emb_whiten")
+    assert(!p.contains("Join"), "the whitening weights are constant-folded, never joined")
+    assert(!p.contains("HashAggregate"), "scoring itself aggregates nothing")
+  }
+
+  test("text_ngram_novelty: shingle-keyed equi-joins only, no NLJ") {
+    val p = plan("text_ngram_novelty")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "first-seen join must stay an equi-join")
+    assert(p.contains("InMemoryTableScan"),
+      "the shingle explode must feed min AND verdict from cache, not re-explode")
+  }
+
+  test("stats_linreg and stats_anova: one fact aggregate, everything after on the moment frame") {
+    for (q <- Seq("stats_linreg", "stats_anova")) {
+      val p = plan(q)
+      assert(!p.contains("Join") || q == "stats_anova",
+        s"$q: the moment pass joins nothing") // anova's |types|-row readout agg is join-free too
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+      assert(p.contains("HashAggregate"), s"$q: moments are a hash aggregate")
+    }
+  }
+
+  test("mm_keyframe_select: bounded per-video rounds — equi-joins and per-video windows only") {
+    val p = plan("mm_keyframe_select")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "greedy rounds must stay equi-joins")
+    assert(p.contains("Window"), "the per-video argmax is a bounded window")
+  }
+
+  test("ann_cell_stats: the audit adds one aggregate over the compiled assignment — no extra shuffle of facts") {
+    val p = plan("ann_cell_stats")
+    assert(!p.contains("CartesianProduct"), "no all-pairs anywhere")
+    assert(p.contains("HashAggregate"), "occupancy is a |cells|-key hash aggregate")
+  }
+
   test("text_perplexity_buckets: the only SinglePartition window runs on the bounded score histogram") {
     val p = SparkEntry.queries("text_perplexity_buckets")(spark, sf)
       .queryExecution.executedPlan.toString
