@@ -52,10 +52,9 @@ object DedupClusters {
       else pairs.toDF("a", "b").localCheckpoint(true)
     // edges are materialized (staged or just checkpointed) — the count is a
     // block-metadata read, not a recompute of the producer
-    if (edges.count() <= smallGraphEdges) return unionFind(spark, edges)
-    val prevWsc = spark.conf.get("spark.sql.codegen.wholeStage", "true")
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    try {
+    val nEdges = edges.count()
+    if (nEdges <= smallGraphEdges) return unionFind(spark, edges)
+    graft.InterpretedLoop.run(spark, nEdges) {
       val sym = edges.union(edges.select(col("b"), col("a"))).toDF("u", "v")
       var labels = sym.select(col("u").as("id")).distinct()
         .withColumn("label", col("id"))
@@ -81,7 +80,7 @@ object DedupClusters {
         iter += 1
       }
       labels
-    } finally spark.conf.set("spark.sql.codegen.wholeStage", prevWsc)
+    }
   }
 
   /** Driver union-find over a bounded edge list (the small-graph path of

@@ -42,9 +42,7 @@ object Bfs {
       .unionByName(und.select(col("v").as("node"), col("u").as("nb")))
       .localCheckpoint(true)
     // tiny per-round frames: interpreted loop (the PageRank tradeoff)
-    val prevWsc = s.conf.get("spark.sql.codegen.wholeStage", "true")
-    s.conf.set("spark.sql.codegen.wholeStage", "false")
-    try {
+    graft.InterpretedLoop.run(s, n) {
       var visited = s.createDataFrame(Seq(Tuple2(Source, 0L)))
         .toDF("node", "dist").localCheckpoint(true)
       var frontier = visited
@@ -61,7 +59,7 @@ object Bfs {
         .select(col("doc_id"), coalesce(col("dist"), lit(-1L)).as("dist"),
           col("dist").isNotNull.as("reached"))
         .orderBy(col("doc_id"))
-    } finally s.conf.set("spark.sql.codegen.wholeStage", prevWsc)
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

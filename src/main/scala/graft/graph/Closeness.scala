@@ -61,9 +61,7 @@ object Closeness {
       .localCheckpoint(true)
     val lms = docs.orderBy(col("doc_id")).limit(K)
       .select(col("doc_id").as("lm")).localCheckpoint(true)
-    val prevWsc = s.conf.get("spark.sql.codegen.wholeStage", "true")
-    s.conf.set("spark.sql.codegen.wholeStage", "false")
-    try {
+    graft.InterpretedLoop.run(s, docs.count()) {
       var visited = lms.select(col("lm"), col("lm").as("node"), lit(0L).as("dist"))
         .localCheckpoint(true)
       var frontier = visited
@@ -87,7 +85,7 @@ object Closeness {
           round(coalesce(col("h60"), lit(0L)).cast("double") / lit(HLcm.toDouble), 6)
             .as("closeness"))
         .orderBy(col("doc_id"))
-    } finally s.conf.set("spark.sql.codegen.wholeStage", prevWsc)
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -24,7 +24,12 @@ import graft.Tables
   * [[Rounds]] is FIXED (declared truncation: the value after round R is
   * a monotone upper bound that has converged on every gate corpus —
   * spec-witnessed by an extra driver round changing nothing, and by
-  * exact equality against a classic driver-side peel).
+  * exact equality against a classic driver-side peel). Truncation is
+  * VISIBLE, not assumed: `converged` compares round R−1 vs round R per
+  * node (the `graph_scc` `settled` discipline) — on a structure deeper
+  * than the budget (H-corrections propagate one hop per round, so a long
+  * path needs ~length/2 rounds) the still-moving frontier reads false,
+  * and only an all-true column certifies the budget sufficed.
   *
   * Determinism: the H-index is pure integer order statistics — sort each
   * node's neighbor scores descending (ties broken by neighbor id; ties
@@ -45,7 +50,8 @@ object Coreness {
     val docs = Tables.documents(s, dir).select(col("doc_id"))
     val n = docs.count()
     if (n == 0)
-      return docs.select(col("doc_id"), lit(0L).as("degree"), lit(0L).as("coreness"))
+      return docs.select(col("doc_id"), lit(0L).as("degree"), lit(0L).as("coreness"),
+        lit(true).as("converged"))
     corenessOf(s, docs, Triangles.simpleEdges(docs, n))
   }
 
@@ -56,13 +62,13 @@ object Coreness {
     val adj = und.select(col("u").as("node"), col("v").as("nb"))
       .unionByName(und.select(col("v").as("node"), col("u").as("nb")))
       .localCheckpoint(true)
-    val prevWsc = s.conf.get("spark.sql.codegen.wholeStage", "true")
-    s.conf.set("spark.sql.codegen.wholeStage", "false")
-    try {
+    graft.InterpretedLoop.run(s, docs.count()) {
       val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("c"))
         .localCheckpoint(true)
       var cur = deg
+      var prev = deg // round R-1 scores, kept for the convergence witness
       for (_ <- 1 to Rounds) {
+        prev = cur
         val withC = adj.join(
           cur.select(col("node").as("nb"), col("c").as("cnb")), Seq("nb"))
         val w = Window.partitionBy(col("node"))
@@ -77,11 +83,15 @@ object Coreness {
           .withColumnRenamed("c", "degree"), Seq("doc_id"), "left")
         .join(cur.withColumnRenamed("node", "doc_id")
           .withColumnRenamed("c", "coreness"), Seq("doc_id"), "left")
+        .join(prev.withColumnRenamed("node", "doc_id")
+          .withColumnRenamed("c", "c_prev"), Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("degree"), lit(0L)).as("degree"),
-          coalesce(col("coreness"), lit(0L)).as("coreness"))
+          coalesce(col("coreness"), lit(0L)).as("coreness"),
+          (coalesce(col("c_prev"), lit(0L)) === coalesce(col("coreness"), lit(0L)))
+            .as("converged"))
         .orderBy(col("doc_id"))
-    } finally s.conf.set("spark.sql.codegen.wholeStage", prevWsc)
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -105,10 +115,12 @@ object Coreness {
          |$rounds
          |SELECT d.doc_id,
          | coalesce(c0.c, 0)::BIGINT AS degree,
-         | coalesce(cf.c, 0)::BIGINT AS coreness
+         | coalesce(cf.c, 0)::BIGINT AS coreness,
+         | (coalesce(cp.c, 0) = coalesce(cf.c, 0)) AS converged
          |FROM documents d
          |LEFT JOIN c0 ON c0.node = d.doc_id
          |LEFT JOIN c$Rounds cf ON cf.node = d.doc_id
+         |LEFT JOIN c${Rounds - 1} cp ON cp.node = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
     })
 }

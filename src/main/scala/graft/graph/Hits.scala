@@ -41,9 +41,7 @@ object Hits {
         lit(0L).as("hub_scaled"), lit(0.0).as("auth"), lit(0.0).as("hub"))
     val edges = PageRank.citationEdges(docs, n).localCheckpoint(true)
     val verts = docs.localCheckpoint(true)
-    val prevWsc = s.conf.get("spark.sql.codegen.wholeStage", "true")
-    s.conf.set("spark.sql.codegen.wholeStage", "false")
-    try {
+    graft.InterpretedLoop.run(s, n) {
       // tiny per-iteration frames; interpreted loop (the PageRank tradeoff)
       var hub = verts.select(col("doc_id"), lit(Scale / n).as("v")).localCheckpoint(true)
       var auth = hub
@@ -72,7 +70,7 @@ object Hits {
           (col("auth_scaled") / lit(1000000000.0)).as("auth"),
           (col("hub_scaled") / lit(1000000000.0)).as("hub"))
         .orderBy(col("doc_id"))
-    } finally s.conf.set("spark.sql.codegen.wholeStage", prevWsc)
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

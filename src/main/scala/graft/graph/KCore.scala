@@ -47,9 +47,7 @@ object KCore {
     val und = Triangles.simpleEdges(docs, n)
     // tiny per-round frames: interpreted loop (the PageRank/dedup_clusters
     // tradeoff — janino compile per unique round plan costs more than it buys)
-    val prevWsc = s.conf.get("spark.sql.codegen.wholeStage", "true")
-    s.conf.set("spark.sql.codegen.wholeStage", "false")
-    try {
+    graft.InterpretedLoop.run(s, n) {
       var adj = und.select(col("u").as("node"), col("v").as("nb"))
         .unionByName(und.select(col("v").as("node"), col("u").as("nb")))
         .localCheckpoint(true)
@@ -66,7 +64,7 @@ object KCore {
         .select(col("doc_id"), col("node").isNotNull.as("in_core"),
           coalesce(col("core_degree"), lit(0L)).as("core_degree"))
         .orderBy(col("doc_id"))
-    } finally s.conf.set("spark.sql.codegen.wholeStage", prevWsc)
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

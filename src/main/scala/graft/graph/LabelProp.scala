@@ -29,7 +29,14 @@ import graft.Tables
   * Scale posture: per round ONE adjacency⋈labels hash join + a map-side
   * combinable (node, label) count + a per-node window argmax over ≤ deg
   * rows — the textbook distributed LPA round (edge-proportional work, no
-  * driver state); lineage cut per round with localCheckpoint. */
+  * driver state); lineage cut per round with localCheckpoint.
+  *
+  * Budget truncation is VISIBLE: `converged` compares each node's label
+  * at round R−1 vs round R (the `graph_scc` `settled` / `graph_coreness`
+  * `converged` discipline) — synchronous LPA is known to OSCILLATE on
+  * bipartite structures (Raghavan §III's two-coloring flip), so a false
+  * flag marks exactly the rows whose community is still moving when the
+  * budget cuts off. */
 object LabelProp {
 
   val Rounds = 4
@@ -39,7 +46,7 @@ object LabelProp {
     val n = docs.count()
     if (n == 0)
       return docs.select(col("doc_id"), lit(0L).as("community"),
-        lit(0L).as("community_size")).limit(0)
+        lit(0L).as("community_size"), lit(true).as("converged")).limit(0)
     val und = Triangles.simpleEdges(docs, n)
     val adj = und.select(col("u").as("node"), col("v").as("nb"))
       .unionByName(und.select(col("v").as("node"), col("u").as("nb")))
@@ -52,7 +59,9 @@ object LabelProp {
     val adj = adjIn.localCheckpoint(true)
     var labels = docs.select(col("doc_id").as("node"), col("doc_id").as("lbl"))
       .localCheckpoint(true)
+    var prev = labels // round R-1 labels, kept for the convergence witness
     for (_ <- 1 to Rounds) {
+      prev = labels
       val counted = adj
         .join(labels.select(col("node").as("nb"), col("lbl").as("nl")), Seq("nb"))
         .groupBy(col("node"), col("nl")).agg(count(lit(1)).as("cnt"))
@@ -67,8 +76,10 @@ object LabelProp {
     }
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
     labels.join(sizes, Seq("lbl"))
+      .join(prev.select(col("node"), col("lbl").as("lbl_prev")), Seq("node"))
       .select(col("node").as("doc_id"), col("lbl").as("community"),
-        col("community_size"))
+        col("community_size"),
+        (col("lbl_prev") === col("lbl")).as("converged"))
       .orderBy(col("doc_id"))
   }
 
@@ -95,8 +106,10 @@ object LabelProp {
          |$rounds,
          |sz AS (SELECT lbl, count(*)::BIGINT AS community_size
          | FROM l$Rounds GROUP BY lbl)
-         |SELECT l.node AS doc_id, l.lbl AS community, sz.community_size
+         |SELECT l.node AS doc_id, l.lbl AS community, sz.community_size,
+         | (lp.lbl = l.lbl) AS converged
          |FROM l$Rounds l JOIN sz ON sz.lbl = l.lbl
+         |JOIN l${Rounds - 1} lp ON lp.node = l.node
          |ORDER BY doc_id""".stripMargin
     })
 }

@@ -63,10 +63,8 @@ object PageRank {
     val verts = docs.localCheckpoint(true)
     // tiny per-iteration frames: run the loop interpreted (janino compile
     // per unique plan per round costs more than it buys — the
-    // dedup_clusters tradeoff)
-    val prevWsc = s.conf.get("spark.sql.codegen.wholeStage", "true")
-    s.conf.set("spark.sql.codegen.wholeStage", "false")
-    try {
+    // dedup_clusters tradeoff); gated + conf-scoped by InterpretedLoop
+    graft.InterpretedLoop.run(s, n) {
       var ranks = verts.select(col("doc_id"), lit(r0).as("r")).localCheckpoint(true)
       for (_ <- 1 to Iters) {
         val contrib = edges.join(ranks, edges("src") === ranks("doc_id"))
@@ -80,7 +78,7 @@ object PageRank {
       ranks.select(col("doc_id"), col("r").as("rank_scaled"),
           round(col("r") / lit(1000000000000.0), 8).as("rank"))
         .orderBy(col("doc_id"))
-    } finally s.conf.set("spark.sql.codegen.wholeStage", prevWsc)
+    }
   }
 
   /** DuckDB CTEs `n` (corpus count) and `e` (the citation edge list) —

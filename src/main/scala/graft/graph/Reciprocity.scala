@@ -46,9 +46,13 @@ object Reciprocity {
     val docs = Tables.documents(s, dir).select(col("doc_id"))
     val n = docs.count()
     if (n == 0)
-      return docs.select(lit(0L).as("n_nodes"), lit(0L).as("n_edges"),
-        lit(0L).as("n_mutual"), lit(0.0).as("reciprocity"),
-        lit(0.0).as("density"), lit(0.0).as("rho_gl")).limit(0)
+      // the oracle's aggregate CTEs (nn/ec/mu) each produce one row on an
+      // empty corpus, so the readout row EXISTS with zero counts and NULL
+      // ratios — emit the identical single row (the stats_anova empty
+      // convention), not zero rows
+      return s.range(1).select(lit(0L).as("n_nodes"), lit(0L).as("n_edges"),
+        lit(0L).as("n_mutual"), lit(null).cast("double").as("reciprocity"),
+        lit(null).cast("double").as("density"), lit(null).cast("double").as("rho_gl"))
     reciprocityOf(Scc.directedEdges(docs, n), n)
   }
 

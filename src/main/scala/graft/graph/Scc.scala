@@ -100,9 +100,7 @@ object Scc {
       edgesIn: DataFrame): DataFrame = {
     // tiny per-round frames: interpreted loop (the PageRank/kcore tradeoff
     // — janino compile per unique round plan costs more than it buys)
-    val prevWsc = s.conf.get("spark.sql.codegen.wholeStage", "true")
-    s.conf.set("spark.sql.codegen.wholeStage", "false")
-    try {
+    graft.InterpretedLoop.run(s, verts.count()) {
       val edges0 = cut(edgesIn)
       var active = cut(verts.select(col("doc_id").as("node")))
       var activeN = active.count()
@@ -179,7 +177,7 @@ object Scc {
       lab.join(sz, Seq("scc_id"))
         .select(col("doc_id"), col("scc_id"), col("settled"), col("scc_size"))
         .orderBy(col("doc_id"))
-    } finally s.conf.set("spark.sql.codegen.wholeStage", prevWsc)
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -47,6 +47,13 @@ object AnnCellStats {
     val cells = math.min(AnnIvf.cellsFor(n), n).toInt
     val centRows = e.filter(col("vec_id") < cells)
       .select(col("vec_id"), col("emb")).collect().sortBy(_.getLong(0))
+    // the audit labels cells by POSITIONAL index into this array while the
+    // oracle labels them by actual vec_id — enforce the composition
+    // invariant (same guard as AnnIvf) instead of assuming it, so a corpus
+    // with non-contiguous vec_ids below `cells` fails fast rather than
+    // silently diverging engine-vs-oracle
+    require(centRows.map(_.getLong(0)).toSeq == (0L until cells),
+      s"ann_cell_stats: centroid vec_ids must be exactly 0..${cells - 1}")
     val cents = centRows.map(_.getSeq[Double](1).toArray)
     val assigned = CentroidAssign.withBestCell(e, cents)
       .select(col("cell").cast("long").as("cell"),

@@ -68,8 +68,7 @@ class Round12PlanSpec extends AnyFunSuite {
   test("stats_linreg and stats_anova: one fact aggregate, everything after on the moment frame") {
     for (q <- Seq("stats_linreg", "stats_anova")) {
       val p = plan(q)
-      assert(!p.contains("Join") || q == "stats_anova",
-        s"$q: the moment pass joins nothing") // anova's |types|-row readout agg is join-free too
+      assert(!p.contains("Join"), s"$q: the moment pass joins nothing")
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
       assert(p.contains("HashAggregate"), s"$q: moments are a hash aggregate")
     }

@@ -96,6 +96,32 @@ class CorenessSpec extends AnyFunSuite {
     rows.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
   }
 
+  test("converged flag goes false on a path deeper than the budget (truncation is visible)") {
+    // H-corrections propagate one hop per round: on a 24-node path the
+    // endpoint '1' reaches ~8 hops in by round 8, so interior nodes still
+    // read the degree bound 2 — and the nodes whose score moved between
+    // rounds 7 and 8 must carry converged=false. The flag must match the
+    // driver replica EXACTLY (it is the same mathematics), and the
+    // all-true certificate must NOT hold here.
+    val nodes = (0L until 24L).toSeq
+    val edges = (0L until 23L).map(i => (i, i + 1L))
+    val h7 = hIter(nodes, edges, Coreness.Rounds - 1)
+    val h8 = hIter(nodes, edges, Coreness.Rounds)
+    val rows = Coreness.corenessOf(spark, nodes.toDF("doc_id"), edges.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    nodes.foreach { v =>
+      assert(rows(v)._1 == h8(v), s"node $v value: ${rows(v)._1} != ${h8(v)}")
+      assert(rows(v)._2 == (h7(v) == h8(v)), s"node $v converged flag mismatch")
+    }
+    assert(rows.values.exists(!_._2), "a 24-node path must NOT certify convergence in 8 rounds")
+    assert(rows.values.exists { case (c, conv) => c > 1L && conv },
+      "per-node last-step stability is necessary-not-sufficient: some stale interior " +
+        "node reads 2 with a locally-quiet flag — only the GLOBAL all-true certifies")
+    // and the corpus gate graph DOES certify: every row converged=true
+    val corpus = graft.SparkEntry.queries("graph_coreness")(spark, sf).collect()
+    assert(corpus.forall(_.getBoolean(3)), "gate corpus must be fully converged at budget")
+  }
+
   test("planted topologies pin the textbook core numbers") {
     // K4 {0,1,2,3} with tail 3—4: clique coreness 3, tail 1; isolated 9: 0
     val k4 = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))

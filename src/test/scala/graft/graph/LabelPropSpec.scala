@@ -43,4 +43,26 @@ class LabelPropSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(rows.sortBy(_._1).toSeq == rerun.sortBy(_._1).toSeq)
   }
+
+  test("converged flag: the bipartite oscillator reads false, a settled clique reads true") {
+    import spark.implicits._
+    // a single edge {1,2} is the minimal bipartite structure: synchronous
+    // LPA swaps the two labels every round forever (Raghavan's known
+    // oscillation), so round R-1 vs round R always differ — the budget
+    // truncates a non-converged run and the flag must SAY so
+    val edge = Seq((1L, 2L)).toDF("u", "v")
+    val adj = edge.selectExpr("u AS node", "v AS nb")
+      .union(edge.selectExpr("v AS node", "u AS nb"))
+    val osc = LabelProp.propagate(Seq(1L, 2L).toDF("doc_id"), adj).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(osc == Map(1L -> false, 2L -> false),
+      s"the 2-node oscillator never converges: $osc")
+    // a triangle settles on min-label by round 1 and stays — all true
+    val tri = Seq((0L, 1L), (1L, 2L), (0L, 2L)).toDF("u", "v")
+    val tadj = tri.selectExpr("u AS node", "v AS nb")
+      .union(tri.selectExpr("v AS node", "u AS nb"))
+    val settled = LabelProp.propagate(Seq(0L, 1L, 2L).toDF("doc_id"), tadj).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(settled.values.forall(identity), s"settled triangle must read converged: $settled")
+  }
 }

@@ -66,4 +66,16 @@ class ReciprocitySpec extends AnyFunSuite {
     assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 1.0)
     assert(r.isNullAt(5), s"complete digraph must yield NULL rho: $r")
   }
+
+  test("empty corpus: ONE readout row with zero counts and NULL ratios (the oracle's aggregate-CTE shape)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_recip_empty").toString
+    graft.Tables.documents(spark, sf).limit(0)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("graph_reciprocity")(spark, dir).collect()
+    assert(rows.length == 1, "an aggregate readout has exactly one row even on empty input")
+    val r = rows.head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L && r.getLong(2) == 0L)
+    assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
+    graft.CacheRegistry.releaseAll()
+  }
 }
