@@ -25,7 +25,7 @@ object SparkEntry {
       dedup.DedupQueries.queries ++
       dedup.MinHashLsh.queries ++ dedup.SimHash.queries ++
       dedup.DedupClusters.queries ++ dedup.IncrementalNearDup.queries ++
-      sim.SimQueries.queries ++ sim.Mmr.queries ++ sim.AnnLsh.queries ++ sim.AnnIvf.queries ++
+      sim.SimQueries.queries ++ sim.Mmr.queries ++ sim.AnnLsh.queries ++ sim.AnnIvf.queries ++ sim.BitextMine.queries ++
       sim.AnnPq.queries ++ sim.AnnIvfPq.queries ++ sim.AnnCellStats.queries ++
       sim.VectorOps.queries ++ sim.Kmeans.queries ++ sim.Pca.queries ++ sim.Whiten.queries ++ sim.KCenter.queries ++
       sim.QuantizeInt8.queries ++ sim.BinaryEmb.queries ++ sim.RecallEval.queries ++
@@ -60,7 +60,7 @@ object SparkEntry {
       text.CorpusPipeline.oracles ++ dedup.DedupQueries.oracles ++
       dedup.DedupClusters.oracles ++ dedup.MinHashLsh.oracles ++
       dedup.SimHash.oracles ++ dedup.IncrementalNearDup.oracles ++
-      sim.SimQueries.oracles ++ sim.Mmr.oracles ++ sim.AnnLsh.oracles ++
+      sim.SimQueries.oracles ++ sim.Mmr.oracles ++ sim.AnnLsh.oracles ++ sim.BitextMine.oracles ++
       sim.AnnIvf.oracles ++ sim.AnnPq.oracles ++
       sim.AnnIvfPq.oracles ++ sim.AnnCellStats.oracles ++
       sim.Kmeans.oracles ++ sim.KCenter.oracles ++ sim.QuantizeInt8.oracles ++

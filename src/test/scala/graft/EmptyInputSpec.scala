@@ -78,7 +78,9 @@ class EmptyInputSpec extends AnyFunSuite {
     "model_registry", "graph_reciprocity", "text_kn_score", "ts_periodogram",
     "text_perplexity_buckets", "emb_whiten", "graph_closeness", "stats_linreg",
     "text_ngram_novelty", "mm_keyframe_select", "stream_linreg", "stats_anova",
-    "graph_coreness", "ann_cell_stats")
+    "graph_coreness", "ann_cell_stats",
+    // round-13 additions
+    "emb_bitext_mine")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {
