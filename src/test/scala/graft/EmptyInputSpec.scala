@@ -80,7 +80,7 @@ class EmptyInputSpec extends AnyFunSuite {
     "text_ngram_novelty", "mm_keyframe_select", "stream_linreg", "stats_anova",
     "graph_coreness", "ann_cell_stats",
     // round-13 additions
-    "emb_bitext_mine", "mm_align_score")
+    "emb_bitext_mine", "mm_align_score", "graph_betweenness")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {
