@@ -730,7 +730,57 @@ object DedupQueries {
        |  AND a.doc_id < b.doc_id
        | GROUP BY 1, 2 HAVING count(*) >= $minMatches)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  /** MODEL-AS-LITERAL oracle for `dedup_cdc_chunks` (the `graft
+    * .OracleContext` precedent, VERDICT r12 #8): the gear-hash boundary
+    * recurrence is sequential per document (why the op was rows-only),
+    * but the boundary TABLE it produces is just (doc_id, word-range)
+    * rows — deterministic given the text. At dump time the ranges are
+    * read off the engine's own compiled chunker (cumulative chunk word
+    * counts; the recurrence itself stays covered by CdcChunksSpec's
+    * driver replay + the frozen canary) and interpolate as VALUES;
+    * DuckDB then INDEPENDENTLY reconstructs each chunk's text from the
+    * document text and the range, digests it, and replays the whole
+    * per-doc occurrence → cross-doc aggregate → n_docs>1 filter chain —
+    * so everything AFTER the recurrence is hash-checked cross-engine. */
+  private def cdcOracleSql(s: SparkSession, dir: String): String = {
+    graft.functions.HashExprs.register(s)
+    val ranges = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(graft.functions.HashExprs.cdcChunks(col("text"))))
+      .select(col("doc_id"), col("pos"),
+        size(split(col("col"), " ", -1)).cast("long").as("wc"))
+      .withColumn("endw", sum(col("wc")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("pos"))))
+      .select(col("doc_id"), (col("endw") - col("wc") + 1L).as("a"), col("endw").as("b"))
+      .collect()
+    if (ranges.isEmpty)
+      return """SELECT NULL::VARCHAR AS chunk_digest, NULL::BIGINT AS n_docs,
+                | NULL::BIGINT AS n_occurrences, NULL::BIGINT AS min_doc,
+                | NULL::BIGINT AS max_doc WHERE 1=0""".stripMargin
+    val values = ranges
+      .map(r => s"(${r.getLong(0)},${r.getLong(1)},${r.getLong(2)})")
+      .mkString(",")
+    s"""WITH rg(doc_id, a, b) AS (VALUES $values),
+       |w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws FROM documents),
+       |ch AS (SELECT rg.doc_id,
+       |  md5(array_to_string(list_slice(w.ws, rg.a::INT, rg.b::INT), ' ')) AS chunk_digest
+       | FROM rg JOIN w ON w.doc_id = rg.doc_id),
+       |pd AS (SELECT chunk_digest, doc_id, count(*)::BIGINT AS occ
+       | FROM ch GROUP BY 1, 2)
+       |SELECT chunk_digest, count(*)::BIGINT AS n_docs, sum(occ)::BIGINT AS n_occurrences,
+       | min(doc_id)::BIGINT AS min_doc, max(doc_id)::BIGINT AS max_doc
+       |FROM pd GROUP BY chunk_digest HAVING count(*) > 1
+       |ORDER BY chunk_digest""".stripMargin
+  }
+
+  def oracles: Map[String, String] = staticOracles ++ Map(
+    "dedup_cdc_chunks" -> (graft.OracleContext.get match {
+      case None => graft.OracleContext.Placeholder
+      case Some((s, dir)) => cdcOracleSql(s, dir)
+    }))
+
+  private val staticOracles: Map[String, String] = Map(
     "dedup_spans" ->
       s"""WITH ww AS (SELECT doc_id, $w AS ws FROM documents WHERE len($w) >= 16),
          |sp AS (SELECT doc_id, unnest(range(0, len(ws) - 15, 8)) AS st, ws FROM ww),
