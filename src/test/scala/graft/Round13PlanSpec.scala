@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan pins for the round-13 operators — asserted at authoring
+  * time so the 100 TB-safe shapes cannot silently regress. */
+class Round13PlanSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def plan(name: String): String = {
+    val p = SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+    CacheRegistry.releaseAll()
+    p
+  }
+
+  test("emb_bitext_mine: candidates come from the (band, bkey) equi-join — no broadcast NLJ, no cartesian") {
+    // BOTH language sides are full corpora at 100 TB: the one legal shape
+    // is the LSH-banded equi-join; any NLJ here is the quadratic
+    // cross-language scan the margin design exists to avoid
+    val p = plan("emb_bitext_mine")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "cross-language candidates must stay a banded equi-join")
+    assert(p.contains("hyperplane_bands"), "the compiled LSH index feeds the join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "an equi-join strategy carries the candidate join")
+  }
+
+  test("mm_align_score: per-doc equi-joins and map-side aggregates only; the single window partitions by source") {
+    val p = plan("mm_align_score")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "alignment is per-doc equi-joins, never a pair scan")
+    assert(p.contains("HashAggregate"), "dot/norm sums are hash aggregates")
+    // the audit window partitions by source — never a global single partition
+    assert(!p.contains("SinglePartition"),
+      "no global-window collapse: the audit rate partitions by source")
+  }
+
+  test("graph_betweenness: the assembly is equi-join only (iterative rounds materialize via checkpoints)") {
+    val p = plan("graph_betweenness")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "betweenness assembly must stay equi-join-only")
+    assert(p.contains("HashAggregate"), "the per-node accumulation is a hash aggregate")
+  }
+}
