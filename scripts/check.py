@@ -8,7 +8,12 @@ outdir, sfdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for t in ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split():
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    # driver testdata tables are single files; ScaleGen corpora (sf1) are
+    # Spark-written directories — glob those
+    path = f"{sfdir}/{t}.parquet"
+    if os.path.isdir(path):
+        path = f"{path}/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = 0

@@ -29,7 +29,7 @@ object SparkEntry {
       sim.AnnPq.queries ++ sim.AnnIvfPq.queries ++ sim.AnnCellStats.queries ++
       sim.VectorOps.queries ++ sim.Kmeans.queries ++ sim.Pca.queries ++ sim.Whiten.queries ++ sim.KCenter.queries ++
       sim.QuantizeInt8.queries ++ sim.BinaryEmb.queries ++ sim.RecallEval.queries ++
-      multimodal.MultimodalQueries.queries ++ multimodal.PhashNearDup.queries ++ multimodal.Keyframes.queries ++ multimodal.AlignScore.queries ++
+      multimodal.MultimodalQueries.queries ++ multimodal.PhashNearDup.queries ++ multimodal.Keyframes.queries ++ multimodal.AlignScore.queries ++ multimodal.RetrievalEval.queries ++
       streaming.StreamQueries.queries ++
       streaming.StreamDedup.queries ++ streaming.StreamNearDup.queries ++
       streaming.StreamAnomaly.queries ++ streaming.StreamTopK.queries ++
@@ -65,7 +65,7 @@ object SparkEntry {
       sim.AnnIvfPq.oracles ++ sim.AnnCellStats.oracles ++
       sim.Kmeans.oracles ++ sim.KCenter.oracles ++ sim.QuantizeInt8.oracles ++
       sim.BinaryEmb.oracles ++ sim.RecallEval.oracles ++
-      multimodal.MultimodalQueries.oracles ++ multimodal.Keyframes.oracles ++ multimodal.AlignScore.oracles ++
+      multimodal.MultimodalQueries.oracles ++ multimodal.Keyframes.oracles ++ multimodal.AlignScore.oracles ++ multimodal.RetrievalEval.oracles ++
       sim.VectorOps.oracles ++ streaming.StreamQueries.oracles ++
       streaming.StreamDedup.oracles ++ streaming.StreamAnomaly.oracles ++
       streaming.StreamTopK.oracles ++ streaming.StreamCdcApply.oracles ++

@@ -48,8 +48,9 @@ object AlignScore {
   val Dims = 64L
 
   /** Signed feature-hash vector of a text expression — the shared
-    * stand-in encoder (text_hash_embed's exact hash convention). */
-  private def featVec(docs: DataFrame, textExpr: Column): DataFrame = {
+    * stand-in encoder (text_hash_embed's exact hash convention); shared
+    * with `mm_retrieval_eval` (the alignment family's one encoder). */
+  private[multimodal] def featVec(docs: DataFrame, textExpr: Column): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(split(lower(textExpr), "\\s+")).as("t"))
       .filter(col("t") =!= "")
     val hSql = "cast(conv(substring(md5(t), 1, 10), 16, 10) as bigint)"
@@ -92,7 +93,7 @@ object AlignScore {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_align_score" -> (alignScore _))
 
-  private def featSql(cte: String, textExpr: String, w: String): String =
+  private[multimodal] def featSql(cte: String, textExpr: String, w: String): String =
     s"""$cte AS (
        | SELECT doc_id, ('0x' || substr(md5(t), 1, 10))::BIGINT % $Dims AS dim,
        |  sum((('0x' || substr(md5(t), 1, 10))::BIGINT // $Dims) % 2 * 2 - 1)::BIGINT AS $w

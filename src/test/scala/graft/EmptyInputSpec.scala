@@ -80,7 +80,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "text_ngram_novelty", "mm_keyframe_select", "stream_linreg", "stats_anova",
     "graph_coreness", "ann_cell_stats",
     // round-13 additions
-    "emb_bitext_mine", "mm_align_score", "graph_betweenness")
+    "emb_bitext_mine", "mm_align_score", "graph_betweenness",
+    "mm_retrieval_eval")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {
