@@ -6,6 +6,8 @@ import duckdb
 
 outdir, sfdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
+if os.environ.get("DUCKDB_THREADS"):
+    con.execute(f"SET threads={int(os.environ['DUCKDB_THREADS'])}")
 for t in ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split():
     # driver testdata tables are single files; ScaleGen corpora (sf1) are
@@ -16,10 +18,15 @@ for t in ("region nation customer supplier part orders lineitem events "
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+# optional 3rd arg: comma-separated key filter (lets a wrapper fan the
+# long-tail oracles out across processes)
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 fails = 0
 for name in sorted(os.listdir(outdir)):
     path = os.path.join(outdir, name)
     if not os.path.isdir(path):
+        continue
+    if only is not None and name not in only:
         continue
     got = con.execute(f"SELECT * FROM '{path}/*.parquet'").fetchdf()
     if name not in oracle:

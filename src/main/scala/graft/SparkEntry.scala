@@ -20,7 +20,7 @@ object SparkEntry {
       text.TextQueries.queries ++ text.ImportanceResample.queries ++ text.SampleSplit.queries ++ text.PpsSample.queries ++ text.HashEmbed.queries ++ text.PiiScrub.queries ++ text.BpeTrain.queries ++
       text.Reservoir.queries ++ text.KnCounts.queries ++ text.KnScore.queries ++
       text.LmScore.queries ++ text.PerplexityBuckets.queries ++ text.LmEval.queries ++ text.MixEval.queries ++ text.ZipfFit.queries ++ text.QualityClassifier.queries ++
-      text.UnigramTrain.queries ++ text.NgramNovelty.queries ++ text.EpochAlloc.queries ++
+      text.UnigramTrain.queries ++ text.NgramNovelty.queries ++ text.EpochAlloc.queries ++ text.Curriculum.queries ++
       text.CorpusPipeline.queries ++
       dedup.DedupQueries.queries ++
       dedup.MinHashLsh.queries ++ dedup.SimHash.queries ++
@@ -55,7 +55,7 @@ object SparkEntry {
       etl.ProfileSuggest.oracles ++ etl.RunReport.oracles ++ etl.Freshness.oracles ++
       text.TextQueries.oracles ++ text.ImportanceResample.oracles ++ text.SampleSplit.oracles ++ text.PpsSample.oracles ++ text.HashEmbed.oracles ++
       text.Reservoir.oracles ++ text.KnCounts.oracles ++ text.KnScore.oracles ++
-      text.PiiScrub.oracles ++ text.BpeTrain.oracles ++ text.UnigramTrain.oracles ++ text.NgramNovelty.oracles ++ text.EpochAlloc.oracles ++ sim.Pca.oracles ++ sim.Whiten.oracles ++ text.LmScore.oracles ++ text.PerplexityBuckets.oracles ++ text.LmEval.oracles ++ text.MixEval.oracles ++ text.ZipfFit.oracles ++
+      text.PiiScrub.oracles ++ text.BpeTrain.oracles ++ text.UnigramTrain.oracles ++ text.NgramNovelty.oracles ++ text.EpochAlloc.oracles ++ text.Curriculum.oracles ++ sim.Pca.oracles ++ sim.Whiten.oracles ++ text.LmScore.oracles ++ text.PerplexityBuckets.oracles ++ text.LmEval.oracles ++ text.MixEval.oracles ++ text.ZipfFit.oracles ++
       text.QualityClassifier.oracles ++
       text.CorpusPipeline.oracles ++ dedup.DedupQueries.oracles ++
       dedup.DedupClusters.oracles ++ dedup.MinHashLsh.oracles ++
