@@ -38,7 +38,7 @@ object SparkEntry {
       timeseries.TsQueries.queries ++ timeseries.CrossCorr.queries ++
       timeseries.RollingQuantile.queries ++ timeseries.Lttb.queries ++ timeseries.MannKendall.queries ++ timeseries.TheilSen.queries ++ timeseries.HoltWinters.queries ++ timeseries.Periodogram.queries ++
       stats.SketchQueries.queries ++ stats.HeavyHitters.queries ++ stats.KmvSketch.queries ++
-      stats.Correlation.queries ++ stats.CountMin.queries ++ stats.Concentration.queries ++
+      stats.Correlation.queries ++ stats.CountMin.queries ++ stats.Concentration.queries ++ stats.MannWhitney.queries ++
       stats.Hll.queries ++ stats.Bootstrap.queries ++ stats.Linreg.queries ++ stats.Anova.queries ++ text.Collocations.queries ++
       graph.PageRank.queries ++ graph.Triangles.queries ++ graph.Neighbors.queries ++
       graph.Bfs.queries ++ graph.KCore.queries ++ graph.Hits.queries ++
@@ -74,7 +74,7 @@ object SparkEntry {
       timeseries.TsQueries.oracles ++ timeseries.CrossCorr.oracles ++
       timeseries.RollingQuantile.oracles ++ timeseries.Lttb.oracles ++ timeseries.MannKendall.oracles ++ timeseries.TheilSen.oracles ++ timeseries.HoltWinters.oracles ++ timeseries.Periodogram.oracles ++
       stats.SketchQueries.oracles ++ stats.HeavyHitters.oracles ++ stats.KmvSketch.oracles ++
-      stats.Correlation.oracles ++ stats.CountMin.oracles ++ stats.Concentration.oracles ++
+      stats.Correlation.oracles ++ stats.CountMin.oracles ++ stats.Concentration.oracles ++ stats.MannWhitney.oracles ++
       stats.Hll.oracles ++ stats.Bootstrap.oracles ++ stats.Linreg.oracles ++ stats.Anova.oracles ++ text.Collocations.oracles ++
       graph.PageRank.oracles ++ graph.Triangles.oracles ++ graph.Neighbors.oracles ++
       graph.Bfs.oracles ++ graph.KCore.oracles ++ graph.Hits.oracles ++

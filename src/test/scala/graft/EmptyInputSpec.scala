@@ -81,7 +81,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "graph_coreness", "ann_cell_stats",
     // round-13 additions
     "emb_bitext_mine", "mm_align_score", "graph_betweenness",
-    "mm_retrieval_eval", "sample_epoch_alloc", "sample_curriculum")
+    "mm_retrieval_eval", "sample_epoch_alloc", "sample_curriculum",
+    "stats_mannwhitney")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {
