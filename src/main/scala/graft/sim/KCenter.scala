@@ -98,8 +98,14 @@ object KCenter {
         .agg(min(col("sc"))).head.getStruct(0)
       centers = centers :+ (pick.getLong(1) -> pick.getSeq[Double](2).toArray)
     }
-    val cents = centers.map(_._2).toArray
-    val centerIds = centers.map(_._1)
+    // the assignment's declared tie-break is LOWEST CENTER ID, but
+    // TopCells breaks ties by CELL INDEX — so the final assignment must
+    // see the centers in id order, not pick order (a round-6 cosine tie
+    // between two centers surfaced exactly this at sf1: the engine
+    // answered the earlier-PICKED center, the oracle the lower ID)
+    val byId = centers.sortBy(_._1)
+    val cents = byId.map(_._2).toArray
+    val centerIds = byId.map(_._1)
     // TopCells cell index -> the actual chosen vec_id (typed map literal)
     val idLit = typedlit(centerIds)
     CentroidAssign.withBestCell(e, cents)

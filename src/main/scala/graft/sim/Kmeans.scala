@@ -332,10 +332,17 @@ object Kmeans {
           sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new")))
     val tot = per.agg(sum(col("n_hist")).as("nh"), sum(col("n_new")).as("nn"))
     val e = (col("nn") * col("n_hist")).cast("double") / col("nh")
+    // count shares are exact rationals that CAN land on a 5th-decimal
+    // half (n/t = 0.01775 hit at sf1), where the engines' round()
+    // disagree on the binary double — so round-4 is done in exact
+    // integer half-up arithmetic: floor((2n·10⁴ + t)/(2t)), then one
+    // exact small-integer division (the emb_mmr integer-score lesson)
     per.crossJoin(broadcast(tot))
-      .withColumn("share_hist", round(col("n_hist").cast("double") / col("nh"), 4))
+      .withColumn("share_hist",
+        expr("((2 * n_hist * 10000 + nh) div (2 * nh)) / 10000.0D"))
       .withColumn("share_new",
-        when(col("nn") > 0, round(col("n_new").cast("double") / col("nn"), 4))
+        when(col("nn") > 0,
+          expr("((2 * n_new * 10000 + nn) div (2 * nn)) / 10000.0D"))
           .otherwise(lit(0.0)))
       .withColumn("chi2",
         when(col("n_hist") > 0 && col("nn") > 0,
@@ -387,8 +394,9 @@ object Kmeans {
          | FROM aall GROUP BY cluster),
          |tt AS (SELECT sum(n_hist)::BIGINT AS nh, sum(n_new)::BIGINT AS nn FROM per),
          |sc AS (SELECT cluster, n_hist, n_new,
-         |  round(n_hist::DOUBLE / nh, 4) AS share_hist,
-         |  CASE WHEN nn > 0 THEN round(n_new::DOUBLE / nn, 4) ELSE 0.0 END AS share_new,
+         |  ((2 * n_hist * 10000 + nh) // (2 * nh)) / 10000.0 AS share_hist,
+         |  CASE WHEN nn > 0 THEN ((2 * n_new * 10000 + nn) // (2 * nn)) / 10000.0
+         |   ELSE 0.0 END AS share_new,
          |  CASE WHEN n_hist > 0 AND nn > 0
          |   THEN round((n_new - (nn * n_hist)::DOUBLE / nh)
          |     * (n_new - (nn * n_hist)::DOUBLE / nh)

@@ -32,7 +32,7 @@ object Correlation {
     val daily = Tables.events(s, dir)
       .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
       .groupBy(col("event_type"), col("day"))
-      .agg(round(sum(col("value"))).cast("long").as("vi"))
+      .agg(round(sum(col("value").cast("decimal(18,2)")).cast("double")).cast("long").as("vi"))
     // persist: both sides of the pair join read the same daily aggregate
     val d = graft.CacheRegistry.track(daily)
     val a = d.select(col("event_type").as("type_a"), col("day"), col("vi").as("va"))
@@ -75,7 +75,7 @@ object Correlation {
       Tables.events(s, dir)
         .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
         .groupBy(col("event_type"), col("day"))
-        .agg(round(sum(col("value"))).cast("long").as("vi"))
+        .agg(round(sum(col("value").cast("decimal(18,2)")).cast("double")).cast("long").as("vi"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("vi")).as("sv"),
           sum(col("vi") * col("vi")).as("svv")))
@@ -108,7 +108,7 @@ object Correlation {
   val oracles: Map[String, String] = Map(
     "stats_ttest" ->
       s"""WITH d AS (SELECT event_type, ts::DATE AS day,
-         |  CAST(round(sum(value)) AS BIGINT) AS vi
+         |  CAST(round(sum(value::DECIMAL(18,2))::DOUBLE) AS BIGINT) AS vi
          | FROM events GROUP BY 1, 2),
          |p AS (SELECT event_type, count(*)::BIGINT AS n,
          |  sum(vi)::BIGINT AS sv, sum(vi * vi)::BIGINT AS svv
@@ -135,7 +135,7 @@ object Correlation {
          |FROM m ORDER BY type_a, type_b""".stripMargin,
     "stats_corr" ->
       """WITH d AS (SELECT event_type, ts::DATE AS day,
-        |  CAST(round(sum(value)) AS BIGINT) AS vi
+        |  CAST(round(sum(value::DECIMAL(18,2))::DOUBLE) AS BIGINT) AS vi
         | FROM events GROUP BY 1, 2),
         |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
         |  count(*) AS n_days,

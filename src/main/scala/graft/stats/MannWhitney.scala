@@ -41,7 +41,7 @@ object MannWhitney {
       Tables.events(s, dir)
         .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
         .groupBy(col("event_type"), col("day"))
-        .agg(round(sum(col("value"))).cast("long").as("vi")))
+        .agg(round(sum(col("value").cast("decimal(18,2)")).cast("double")).cast("long").as("vi")))
     val types = d.select(col("event_type")).distinct()
     val pairs = types.select(col("event_type").as("type_a"))
       .crossJoin(broadcast(types.select(col("event_type").as("type_b"))))
@@ -86,7 +86,7 @@ object MannWhitney {
   val oracles: Map[String, String] = Map(
     "stats_mannwhitney" ->
       s"""WITH d AS (SELECT event_type, ts::DATE AS day,
-         |  CAST(round(sum(value)) AS BIGINT) AS vi
+         |  CAST(round(sum(value::DECIMAL(18,2))::DOUBLE) AS BIGINT) AS vi
          | FROM events GROUP BY 1, 2),
          |ty AS (SELECT DISTINCT event_type FROM d),
          |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b

@@ -39,7 +39,7 @@ object CrossCorr {
       Tables.events(s, dir)
         .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
         .groupBy(col("event_type"), col("day"))
-        .agg(round(sum(col("value"))).cast("long").as("vi"))
+        .agg(round(sum(col("value").cast("decimal(18,2)")).cast("double")).cast("long").as("vi"))
         .select(col("event_type"),
           datediff(col("day"), lit("1970-01-01")).cast("long").as("ed"), col("vi")))
     val a = d.select(col("event_type").as("type_a"), col("ed"), col("vi").as("va"))
@@ -91,7 +91,7 @@ object CrossCorr {
     val daily = Tables.events(s, dir)
       .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
       .groupBy(col("event_type"), col("day"))
-      .agg(round(sum(col("value"))).cast("long").as("vi"))
+      .agg(round(sum(col("value").cast("decimal(18,2)")).cast("double")).cast("long").as("vi"))
       .select(col("event_type"),
         datediff(col("day"), lit("1970-01-01")).cast("long").as("ed"), col("vi"))
     val withX = daily
@@ -128,7 +128,7 @@ object CrossCorr {
   val oracles: Map[String, String] = Map(
     "ts_trend" ->
       s"""WITH d AS (SELECT event_type, (ts::DATE - DATE '1970-01-01') AS ed,
-         |  CAST(round(sum(value)) AS BIGINT) AS vi
+         |  CAST(round(sum(value::DECIMAL(18,2))::DOUBLE) AS BIGINT) AS vi
          | FROM events GROUP BY event_type, ts::DATE),
          |x AS (SELECT event_type,
          |  ed - min(ed) OVER (PARTITION BY event_type) AS x, vi FROM d),
@@ -152,7 +152,7 @@ object CrossCorr {
          |FROM m WHERE n >= 2 ORDER BY event_type""".stripMargin,
     "ts_cross_corr" ->
       s"""WITH d AS (SELECT event_type, (ts::DATE - DATE '1970-01-01') AS ed,
-         |  CAST(round(sum(value)) AS BIGINT) AS vi
+         |  CAST(round(sum(value::DECIMAL(18,2))::DOUBLE) AS BIGINT) AS vi
          | FROM events GROUP BY event_type, ts::DATE),
          |l AS (SELECT unnest(range(-$MaxLag, ${MaxLag + 1})) AS lag),
          |m AS (SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,

@@ -104,7 +104,7 @@ object HoltWinters {
     val base = Tables.events(s, dir)
       .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
       .groupBy(col("event_type"), col("day"))
-      .agg(sum(col("value")).as("raw_value"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("raw_value"))
       .select(col("event_type"),
         datediff(col("day"), lit("1970-01-01")).cast("long").as("ed"),
         round(round(col("raw_value"), 2) * 100).cast("long").as("vi"))
@@ -118,7 +118,7 @@ object HoltWinters {
     "ts_holtwinters" -> {
       val wvals = EwmaWeights.zipWithIndex
         .map { case (w, k) => s"($k, ${w}::BIGINT)" }.mkString(", ")
-      s"""WITH d0 AS (SELECT event_type, ts::DATE AS day, sum(value) AS raw_value
+      s"""WITH d0 AS (SELECT event_type, ts::DATE AS day, sum(value::DECIMAL(18,2))::DOUBLE AS raw_value
          | FROM events GROUP BY 1, 2),
          |b AS (SELECT event_type, (day - DATE '1970-01-01')::BIGINT AS ed,
          |  CAST(round(round(raw_value, 2) * 100) AS BIGINT) AS vi,

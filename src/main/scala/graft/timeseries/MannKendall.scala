@@ -36,7 +36,7 @@ object MannKendall {
       Tables.events(s, dir)
         .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
         .groupBy(col("event_type"), col("day"))
-        .agg(round(sum(col("value"))).cast("long").as("vi")))
+        .agg(round(sum(col("value").cast("decimal(18,2)")).cast("double")).cast("long").as("vi")))
     val a = daily.select(col("event_type"), col("day").as("da"), col("vi").as("va"))
     val b = daily.select(col("event_type"), col("day").as("db"), col("vi").as("vb"))
     val sStat = a.join(b, Seq("event_type")).filter(col("da") < col("db"))
@@ -70,7 +70,7 @@ object MannKendall {
   val oracles: Map[String, String] = Map(
     "ts_mannkendall" ->
       s"""WITH daily AS MATERIALIZED (
-         | SELECT event_type, ts::DATE AS day, round(sum(value))::BIGINT AS vi
+         | SELECT event_type, ts::DATE AS day, round(sum(value::DECIMAL(18,2))::DOUBLE)::BIGINT AS vi
          | FROM events GROUP BY 1, 2),
          |sp AS (
          | SELECT a.event_type,

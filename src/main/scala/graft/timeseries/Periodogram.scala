@@ -140,7 +140,7 @@ object Periodogram {
     val base = Tables.events(s, dir)
       .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
       .groupBy(col("event_type"), col("day"))
-      .agg(sum(col("value")).as("raw_value"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("raw_value"))
       .select(col("event_type"),
         datediff(col("day"), lit("1970-01-01")).cast("long").as("ed"),
         round(round(col("raw_value"), 2) * 100).cast("long").as("vi"))
@@ -155,7 +155,7 @@ object Periodogram {
       val trigVals = Trig.map { case (p, k, c, sn) =>
         s"($p, $k, ${c}::BIGINT, ${sn}::BIGINT)" }.mkString(", ")
       val scale2 = (Scale * Scale).toString + ".0"
-      s"""WITH d0 AS (SELECT event_type, ts::DATE AS day, sum(value) AS raw_value
+      s"""WITH d0 AS (SELECT event_type, ts::DATE AS day, sum(value::DECIMAL(18,2))::DOUBLE AS raw_value
          | FROM events GROUP BY 1, 2),
          |b AS (SELECT event_type, (day - DATE '1970-01-01')::BIGINT AS ed,
          |  CAST(round(round(raw_value, 2) * 100) AS BIGINT) AS vi FROM d0),

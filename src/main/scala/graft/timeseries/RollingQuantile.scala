@@ -39,7 +39,7 @@ object RollingQuantile {
       Tables.events(s, dir)
         .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
         .groupBy(col("event_type"), col("day"))
-        .agg(round(sum(col("value"))).cast("long").as("vi"))
+        .agg(round(sum(col("value").cast("decimal(18,2)")).cast("double")).cast("long").as("vi"))
         .select(col("event_type"),
           datediff(col("day"), lit("1970-01-01")).cast("long").as("ed"), col("vi")))
     val contrib = daily
@@ -92,7 +92,7 @@ object RollingQuantile {
     "ts_rolling_quantile" ->
       s"""WITH d AS (SELECT event_type,
          |  (ts::DATE - DATE '1970-01-01') AS ed,
-         |  CAST(round(sum(value)) AS BIGINT) AS vi
+         |  CAST(round(sum(value::DECIMAL(18,2))::DOUBLE) AS BIGINT) AS vi
          | FROM events GROUP BY event_type, ts::DATE),
          |c AS (SELECT d.event_type, d.ed + o.off AS target, d.vi, d.ed AS src_ed
          | FROM d, (SELECT unnest(range(0, $WindowDays)) AS off) o

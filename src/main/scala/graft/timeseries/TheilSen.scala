@@ -51,7 +51,7 @@ object TheilSen {
       Tables.events(s, dir)
         .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
         .groupBy(col("event_type"), col("day"))
-        .agg(round(sum(col("value"))).cast("long").as("vi"))
+        .agg(round(sum(col("value").cast("decimal(18,2)")).cast("double")).cast("long").as("vi"))
         .select(col("event_type"),
           datediff(col("day"), lit("1970-01-01")).cast("long").as("ed"), col("vi")))
     val a = daily.select(col("event_type"), col("ed").as("da"), col("vi").as("va"))
@@ -87,7 +87,7 @@ object TheilSen {
       s"""WITH daily AS MATERIALIZED (
          | SELECT event_type,
          |  datediff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS ed,
-         |  round(sum(value))::BIGINT AS vi
+         |  round(sum(value::DECIMAL(18,2))::DOUBLE)::BIGINT AS vi
          | FROM events GROUP BY event_type, ts::DATE),
          |pr AS (
          | SELECT a.event_type,

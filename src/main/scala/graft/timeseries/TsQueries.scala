@@ -29,7 +29,14 @@ object TsQueries {
     minValue.fold(ev)(v => ev.filter(col("value") >= v))
       .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
       .groupBy(col("event_type"), col("day"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("raw_value"))
+      // value is an exact 2-decimal quantity: summing it as DECIMAL keeps
+      // the daily total EXACT (order-independent) in both engines, so the
+      // downstream integerization can never flip on a double-sum's last
+      // ulp (the sf1 insurance run caught exactly that at 10x mass — r13);
+      // the final cast back to double is the deterministic nearest-double
+      // of one exact value, keeping every output type unchanged
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("raw_value"))
   }
 
   /** Daily resample with gap fill: densify each type's calendar from its
@@ -410,7 +417,7 @@ object TsQueries {
 
   private def dailySqlWhere(where: String = "") =
     s"""SELECT event_type, ts::DATE AS day, count(*) AS n_events,
-       | sum(value) AS raw_value
+       | sum(value::DECIMAL(18,2))::DOUBLE AS raw_value
        |FROM events $where GROUP BY 1, 2""".stripMargin
   private val dailySql = dailySqlWhere()
 
