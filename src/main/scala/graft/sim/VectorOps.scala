@@ -132,11 +132,12 @@ object VectorOps {
     * (round(x·10⁶) BIGINT — a corpus-order-dependent float Σ would differ
     * between engines and even between Spark runs), so the moment sums are
     * exact integers and every emitted double is one fixed-form expression.
-    * Fixed-point range declared: n·Σ(x·10⁶)² < 2^63 holds for corpora up
-    * to ~10⁴ unit-normalized vectors per the `stats_corr` trade; the
-    * dominant flag compares in doubles OVER those exact integers
-    * (identical IEEE ops cross-engine, no overflow headroom needed).
-    * dead: exact integer vnum = 0.
+    * The moment chain runs in DECIMAL(38,0) (DuckDB: HUGEINT) — the sf1
+    * insurance run proved the old n·Σ(x·10⁶)² < 2^63 BIGINT contract
+    * breaks at 20k vectors (the 64-dim window total overflowed), and
+    * 38 digits carry corpora past 10¹⁵ vectors; the dominant flag
+    * compares in doubles OVER those exact integers (identical IEEE ops
+    * cross-engine). dead: exact integer vnum = 0.
     *
     * Scale posture: one corpus pass, posexplode ×Dims the only multiplier,
     * ONE map-side-combinable |Dims|-key aggregate; the variance totals are
@@ -153,8 +154,12 @@ object VectorOps {
     val m = q.groupBy(col("dim"))
       .agg(count(lit(1)).as("n"), sum(col("xi")).as("sx"),
         sum(col("xi") * col("xi")).as("sxx"))
-    // var numerator n·Σx² − (Σx)² in 10^-12 units, exact BIGINT
-    val vnum = col("n") * col("sxx") - col("sx") * col("sx")
+    // var numerator n·Σx² − (Σx)² in 10^-12 units — EXACT DECIMAL(38,0):
+    // at sf1 (20k vectors) n·sxx alone reaches ~6·10^18 and the 64-dim
+    // total overflows BIGINT (the sf1 insurance run caught the throw), so
+    // the moment chain widens to decimals (DuckDB mirrors with HUGEINT)
+    val vnum = col("n").cast("decimal(38,0)") * col("sxx").cast("decimal(38,0)") -
+      col("sx").cast("decimal(38,0)") * col("sx").cast("decimal(38,0)")
     val w = org.apache.spark.sql.expressions.Window.partitionBy()
     m.withColumn("vnum", vnum)
       .withColumn("tot_vnum", sum(col("vnum")).over(w))
@@ -191,8 +196,8 @@ object VectorOps {
          |m AS (SELECT dim, count(*)::BIGINT AS n, sum(xi)::BIGINT AS sx,
          |  sum(xi * xi)::BIGINT AS sxx
          | FROM q GROUP BY dim),
-         |v AS (SELECT *, (n * sxx - sx * sx)::BIGINT AS vnum,
-         |  sum((n * sxx - sx * sx)) OVER ()::BIGINT AS tot_vnum,
+         |v AS (SELECT *, (n::HUGEINT * sxx - sx::HUGEINT * sx) AS vnum,
+         |  sum((n::HUGEINT * sxx - sx::HUGEINT * sx)) OVER () AS tot_vnum,
          |  count(*) OVER ()::BIGINT AS n_dims
          | FROM m)
          |SELECT dim, n,
