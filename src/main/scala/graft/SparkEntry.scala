@@ -36,7 +36,7 @@ object SparkEntry {
       streaming.StreamCdcApply.queries ++ streaming.StreamCep.queries ++
       streaming.StreamDistinct.queries ++ streaming.StreamQualityScore.queries ++ streaming.StreamLinreg.queries ++
       timeseries.TsQueries.queries ++ timeseries.CrossCorr.queries ++
-      timeseries.RollingQuantile.queries ++ timeseries.Lttb.queries ++ timeseries.MannKendall.queries ++ timeseries.TheilSen.queries ++ timeseries.HoltWinters.queries ++ timeseries.Periodogram.queries ++
+      timeseries.RollingQuantile.queries ++ timeseries.Lttb.queries ++ timeseries.MannKendall.queries ++ timeseries.TheilSen.queries ++ timeseries.HoltWinters.queries ++ timeseries.Periodogram.queries ++ timeseries.MatrixProfile.queries ++
       stats.SketchQueries.queries ++ stats.HeavyHitters.queries ++ stats.KmvSketch.queries ++
       stats.Correlation.queries ++ stats.CountMin.queries ++ stats.Concentration.queries ++ stats.MannWhitney.queries ++
       stats.Hll.queries ++ stats.Bootstrap.queries ++ stats.Linreg.queries ++ stats.Anova.queries ++ text.Collocations.queries ++
@@ -72,7 +72,7 @@ object SparkEntry {
       streaming.StreamCep.oracles ++ streaming.StreamDistinct.oracles ++
       streaming.StreamQualityScore.oracles ++ streaming.StreamLinreg.oracles ++
       timeseries.TsQueries.oracles ++ timeseries.CrossCorr.oracles ++
-      timeseries.RollingQuantile.oracles ++ timeseries.Lttb.oracles ++ timeseries.MannKendall.oracles ++ timeseries.TheilSen.oracles ++ timeseries.HoltWinters.oracles ++ timeseries.Periodogram.oracles ++
+      timeseries.RollingQuantile.oracles ++ timeseries.Lttb.oracles ++ timeseries.MannKendall.oracles ++ timeseries.TheilSen.oracles ++ timeseries.HoltWinters.oracles ++ timeseries.Periodogram.oracles ++ timeseries.MatrixProfile.oracles ++
       stats.SketchQueries.oracles ++ stats.HeavyHitters.oracles ++ stats.KmvSketch.oracles ++
       stats.Correlation.oracles ++ stats.CountMin.oracles ++ stats.Concentration.oracles ++ stats.MannWhitney.oracles ++
       stats.Hll.oracles ++ stats.Bootstrap.oracles ++ stats.Linreg.oracles ++ stats.Anova.oracles ++ text.Collocations.oracles ++

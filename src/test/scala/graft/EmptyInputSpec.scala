@@ -82,7 +82,7 @@ class EmptyInputSpec extends AnyFunSuite {
     // round-13 additions
     "emb_bitext_mine", "mm_align_score", "graph_betweenness",
     "mm_retrieval_eval", "sample_epoch_alloc", "sample_curriculum",
-    "stats_mannwhitney", "graph_anf")
+    "stats_mannwhitney", "graph_anf", "ts_matrix_profile")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {
