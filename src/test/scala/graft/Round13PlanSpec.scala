@@ -43,4 +43,41 @@ class Round13PlanSpec extends AnyFunSuite {
       "betweenness assembly must stay equi-join-only")
     assert(p.contains("HashAggregate"), "the per-node accumulation is a hash aggregate")
   }
+
+  test("mm_retrieval_eval: the only non-equi join is the bounded-pool cross; the sparse dot is a dim equi-join") {
+    val p = plan("mm_retrieval_eval")
+    assert(!p.contains("CartesianProduct"), "no CartesianProduct")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"only the declared PoolN-bounded cross may BNLJ, found $bnlj")
+    assert(p.contains("HashAggregate"), "featVec/dot sums are hash aggregates")
+  }
+
+  test("sample_epoch_alloc and sample_curriculum: no pair scans; windows only on declared bounded frames") {
+    for (q <- Seq("sample_epoch_alloc", "sample_curriculum")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: no CartesianProduct")
+      assert(p.contains("HashAggregate"), s"$q: the corpus pass is a hash aggregate")
+    }
+  }
+
+  test("graph_anf: register merges materialize via checkpoints; the only BNLJ is the one-row plateau cross") {
+    val p = plan("graph_anf")
+    assert(!p.contains("CartesianProduct"), "no CartesianProduct")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"only the one-row nf_final cross may BNLJ, found $bnlj")
+    assert(p.contains("HashAggregate"), "per-h totals are hash aggregates")
+  }
+
+  test("ts_matrix_profile: subsequence pairing is a type-keyed equi-join, no NLJ anywhere") {
+    val p = plan("ts_matrix_profile")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the all-pairs stage must stay the bounded type-keyed equi-join")
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("stats_mannwhitney: pairwise work confined to the types-microframe; the fact pass is one hash aggregate") {
+    val p = plan("stats_mannwhitney")
+    assert(!p.contains("CartesianProduct"), "no CartesianProduct")
+    assert(p.contains("HashAggregate"), "daily integerization is a hash aggregate")
+  }
 }
