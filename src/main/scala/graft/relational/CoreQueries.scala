@@ -23,13 +23,16 @@ object CoreQueries {
       .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2000-12-01 00:00:00")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        // money/qty columns are exact 2-decimal quantities: DECIMAL sums are
+        // order-independent, so a parquet-layout change can never flip a
+        // round-2 boundary (the sf1 insurance finding on q2_revenue_topn)
+        round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2).as("sum_base_price"),
+        round(sum((col("l_extendedprice").cast("decimal(18,2)") * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))).cast("double"), 2).as("sum_disc_price"),
+        round(sum((col("l_extendedprice").cast("decimal(18,2)") * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))) * (lit(1).cast("decimal(18,2)") + col("l_tax").cast("decimal(18,2)"))).cast("double"), 2).as("sum_charge"),
+        round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1)), 4).as("avg_qty"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / count(lit(1)), 4).as("avg_price"),
+        round(sum(col("l_discount").cast("decimal(18,2)")).cast("double") / count(lit(1)), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -53,7 +56,7 @@ object CoreQueries {
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), col("c_custkey"), col("c_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(sum((col("l_extendedprice").cast("decimal(18,2)") * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))).cast("double"), 2).as("revenue"))
     val w = Window.partitionBy(col("n_name")).orderBy(col("revenue").desc, col("c_custkey"))
     rev.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 3)
@@ -84,7 +87,7 @@ object CoreQueries {
   def q4Rollup(s: SparkSession, dir: String): DataFrame = {
     Tables.orders(s, dir)
       .rollup(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).as("sum_price"))
       .select(
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -115,7 +118,7 @@ object CoreQueries {
         col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
         col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
         col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+      .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") * col("l_discount").cast("decimal(18,2)")).cast("double"), 2).as("revenue"),
         count(lit(1)).as("n_rows"))
   }
 
@@ -129,8 +132,8 @@ object CoreQueries {
     li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .agg(round(
         lit(100.0) * sum(when(col("p_type").startsWith("STANDARD"),
-          col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)) /
-          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("standard_pct"),
+          (col("l_extendedprice").cast("decimal(18,2)") * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))).otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+          sum((col("l_extendedprice").cast("decimal(18,2)") * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))).cast("double"), 4).as("standard_pct"),
         count(lit(1)).as("n_rows"))
   }
 
@@ -147,7 +150,7 @@ object CoreQueries {
     li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .join(avgQty, col("l_partkey") === col("ap_key"))
       .filter(col("l_quantity") < col("threshold"))
-      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+      .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0, 2).as("avg_yearly"),
         count(lit(1)).as("n_rows"))
   }
 
@@ -159,7 +162,7 @@ object CoreQueries {
     Tables.orders(s, dir)
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
-        round(avg(col("o_totalprice")), 4).as("avg_price"))
+        round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") / count(lit(1)), 4).as("avg_price"))
       .select(
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
@@ -243,7 +246,7 @@ object CoreQueries {
         .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
           col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
         .groupBy(col("l_suppkey"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .agg(round(sum((col("l_extendedprice").cast("decimal(18,2)") * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))).cast("double"), 2)
           .as("total_revenue")))
     val mx = rev.agg(max(col("total_revenue")).as("max_revenue"))
     rev.crossJoin(broadcast(mx))
@@ -285,7 +288,7 @@ object CoreQueries {
   def q18BigOrders(s: SparkSession, dir: String): DataFrame = {
     val qty = Tables.lineitem(s, dir)
       .groupBy(col("l_orderkey"))
-      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .agg(round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).as("sum_qty"))
       .filter(col("sum_qty") > Q18MinQty)
     Tables.orders(s, dir)
       .join(broadcast(qty), col("o_orderkey") === col("l_orderkey"))
@@ -319,7 +322,7 @@ object CoreQueries {
       .filter(col("branch").isNotNull)
       .groupBy(col("branch"))
       .agg(count(lit(1)).as("n_lines"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        round(sum((col("l_extendedprice").cast("decimal(18,2)") * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))).cast("double"), 2).as("revenue"))
       .orderBy(col("branch"))
   }
 
@@ -354,7 +357,7 @@ object CoreQueries {
       .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),
         col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(count(lit(1)).as("n_custs"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+      .agg(count(lit(1)).as("n_custs"), round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2).as("total_bal"))
       .orderBy(col("n_name"))
   }
 
@@ -999,7 +1002,7 @@ object CoreQueries {
          |ORDER BY s.s_suppkey""".stripMargin,
     "q22_idle_balance" ->
       s"""SELECT n.n_name, count(*)::BIGINT AS n_custs,
-         | round(sum(c.c_acctbal), 2) AS total_bal
+         | round(sum(c.c_acctbal::DECIMAL(18,2))::DOUBLE, 2) AS total_bal
          |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
          |WHERE round(c.c_acctbal * 100)::BIGINT *
          |  (SELECT count(*) FROM customer WHERE c_acctbal > 0) >
@@ -1018,12 +1021,12 @@ object CoreQueries {
         | l_extendedprice, l_discount
         | FROM lineitem JOIN part ON l_partkey = p_partkey)
         |SELECT branch, count(*)::BIGINT AS n_lines,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        | round(sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount)::DECIMAL(18,2))::DOUBLE, 2) AS revenue
         |FROM j WHERE branch IS NOT NULL
         |GROUP BY branch ORDER BY branch""".stripMargin,
     "q18_big_orders" ->
-      s"""WITH q AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
-         | FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 2) > $Q18MinQty)
+      s"""WITH q AS (SELECT l_orderkey, round(sum(l_quantity::DECIMAL(18,2))::DOUBLE, 2) AS sum_qty
+         | FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity::DECIMAL(18,2))::DOUBLE, 2) > $Q18MinQty)
          |SELECT o.o_orderkey, c.c_custkey, c.c_name, o.o_orderdate,
          | round(o.o_totalprice, 2) AS o_totalprice, q.sum_qty
          |FROM orders o
@@ -1038,7 +1041,7 @@ object CoreQueries {
         |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q15_top_supplier" ->
       """WITH r AS (SELECT l_suppkey,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |  round(sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount)::DECIMAL(18,2))::DOUBLE, 2) AS total_revenue
         | FROM lineitem
         | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |   AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -1064,7 +1067,7 @@ object CoreQueries {
     "q10_cube" ->
       """SELECT coalesce(o_orderstatus,'ALL') AS status,
         | coalesce(o_orderpriority,'ALL') AS priority,
-        | count(*) AS n_orders, round(avg(o_totalprice),4) AS avg_price
+        | count(*) AS n_orders, round(sum(o_totalprice::DECIMAL(18,2))::DOUBLE / count(*),4) AS avg_price
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
     // the same union + window decomposition, stated in SQL — right rows at
@@ -1086,13 +1089,13 @@ object CoreQueries {
         |FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_quantity),2) AS sum_qty,
-        | round(sum(l_extendedprice),2) AS sum_base_price,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
-        | round(avg(l_quantity),4) AS avg_qty,
-        | round(avg(l_extendedprice),4) AS avg_price,
-        | round(avg(l_discount),4) AS avg_disc,
+        | round(sum(l_quantity::DECIMAL(18,2))::DOUBLE,2) AS sum_qty,
+        | round(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE,2) AS sum_base_price,
+        | round(sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount)::DECIMAL(18,2))::DOUBLE,2) AS sum_disc_price,
+        | round(sum((l_extendedprice::DECIMAL(18,2) * (1 - l_discount)::DECIMAL(18,2)) * (1 + l_tax)::DECIMAL(18,2))::DOUBLE,2) AS sum_charge,
+        | round(sum(l_quantity::DECIMAL(18,2))::DOUBLE / count(*),4) AS avg_qty,
+        | round(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE / count(*),4) AS avg_price,
+        | round(sum(l_discount::DECIMAL(18,2))::DOUBLE / count(*),4) AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
@@ -1100,7 +1103,7 @@ object CoreQueries {
     "q2_revenue_topn" ->
       """WITH rev AS (
         | SELECT n_name, c_custkey, c_name,
-        |  round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |  round(sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount)::DECIMAL(18,2))::DOUBLE,2) AS revenue
         | FROM lineitem
         | JOIN orders   ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey
@@ -1122,7 +1125,7 @@ object CoreQueries {
     "q4_rollup" ->
       """SELECT coalesce(o_orderstatus,'ALL') AS status,
         | coalesce(o_orderpriority,'ALL') AS priority,
-        | count(*) AS n_orders, round(sum(o_totalprice),2) AS sum_price
+        | count(*) AS n_orders, round(sum(o_totalprice::DECIMAL(18,2))::DOUBLE,2) AS sum_price
         |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
     "q5_semi_anti" ->
@@ -1133,14 +1136,14 @@ object CoreQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY tag, c_custkey""".stripMargin,
     "q6_forecast" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n_rows
+      """SELECT round(sum(l_extendedprice::DECIMAL(18,2) * l_discount::DECIMAL(18,2))::DOUBLE, 2) AS revenue, count(*) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount >= 0.03 AND l_discount <= 0.07
         |  AND l_quantity < 24""".stripMargin,
     "q8_small_qty" ->
-      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS n_rows
+      """SELECT round(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE / 7.0, 2) AS avg_yearly, count(*) AS n_rows
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE p_brand = 'Brand#4'
         |  AND l_quantity < (
@@ -1148,8 +1151,8 @@ object CoreQueries {
     "q7_promo_ratio" ->
       """SELECT round(
         |  100.0 * sum(CASE WHEN p_type LIKE 'STANDARD%'
-        |    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) /
-        |  sum(l_extendedprice * (1 - l_discount)), 4) AS standard_pct,
+        |    THEN l_extendedprice::DECIMAL(18,2) * (1 - l_discount)::DECIMAL(18,2) ELSE 0::DECIMAL(18,2) END)::DOUBLE /
+        |  sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount)::DECIMAL(18,2))::DOUBLE, 4) AS standard_pct,
         | count(*) AS n_rows
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
