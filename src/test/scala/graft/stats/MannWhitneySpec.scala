@@ -79,6 +79,24 @@ class MannWhitneySpec extends AnyFunSuite {
     assert(r._3 == u && r._4 == z)
   }
 
+  test("family consistency: stats_ttest and stats_mannwhitney read the SAME samples (na/nb agree pair for pair)") {
+    // the two tests share one sample definition (per-(type, day)
+    // integerized daily sums) BY CONTRACT — two independent preps of the
+    // same frame now cross-check each other, so a drift in either op's
+    // data prep surfaces as disagreement (the kcore==coreness>=3 pin
+    // discipline applied to the stats family)
+    val t = graft.SparkEntry.queries("stats_ttest")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    graft.CacheRegistry.releaseAll()
+    val u = graft.SparkEntry.queries("stats_mannwhitney")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    graft.CacheRegistry.releaseAll()
+    assert(t.keySet == u.keySet, "same type pairs")
+    t.foreach { case (k, (na, nb)) =>
+      assert(u(k) == ((na, nb)), s"$k: sample sizes diverged — t=$na/$nb u=${u(k)}")
+    }
+  }
+
   test("corpus: engine equals the pair-counting definition replica exactly, for every type pair") {
     val daily = graft.Tables.events(spark, sf)
       .selectExpr("event_type", "cast(to_date(ts) as string) AS day", "value")
