@@ -25,7 +25,14 @@ import org.apache.spark.sql.SparkSession
   * their final returned plan lazily, and its codegen decision happens at
   * the caller's action time, after restore — and (b) serialized on a
   * process-wide monitor so two concurrent builders cannot interleave
-  * set/restore and leak the off state. Restore is by EFFECTIVE value:
+  * set/restore and leak the off state. CROSS-QUERY EXPOSURE (declared):
+  * the monitor serializes builder-vs-builder only — an UNRELATED query
+  * run concurrently on the same session during a gated loop's window
+  * executes with codegen off (performance-only: interpreted plans are
+  * semantically identical). Callers that interleave gated builders with
+  * latency-critical foreign queries on one session should give the loop
+  * a cloned session (`spark.newSession`) whose conf is free to toggle.
+  * Restore is by EFFECTIVE value:
   * `getOption` on a SQL conf that has a registered default always answers
   * the default, so "was it ever explicitly set" is unobservable through
   * the public conf API — what IS observable, and what

@@ -97,16 +97,23 @@ object MatrixProfile {
          |  CAST(round(sum(value::DECIMAL(18,2))::DOUBLE) AS BIGINT) AS vi
          | FROM events GROUP BY 1, 2),
          |ser AS (SELECT event_type, list(vi ORDER BY day) AS arr FROM d GROUP BY 1),
+         |-- index range derived FROM the series length (not a hard-coded
+         |-- constant): a series longer than any assumed cap can never
+         |-- silently drop oracle-side subsequences the engine emits
+         |six AS (SELECT event_type, arr,
+         |  unnest(range(0, len(arr) - ${M - 1})) AS i FROM ser),
          |subs AS (SELECT event_type, i,
-         |  list_slice(arr, i + 1, i + $M) AS w
-         | FROM ser, (SELECT unnest(range(0, 100)) AS i) ix
-         | WHERE i <= len(arr) - $M),
+         |  list_slice(arr, i + 1, i + $M) AS w FROM six),
+         |-- moments via EXACT integer arithmetic (explicit element
+         |-- products, never a DOUBLE dot product): a vi past 2^26 would
+         |-- make a double-folded sum of squares lose ulps silently, while
+         |-- BIGINT products either stay exact or DuckDB throws loudly
          |mo AS (SELECT event_type, i, w,
          |  list_sum(w)::BIGINT AS sa,
-         |  list_dot_product(w::DOUBLE[], w::DOUBLE[])::BIGINT AS saa
+         |  (${(1 to M).map(k => s"w[$k] * w[$k]").mkString(" + ")})::BIGINT AS saa
          | FROM subs),
          |pr AS (SELECT a.event_type, a.i, b.i AS j,
-         |  list_dot_product(a.w::DOUBLE[], b.w::DOUBLE[])::BIGINT AS sab,
+         |  (${(1 to M).map(k => s"a.w[$k] * b.w[$k]").mkString(" + ")})::BIGINT AS sab,
          |  a.sa AS s_a, a.saa AS s_aa, b.sa AS s_b, b.saa AS s_bb
          | FROM mo a JOIN mo b ON a.event_type = b.event_type
          |  AND abs(a.i - b.i) >= $Excl),
