@@ -20,6 +20,9 @@ import org.apache.spark.sql.functions._
   *    their fingerprint is md5 of the staging content fingerprint, i.e.
   *    EXACTLY the `fp=<hash>` directory name disk-mode staging writes, so
   *    a registry row can be matched against the staging dir ls-listing.
+  *  - `graph/vertices`, `graph/citation`, `graph/simpleEdges`,
+  *    `graph/adjacency`, `graph/directedSimple` — the 5-rung staged graph
+  *    ladder the 16 link-graph operators share (same fingerprint scheme).
   *
   * The registry BUILDS what it reports (each artifact resolves through
   * its session memo / staging rung — already-built artifacts are free, a
@@ -101,6 +104,15 @@ object ModelRegistry {
     rung("dedup/pairCounts", dedup.DedupQueries.bandedPairCounts(s, dir))
     rung("dedup/invIndex", dedup.DedupQueries.stagedInvIndex(s, dir))
     rung("dedupClusters/verifiedPairs", dedup.DedupClusters.verifiedPairs(s, dir))
+
+    // staged graph ladder (r13 verdict task #1): the shared citation graph
+    // the 16-operator family consumes — one distinct edge shuffle per
+    // (corpus, fingerprint) per session
+    rung("graph/vertices", graph.GraphArtifacts.stagedVertices(s, dir))
+    rung("graph/citation", graph.GraphArtifacts.stagedCitation(s, dir))
+    rung("graph/simpleEdges", graph.GraphArtifacts.stagedSimpleEdges(s, dir))
+    rung("graph/adjacency", graph.GraphArtifacts.stagedAdjacency(s, dir))
+    rung("graph/directedSimple", graph.GraphArtifacts.stagedDirectedSimple(s, dir))
 
     rows.toSeq.toDF("artifact", "kind", "fingerprint", "n_items", "storage")
       .orderBy(col("artifact"))

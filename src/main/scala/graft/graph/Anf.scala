@@ -43,22 +43,28 @@ object Anf {
   val H = 6
 
   def anf(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val docs = GraphArtifacts.stagedVertices(s, dir)
     val n = docs.count()
     if (n == 0)
       return s.range(0).select(col("id").as("h"), lit(0L).as("n_nodes"),
         lit(0L).as("nf_scaled"), lit(0.0).as("nf"), lit(0.0).as("avg_ball"),
         lit(0.0).as("pct_final"), lit(false).as("covers90"))
-    anfOf(s, docs, Triangles.simpleEdges(docs, n))
+    // staged family rung: the symmetric adjacency is materialized once per
+    // (corpus, fingerprint), not per BFS-family operator
+    anfOnAdj(s, docs, GraphArtifacts.stagedAdjacency(s, dir))
   }
 
   /** The sketch-merge core over explicit vertex + simple-edge frames —
     * split out so the spec can plant exact topologies. */
-  private[graph] def anfOf(s: SparkSession, docs: DataFrame, und: DataFrame): DataFrame = {
+  private[graph] def anfOf(s: SparkSession, docs: DataFrame, und: DataFrame): DataFrame =
+    anfOnAdj(s, docs,
+      und.select(col("u").as("node"), col("v").as("nb"))
+        .unionByName(und.select(col("v").as("node"), col("u").as("nb")))
+        .localCheckpoint(true))
+
+  /** The core over a MATERIALIZED symmetric adjacency (node, nb). */
+  private[graph] def anfOnAdj(s: SparkSession, docs: DataFrame, adj: DataFrame): DataFrame = {
     val n = docs.count()
-    val adj = und.select(col("u").as("node"), col("v").as("nb"))
-      .unionByName(und.select(col("v").as("node"), col("u").as("nb")))
-      .localCheckpoint(true)
     graft.InterpretedLoop.run(s, n) {
       var regs = Hll.registers(
           docs.select(col("doc_id").as("node"), col("doc_id").as("user_id")),

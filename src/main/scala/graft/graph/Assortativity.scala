@@ -30,13 +30,14 @@ import graft.Tables
 object Assortativity {
 
   def assortativity(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val docs = GraphArtifacts.stagedVertices(s, dir)
     val n = docs.count()
     if (n == 0)
       return docs.select(lit(0L).as("m_edges"), lit(0L).as("sum_jk"),
         lit(0L).as("sum_j_plus_k"), lit(0L).as("sum_j2_plus_k2"),
         lit(0.0).as("assortativity")).limit(0)
-    assortativityOf(Triangles.simpleEdges(docs, n))
+    // staged family rung: the distinct edge shuffle runs once per corpus
+    assortativityOf(GraphArtifacts.stagedSimpleEdges(s, dir))
   }
 
   /** The audit core over an explicit simple edge list (u < v, distinct) —

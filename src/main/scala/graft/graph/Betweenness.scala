@@ -58,20 +58,25 @@ object Betweenness {
   val Scale = 1000000L
 
   def betweenness(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val docs = GraphArtifacts.stagedVertices(s, dir)
     val n = docs.count()
     if (n == 0)
       return docs.select(col("doc_id"), lit(0L).as("bc_scaled"), lit(0.0).as("betweenness"))
-    betweennessOf(s, docs, Triangles.simpleEdges(docs, n))
+    // staged family rung: symmetric adjacency shared across the BFS family
+    betweennessOnAdj(s, docs, GraphArtifacts.stagedAdjacency(s, dir))
   }
 
   /** The Brandes core over explicit vertex + simple-edge frames — split
     * out so the spec can plant exact topologies (≤ K nodes ⇒ every node
     * is a pivot ⇒ exact betweenness). */
-  private[graph] def betweennessOf(s: SparkSession, docs: DataFrame, und: DataFrame): DataFrame = {
-    val adj = und.select(col("u").as("node"), col("v").as("nb"))
-      .unionByName(und.select(col("v").as("node"), col("u").as("nb")))
-      .localCheckpoint(true)
+  private[graph] def betweennessOf(s: SparkSession, docs: DataFrame, und: DataFrame): DataFrame =
+    betweennessOnAdj(s, docs,
+      und.select(col("u").as("node"), col("v").as("nb"))
+        .unionByName(und.select(col("v").as("node"), col("u").as("nb")))
+        .localCheckpoint(true))
+
+  /** The core over a MATERIALIZED symmetric adjacency (node, nb). */
+  private[graph] def betweennessOnAdj(s: SparkSession, docs: DataFrame, adj: DataFrame): DataFrame = {
     val lms = docs.orderBy(col("doc_id")).limit(K)
       .select(col("doc_id").as("lm")).localCheckpoint(true)
     graft.InterpretedLoop.run(s, docs.count()) {
@@ -106,8 +111,17 @@ object Betweenness {
         val deltaD = succ.filter(col("dv") === d.toLong)
           .join(delta.select(col("lm"), col("node").as("w"), col("delta").as("delta_w")),
             Seq("lm", "w"), "left")
+          // fail-fast range guard (the ann_cell_stats precedent): on a
+          // dense graph sigma within MaxHops is degree^MaxHops-bounded and
+          // sv * (Scale + delta_w) can pass 2^63 — Spark (non-ANSI) would
+          // WRAP silently while the DuckDB oracle throws, so an
+          // out-of-range corpus must fail loudly on THIS side too instead
+          // of diverging engine-vs-oracle. The predicate uses only
+          // overflow-free ops (integer div).
           .withColumn("term",
-            expr(s"(sv * ($Scale + coalesce(delta_w, 0L))) div sw"))
+            expr(s"""CASE WHEN sv > ${Long.MaxValue}L div ($Scale + coalesce(delta_w, 0L))
+                    | THEN raise_error('graph_betweenness: sigma * (Scale + delta) exceeds the declared BIGINT range — corpus too dense for the fixed-point contract')
+                    | ELSE (sv * ($Scale + coalesce(delta_w, 0L))) div sw END""".stripMargin))
           .groupBy(col("lm"), col("v"))
           .agg(sum(col("term")).as("delta"))
           .withColumnRenamed("v", "node")

@@ -33,14 +33,12 @@ object Bfs {
   val Source = 0L
 
   def bfs(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val docs = GraphArtifacts.stagedVertices(s, dir)
     val n = docs.count()
     if (n == 0)
       return docs.select(col("doc_id"), lit(-1L).as("dist"), lit(false).as("reached"))
-    val und = Triangles.simpleEdges(docs, n)
-    val adj = und.select(col("u").as("node"), col("v").as("nb"))
-      .unionByName(und.select(col("v").as("node"), col("u").as("nb")))
-      .localCheckpoint(true)
+    // staged family rung: symmetric adjacency shared across the BFS family
+    val adj = GraphArtifacts.stagedAdjacency(s, dir)
     // tiny per-round frames: interpreted loop (the PageRank tradeoff)
     graft.InterpretedLoop.run(s, n) {
       var visited = s.createDataFrame(Seq(Tuple2(Source, 0L)))

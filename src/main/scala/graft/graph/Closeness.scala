@@ -44,21 +44,26 @@ object Closeness {
   val HLcm = 60L // lcm(1..MaxHops): every 1/d is exact as HLcm/d
 
   def closeness(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val docs = GraphArtifacts.stagedVertices(s, dir)
     val n = docs.count()
     if (n == 0)
       return docs.select(col("doc_id"), lit(0L).as("n_reached"),
         lit(0L).as("h60"), lit(0.0).as("closeness"))
-    closenessOf(s, docs, Triangles.simpleEdges(docs, n))
+    // staged family rung: symmetric adjacency shared across the BFS family
+    closenessOnAdj(s, docs, GraphArtifacts.stagedAdjacency(s, dir))
   }
 
   /** The probe core over explicit vertex + simple-edge frames — split out
     * so the spec can plant exact topologies (P₄ pins every harmonic sum
     * as a small rational). */
-  private[graph] def closenessOf(s: SparkSession, docs: DataFrame, und: DataFrame): DataFrame = {
-    val adj = und.select(col("u").as("node"), col("v").as("nb"))
-      .unionByName(und.select(col("v").as("node"), col("u").as("nb")))
-      .localCheckpoint(true)
+  private[graph] def closenessOf(s: SparkSession, docs: DataFrame, und: DataFrame): DataFrame =
+    closenessOnAdj(s, docs,
+      und.select(col("u").as("node"), col("v").as("nb"))
+        .unionByName(und.select(col("v").as("node"), col("u").as("nb")))
+        .localCheckpoint(true))
+
+  /** The core over a MATERIALIZED symmetric adjacency (node, nb). */
+  private[graph] def closenessOnAdj(s: SparkSession, docs: DataFrame, adj: DataFrame): DataFrame = {
     val lms = docs.orderBy(col("doc_id")).limit(K)
       .select(col("doc_id").as("lm")).localCheckpoint(true)
     graft.InterpretedLoop.run(s, docs.count()) {

@@ -35,12 +35,13 @@ object Components {
   val OracleRounds = 6
 
   def components(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val docs = GraphArtifacts.stagedVertices(s, dir)
     val n = docs.count()
     if (n == 0)
       return docs.select(col("doc_id"), col("doc_id").as("component"),
         lit(0L).as("csize")).filter(lit(false))
-    val und = Triangles.simpleEdges(docs, n)
+    // staged family rung: the distinct edge shuffle runs once per corpus
+    val und = GraphArtifacts.stagedSimpleEdges(s, dir)
     val labels = graft.dedup.DedupClusters.connectedComponents(und)
       .withColumnsRenamed(Map("id" -> "doc_id", "label" -> "component"))
     // isolated nodes (self-loop-only synthetic edges) are their own

@@ -47,21 +47,26 @@ object Coreness {
   val Rounds = 8
 
   def coreness(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val docs = GraphArtifacts.stagedVertices(s, dir)
     val n = docs.count()
     if (n == 0)
       return docs.select(col("doc_id"), lit(0L).as("degree"), lit(0L).as("coreness"),
         lit(true).as("converged"))
-    corenessOf(s, docs, Triangles.simpleEdges(docs, n))
+    // staged family rung: symmetric adjacency shared across the BFS family
+    corenessOnAdj(s, docs, GraphArtifacts.stagedAdjacency(s, dir))
   }
 
   /** The iteration core over explicit vertex + simple-edge frames — split
     * out so the spec can plant exact topologies (clique-with-tail, star,
     * disjoint triangles). */
-  private[graph] def corenessOf(s: SparkSession, docs: DataFrame, und: DataFrame): DataFrame = {
-    val adj = und.select(col("u").as("node"), col("v").as("nb"))
-      .unionByName(und.select(col("v").as("node"), col("u").as("nb")))
-      .localCheckpoint(true)
+  private[graph] def corenessOf(s: SparkSession, docs: DataFrame, und: DataFrame): DataFrame =
+    corenessOnAdj(s, docs,
+      und.select(col("u").as("node"), col("v").as("nb"))
+        .unionByName(und.select(col("v").as("node"), col("u").as("nb")))
+        .localCheckpoint(true))
+
+  /** The core over a MATERIALIZED symmetric adjacency (node, nb). */
+  private[graph] def corenessOnAdj(s: SparkSession, docs: DataFrame, adj: DataFrame): DataFrame = {
     graft.InterpretedLoop.run(s, docs.count()) {
       val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("c"))
         .localCheckpoint(true)

@@ -34,13 +34,14 @@ object Hits {
   val Iters = 5
 
   def hits(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"))
-    val n = docs.count()
+    val verts = GraphArtifacts.stagedVertices(s, dir)
+    val n = verts.count()
     if (n == 0)
-      return docs.select(col("doc_id"), lit(0L).as("auth_scaled"),
+      return verts.select(col("doc_id"), lit(0L).as("auth_scaled"),
         lit(0L).as("hub_scaled"), lit(0.0).as("auth"), lit(0.0).as("hub"))
-    val edges = PageRank.citationEdges(docs, n).localCheckpoint(true)
-    val verts = docs.localCheckpoint(true)
+    // staged family rungs (citation list + vertex frame): materialized
+    // once per (corpus, fingerprint), shared with pagerank
+    val edges = GraphArtifacts.stagedCitation(s, dir)
     graft.InterpretedLoop.run(s, n) {
       // tiny per-iteration frames; interpreted loop (the PageRank tradeoff)
       var hub = verts.select(col("doc_id"), lit(Scale / n).as("v")).localCheckpoint(true)

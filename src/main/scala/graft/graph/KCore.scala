@@ -39,18 +39,17 @@ object KCore {
   val PeelRounds = 6
 
   def kcore(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val docs = GraphArtifacts.stagedVertices(s, dir)
     val n = docs.count()
     if (n == 0)
       return docs.select(col("doc_id"), lit(false).as("in_core"),
         lit(0L).as("core_degree"))
-    val und = Triangles.simpleEdges(docs, n)
     // tiny per-round frames: interpreted loop (the PageRank/dedup_clusters
     // tradeoff — janino compile per unique round plan costs more than it buys)
     graft.InterpretedLoop.run(s, n) {
-      var adj = und.select(col("u").as("node"), col("v").as("nb"))
-        .unionByName(und.select(col("v").as("node"), col("u").as("nb")))
-        .localCheckpoint(true)
+      // round-0 adjacency is the staged family rung (already materialized);
+      // later rounds peel into per-op checkpoints
+      var adj = GraphArtifacts.stagedAdjacency(s, dir)
       for (_ <- 1 to PeelRounds) {
         val keep = adj.groupBy(col("node")).agg(count(lit(1)).as("c"))
           .filter(col("c") >= CoreK).select(col("node"))

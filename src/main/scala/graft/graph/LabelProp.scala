@@ -42,21 +42,21 @@ object LabelProp {
   val Rounds = 4
 
   def labelProp(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val docs = GraphArtifacts.stagedVertices(s, dir)
     val n = docs.count()
     if (n == 0)
       return docs.select(col("doc_id"), lit(0L).as("community"),
         lit(0L).as("community_size"), lit(true).as("converged")).limit(0)
-    val und = Triangles.simpleEdges(docs, n)
-    val adj = und.select(col("u").as("node"), col("v").as("nb"))
-      .unionByName(und.select(col("v").as("node"), col("u").as("nb")))
-    propagate(docs, adj)
+    // staged family rung: symmetric adjacency, already materialized
+    propagate(docs, GraphArtifacts.stagedAdjacency(s, dir), preMaterialized = true)
   }
 
   /** The LPA core over an explicit undirected adjacency (node, nb) — split
-    * out so the spec can drive planted topologies. */
-  private[graph] def propagate(docs: DataFrame, adjIn: DataFrame): DataFrame = {
-    val adj = adjIn.localCheckpoint(true)
+    * out so the spec can drive planted topologies. `preMaterialized` skips
+    * the defensive checkpoint when the caller passes a staged rung. */
+  private[graph] def propagate(docs: DataFrame, adjIn: DataFrame,
+      preMaterialized: Boolean = false): DataFrame = {
+    val adj = if (preMaterialized) adjIn else adjIn.localCheckpoint(true)
     var labels = docs.select(col("doc_id").as("node"), col("doc_id").as("lbl"))
       .localCheckpoint(true)
     var prev = labels // round R-1 labels, kept for the convergence witness

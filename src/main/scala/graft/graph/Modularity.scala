@@ -35,7 +35,7 @@ import graft.Tables
 object Modularity {
 
   def modularity(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val docs = GraphArtifacts.stagedVertices(s, dir)
     val n = docs.count()
     val comm = LabelProp.queries("graph_labelprop")(s, dir)
       .select(col("doc_id").as("node"), col("community"))
@@ -43,7 +43,8 @@ object Modularity {
       return comm.select(lit(0L).as("m_edges"), lit(0L).as("n_nodes"),
         lit(0L).as("n_communities"), lit(0L).as("intra_edges"),
         lit(0L).as("deg_sq_sum"), lit(0.0).as("modularity")).limit(0)
-    modularityOf(Triangles.simpleEdges(docs, n), comm)
+    // staged family rung: the distinct edge shuffle runs once per corpus
+    modularityOf(GraphArtifacts.stagedSimpleEdges(s, dir), comm)
   }
 
   /** The audit core over an explicit simple edge list (u < v, distinct) and

@@ -35,16 +35,14 @@ object Neighbors {
   val MinCommon = 2L
 
   def neighborJaccard(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val docs = GraphArtifacts.stagedVertices(s, dir)
     val n = docs.count()
     if (n == 0)
       return docs.select(col("doc_id").as("a_id"), col("doc_id").as("b_id"),
         lit(0L).as("common"), lit(0L).as("union_size"), lit(0.0).as("jaccard")).limit(0)
-    // adjacency as (node, neighbor) in both directions
-    val und = Triangles.simpleEdges(docs, n)
-    val adj = graft.CacheRegistry.track(
-      und.select(col("u").as("node"), col("v").as("nb"))
-        .unionByName(und.select(col("v").as("node"), col("u").as("nb"))))
+    // adjacency as (node, neighbor) in both directions — the staged family
+    // rung, already materialized (no per-op persist needed)
+    val adj = GraphArtifacts.stagedAdjacency(s, dir)
     val deg = adj.groupBy(col("nb")).agg(count(lit(1)).as("nb_deg"))
     // keep only adjacency rows whose NEIGHBOR (the wedge apex) is non-hub
     val capped = graft.CacheRegistry.track(

@@ -51,16 +51,17 @@ object PageRank {
       expr("doc_id div 7") % n)).as("dst"))
 
   def pagerank(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val verts = GraphArtifacts.stagedVertices(s, dir)
     // bounded driver-side scalar (the kFor pattern); mirrored as a scalar
     // subquery in the oracle so corpus size can never desynchronize them
-    val n = docs.count()
+    val n = verts.count()
     if (n == 0)
-      return docs.select(col("doc_id"), lit(0L).as("rank_scaled"), lit(0.0).as("rank"))
+      return verts.select(col("doc_id"), lit(0L).as("rank_scaled"), lit(0.0).as("rank"))
     val r0 = Scale / n
     val base = 15L * r0 / 100L
-    val edges = citationEdges(docs, n).localCheckpoint(true)
-    val verts = docs.localCheckpoint(true)
+    // staged family rungs: the raw citation list and the vertex frame are
+    // materialized once per (corpus, fingerprint), not per operator
+    val edges = GraphArtifacts.stagedCitation(s, dir)
     // tiny per-iteration frames: run the loop interpreted (janino compile
     // per unique plan per round costs more than it buys — the
     // dedup_clusters tradeoff); gated + conf-scoped by InterpretedLoop

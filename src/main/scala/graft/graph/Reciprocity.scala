@@ -43,7 +43,7 @@ import graft.Tables
 object Reciprocity {
 
   def reciprocity(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val docs = GraphArtifacts.stagedVertices(s, dir)
     val n = docs.count()
     if (n == 0)
       // the oracle's aggregate CTEs (nn/ec/mu) each produce one row on an
@@ -53,7 +53,9 @@ object Reciprocity {
       return s.range(1).select(lit(0L).as("n_nodes"), lit(0L).as("n_edges"),
         lit(0L).as("n_mutual"), lit(null).cast("double").as("reciprocity"),
         lit(null).cast("double").as("density"), lit(null).cast("double").as("rho_gl"))
-    reciprocityOf(Scc.directedEdges(docs, n), n)
+    // staged family rung: the distinct directed-edge shuffle runs once per
+    // corpus (shared with graph_scc)
+    reciprocityOf(GraphArtifacts.stagedDirectedSimple(s, dir), n)
   }
 
   /** The readout core over an explicit directed simple edge list (u ≠ v,

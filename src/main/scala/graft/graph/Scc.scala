@@ -85,12 +85,14 @@ object Scc {
   }
 
   def scc(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val docs = GraphArtifacts.stagedVertices(s, dir)
     val n = docs.count()
     if (n == 0)
       return docs.select(col("doc_id"), col("doc_id").as("scc_id"),
         lit(false).as("settled"), lit(0L).as("scc_size")).filter(lit(false))
-    sccOf(s, docs, directedEdges(docs, n))
+    // staged family rung: the distinct directed-edge shuffle runs once per
+    // corpus (shared with graph_reciprocity)
+    sccOf(s, docs, GraphArtifacts.stagedDirectedSimple(s, dir))
   }
 
   /** The budget FW-BW core over an explicit directed edge list — split out

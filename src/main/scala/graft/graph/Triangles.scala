@@ -60,14 +60,14 @@ object Triangles {
       | FROM e WHERE src != dst)""".stripMargin
 
   def triangles(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val docs = GraphArtifacts.stagedVertices(s, dir)
     val n = docs.count() // bounded scalar, mirrored as a subquery in SQL
     if (n == 0)
       return docs.select(col("doc_id"), lit(0L).as("degree"), lit(0L).as("n_triangles"))
-    val undirected = simpleEdges(docs, n)
-    // persist: the simple edge list feeds the degree count and both
-    // orientation join sides — one edge shuffle, three consumers
-    val simple = graft.CacheRegistry.track(undirected)
+    // the staged family rung (one distinct edge shuffle per corpus
+    // fingerprint per session) feeds the degree count and both
+    // orientation join sides — already materialized, no per-op persist
+    val simple = GraphArtifacts.stagedSimpleEdges(s, dir)
     val deg = simple.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     val ku = col("du") * KeyScale + col("u")

@@ -22,13 +22,15 @@ class ModelRegistrySpec extends AnyFunSuite {
     m
   }
 
-  test("all nine artifacts present; fingerprints recompute through the public seams") {
+  test("all fourteen artifacts present; fingerprints recompute through the public seams") {
     val got = snapshot()
     assert(got.keySet == Set(
       "classifier/quality_weights", "embedding/kmeans_centroids",
       "embedding/pca_model", "tokenizer/bpe_vocab", "tokenizer/unigram_vocab",
       "dedup/sketch", "dedup/pairCounts", "dedup/invIndex",
-      "dedupClusters/verifiedPairs"), got.keySet)
+      "dedupClusters/verifiedPairs",
+      "graph/vertices", "graph/citation", "graph/simpleEdges",
+      "graph/adjacency", "graph/directedSimple"), got.keySet)
     // classifier weights: fingerprint = md5 of the broadcast array
     val w = text.QualityClassifier.modelFor(spark, sf)
     assert(got("classifier/quality_weights")._2 == md5hex(w.mkString("|")))
@@ -37,11 +39,17 @@ class ModelRegistrySpec extends AnyFunSuite {
     // n_items = the rung's row count
     val rungFp = md5hex(dedup.DedupQueries.docFp(spark, sf))
     Seq("dedup/sketch", "dedup/pairCounts", "dedup/invIndex",
-      "dedupClusters/verifiedPairs").foreach { r =>
+      "dedupClusters/verifiedPairs",
+      "graph/vertices", "graph/citation", "graph/simpleEdges",
+      "graph/adjacency", "graph/directedSimple").foreach { r =>
       assert(got(r)._1 == "staged_rung" && got(r)._2 == rungFp, r)
     }
     assert(got("dedup/sketch")._3 ==
       dedup.DedupQueries.stagedSketch(spark, sf).count())
+    // graph-ladder internal consistency: adjacency is exactly 2× the
+    // simple edges; citation is exactly 3× the vertex count
+    assert(got("graph/adjacency")._3 == 2 * got("graph/simpleEdges")._3)
+    assert(got("graph/citation")._3 == 3 * got("graph/vertices")._3)
     // every fingerprint is 32-hex, every model non-empty
     got.values.foreach { case (_, fp, n, storage) =>
       assert(fp.matches("[0-9a-f]{32}") && n > 0 && storage == "memory")
@@ -54,6 +62,7 @@ class ModelRegistrySpec extends AnyFunSuite {
     spark.conf.set("spark.graft.stageDir", dir)
     // supersede the in-memory rungs so they rebuild through the disk path
     StagedArtifacts.clear("dedup")
+    StagedArtifacts.clear("graph/")
     try {
       val disk = snapshot()
       assert(disk.keySet == mem.keySet)
@@ -75,6 +84,7 @@ class ModelRegistrySpec extends AnyFunSuite {
     } finally {
       spark.conf.unset("spark.graft.stageDir")
       StagedArtifacts.clear("dedup")
+    StagedArtifacts.clear("graph/")
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
         f.delete(): Unit
@@ -100,11 +110,11 @@ class ModelRegistrySpec extends AnyFunSuite {
       masked.mkString("|")
     }.toSeq.sorted
     val md5 = md5hex(rendered.mkString("\n"))
-    assert(rows.length == 9, s"row count drifted: ${rows.length}")
+    assert(rows.length == 14, s"row count drifted: ${rows.length}")
     assert(rendered.contains(
       "classifier/quality_weights|logreg_weights|da9e10ffd96b2fad8e9d4fbed722afcc|67|memory"),
       s"anchor row vanished — rows now: ${rendered.take(3)}")
-    assert(md5 == "4a2fcaf232d459f7f255fb68b7c6a6a2",
+    assert(md5 == "078939af576f8aa830692962b5ecd691", // re-captured: +5 graph rungs
       s"complete-output digest drifted ($md5); if the change is a DELIBERATE " +
         "semantic update, re-capture the frozen values")
   }
