@@ -23,6 +23,8 @@ import org.apache.spark.sql.functions._
   *  - `graph/vertices`, `graph/citation`, `graph/simpleEdges`,
   *    `graph/adjacency`, `graph/directedSimple` — the 5-rung staged graph
   *    ladder the 16 link-graph operators share (same fingerprint scheme).
+  *  - `text/lmBigrams`, `text/lmScored` — the staged LM ladder shared by
+  *    the four bigram-LM consumers (same fingerprint scheme).
   *
   * The registry BUILDS what it reports (each artifact resolves through
   * its session memo / staging rung — already-built artifacts are free, a
@@ -113,6 +115,12 @@ object ModelRegistry {
     rung("graph/simpleEdges", graph.GraphArtifacts.stagedSimpleEdges(s, dir))
     rung("graph/adjacency", graph.GraphArtifacts.stagedAdjacency(s, dir))
     rung("graph/directedSimple", graph.GraphArtifacts.stagedDirectedSimple(s, dir))
+
+    // staged LM ladder (r13 verdict task #8): the bigram stream + per-doc
+    // add-one scores shared by text_lm_score / text_lm_eval /
+    // text_perplexity_buckets / sample_curriculum
+    rung("text/lmBigrams", text.LmScore.stagedBigrams(s, dir))
+    rung("text/lmScored", text.LmScore.stagedScored(s, dir))
 
     rows.toSeq.toDF("artifact", "kind", "fingerprint", "n_items", "storage")
       .orderBy(col("artifact"))

@@ -34,18 +34,9 @@ import graft.Tables
 object LmEval {
 
   def lmEval(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.HashExprs.register(s)
-    val bucket = conv(substring(md5(col("text")), 1, 6), 16, 10)
-      .cast("long") % SampleSplit.Buckets
-    val splitC = when(bucket < SampleSplit.TrainThreshold, "train")
-      .when(bucket < SampleSplit.ValThreshold, "val")
-      .otherwise("test")
-    // persist: feeds the train-slice model counts AND the all-slice scoring
-    val inst = graft.CacheRegistry.track(
-      Tables.documents(s, dir)
-        .select(col("doc_id"), splitC.as("split"),
-          explode(graft.functions.HashExprs.bigramsAll(col("text"))).as("bg"))
-        .withColumn("w1", substring_index(col("bg"), " ", 1)))
+    // the staged LM bigram rung carries the split assignment already
+    // (computed once per corpus fingerprint, shared with text_lm_score)
+    val inst = LmScore.stagedBigrams(s, dir)
     val tr = inst.filter(col("split") === "train")
     val v = tr.select(substring_index(col("bg"), " ", -1).as("w2")).distinct().count()
     val cbg = tr.groupBy(col("bg")).agg(count(lit(1)).as("cbg"))

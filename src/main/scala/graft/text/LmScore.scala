@@ -35,31 +35,61 @@ object LmScore {
 
   val SuspectBits = 4.5
 
-  def lmScore(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.HashExprs.register(s)
-    val docs = Tables.documents(s, dir)
-    // persist: feeds both model counts AND the scoring join
-    val inst = graft.CacheRegistry.track(
-      docs.select(col("doc_id"),
+  private[text] def docFp(s: SparkSession, dir: String): String =
+    graft.sources.TableFingerprint.of(s, s"$dir/documents.parquet")
+
+  /** Explicit invalidation for the LM staging ladder. */
+  def clearLmCache(): Unit = graft.StagedArtifacts.clear("text/lm")
+
+  /** Session-scoped staged bigram stream — (doc_id, split, bg, w1), the
+    * ONE corpus scan + explode the whole LM family shares (r13 verdict
+    * task #8). `split` is `sample_split`'s exact md5-bucket CASE computed
+    * map-side at stage time so `text_lm_eval` reads the same rung as
+    * `text_lm_score` (which ignores the column). Same lifecycle contract
+    * as the dedup/graph ladders (supersede evicts; [[clearLmCache]]). */
+  private[graft] def stagedBigrams(s: SparkSession, dir: String): DataFrame =
+    graft.StagedArtifacts.stage(s, s"text/lmBigrams#$dir", docFp(s, dir)) {
+      graft.functions.HashExprs.register(s)
+      val bucket = conv(substring(md5(col("text")), 1, 6), 16, 10)
+        .cast("long") % SampleSplit.Buckets
+      val splitC = when(bucket < SampleSplit.TrainThreshold, "train")
+        .when(bucket < SampleSplit.ValThreshold, "val")
+        .otherwise("test")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), splitC.as("split"),
           explode(graft.functions.HashExprs.bigramsAll(col("text"))).as("bg"))
-        .withColumn("w1", substring_index(col("bg"), " ", 1)))
-    val v = inst.select(substring_index(col("bg"), " ", -1).as("w2")).distinct().count()
-    val cbg = inst.groupBy(col("bg")).agg(count(lit(1)).as("cbg"))
-    val cw = inst.groupBy(col("w1")).agg(count(lit(1)).as("cw"))
-    val scored = inst.join(cbg, Seq("bg")).join(cw, Seq("w1"))
-      .withColumn("bits", length(bin(expr(s"(cw + ${v}L) div (cbg + 1L)"))) - 1)
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).cast("long").as("total_bits"))
-    val avg = round(col("total_bits").cast("double") / col("n_bigrams"), 4)
-    docs.select(col("doc_id"))
-      .join(scored, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("total_bits"), lit(0L)).as("total_bits"),
-        when(col("n_bigrams") > 0, avg).as("avg_bits"),
-        coalesce(when(col("n_bigrams") > 0, avg >= SuspectBits), lit(false)).as("is_suspect"))
-      .orderBy(col("doc_id"))
-  }
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+        .localCheckpoint(true)
+    }
+
+  /** Session-scoped staged per-doc LM scores — `text_lm_score`'s complete
+    * output frame, staged so its three registered consumers
+    * (`text_perplexity_buckets`, `sample_curriculum`, and the score query
+    * itself) run the add-one model ONCE per (corpus, fingerprint) per
+    * session instead of once per consumer. */
+  private[graft] def stagedScored(s: SparkSession, dir: String): DataFrame =
+    graft.StagedArtifacts.stage(s, s"text/lmScored#$dir", docFp(s, dir)) {
+      val inst = stagedBigrams(s, dir)
+      val v = inst.select(substring_index(col("bg"), " ", -1).as("w2")).distinct().count()
+      val cbg = inst.groupBy(col("bg")).agg(count(lit(1)).as("cbg"))
+      val cw = inst.groupBy(col("w1")).agg(count(lit(1)).as("cw"))
+      val scored = inst.join(cbg, Seq("bg")).join(cw, Seq("w1"))
+        .withColumn("bits", length(bin(expr(s"(cw + ${v}L) div (cbg + 1L)"))) - 1)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).cast("long").as("total_bits"))
+      val avg = round(col("total_bits").cast("double") / col("n_bigrams"), 4)
+      Tables.documents(s, dir).select(col("doc_id"))
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("total_bits"), lit(0L)).as("total_bits"),
+          when(col("n_bigrams") > 0, avg).as("avg_bits"),
+          coalesce(when(col("n_bigrams") > 0, avg >= SuspectBits), lit(false)).as("is_suspect"))
+        .localCheckpoint(true)
+    }
+
+  def lmScore(s: SparkSession, dir: String): DataFrame =
+    stagedScored(s, dir).orderBy(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_lm_score" -> (lmScore _))

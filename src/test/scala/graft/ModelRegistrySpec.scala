@@ -22,7 +22,7 @@ class ModelRegistrySpec extends AnyFunSuite {
     m
   }
 
-  test("all fourteen artifacts present; fingerprints recompute through the public seams") {
+  test("all sixteen artifacts present; fingerprints recompute through the public seams") {
     val got = snapshot()
     assert(got.keySet == Set(
       "classifier/quality_weights", "embedding/kmeans_centroids",
@@ -30,7 +30,8 @@ class ModelRegistrySpec extends AnyFunSuite {
       "dedup/sketch", "dedup/pairCounts", "dedup/invIndex",
       "dedupClusters/verifiedPairs",
       "graph/vertices", "graph/citation", "graph/simpleEdges",
-      "graph/adjacency", "graph/directedSimple"), got.keySet)
+      "graph/adjacency", "graph/directedSimple",
+      "text/lmBigrams", "text/lmScored"), got.keySet)
     // classifier weights: fingerprint = md5 of the broadcast array
     val w = text.QualityClassifier.modelFor(spark, sf)
     assert(got("classifier/quality_weights")._2 == md5hex(w.mkString("|")))
@@ -41,7 +42,8 @@ class ModelRegistrySpec extends AnyFunSuite {
     Seq("dedup/sketch", "dedup/pairCounts", "dedup/invIndex",
       "dedupClusters/verifiedPairs",
       "graph/vertices", "graph/citation", "graph/simpleEdges",
-      "graph/adjacency", "graph/directedSimple").foreach { r =>
+      "graph/adjacency", "graph/directedSimple",
+      "text/lmBigrams", "text/lmScored").foreach { r =>
       assert(got(r)._1 == "staged_rung" && got(r)._2 == rungFp, r)
     }
     assert(got("dedup/sketch")._3 ==
@@ -63,6 +65,7 @@ class ModelRegistrySpec extends AnyFunSuite {
     // supersede the in-memory rungs so they rebuild through the disk path
     StagedArtifacts.clear("dedup")
     StagedArtifacts.clear("graph/")
+    StagedArtifacts.clear("text/lm")
     try {
       val disk = snapshot()
       assert(disk.keySet == mem.keySet)
@@ -84,7 +87,8 @@ class ModelRegistrySpec extends AnyFunSuite {
     } finally {
       spark.conf.unset("spark.graft.stageDir")
       StagedArtifacts.clear("dedup")
-    StagedArtifacts.clear("graph/")
+      StagedArtifacts.clear("graph/")
+      StagedArtifacts.clear("text/lm")
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
         f.delete(): Unit
@@ -110,11 +114,11 @@ class ModelRegistrySpec extends AnyFunSuite {
       masked.mkString("|")
     }.toSeq.sorted
     val md5 = md5hex(rendered.mkString("\n"))
-    assert(rows.length == 14, s"row count drifted: ${rows.length}")
+    assert(rows.length == 16, s"row count drifted: ${rows.length}")
     assert(rendered.contains(
       "classifier/quality_weights|logreg_weights|da9e10ffd96b2fad8e9d4fbed722afcc|67|memory"),
       s"anchor row vanished — rows now: ${rendered.take(3)}")
-    assert(md5 == "078939af576f8aa830692962b5ecd691", // re-captured: +5 graph rungs
+    assert(md5 == "ff0f698124f10404ac699b50306430a8", // re-captured: +5 graph, +2 LM rungs
       s"complete-output digest drifted ($md5); if the change is a DELIBERATE " +
         "semantic update, re-capture the frozen values")
   }
