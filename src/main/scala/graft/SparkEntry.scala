@@ -65,7 +65,7 @@ object SparkEntry {
       sim.AnnIvfPq.oracles ++ sim.AnnCellStats.oracles ++
       sim.Kmeans.oracles ++ sim.KCenter.oracles ++ sim.QuantizeInt8.oracles ++
       sim.BinaryEmb.oracles ++ sim.RecallEval.oracles ++
-      multimodal.MultimodalQueries.oracles ++ multimodal.Keyframes.oracles ++ multimodal.AlignScore.oracles ++ multimodal.RetrievalEval.oracles ++
+      multimodal.MultimodalQueries.oracles ++ multimodal.Keyframes.oracles ++ multimodal.AlignScore.oracles ++ multimodal.RetrievalEval.oracles ++ multimodal.PhashNearDup.oracles ++
       sim.VectorOps.oracles ++ streaming.StreamQueries.oracles ++
       streaming.StreamDedup.oracles ++ streaming.StreamAnomaly.oracles ++
       streaming.StreamTopK.oracles ++ streaming.StreamCdcApply.oracles ++

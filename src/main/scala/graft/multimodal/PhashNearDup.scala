@@ -20,10 +20,17 @@ import graft.Tables
   * change is the fingerprint expression's input (decoded raster instead of
   * raw payload); the banding, join, and verify are media-agnostic.
   *
-  * Rows-only for the driver (the fingerprint loop is not SQL-expressible);
-  * PhashNearDupSpec pins that near-identical payloads pair and distinct
-  * ones don't, and that the hash survives value edits, insertions, and
-  * truncations.
+  * Oracle (MODEL-AS-LITERAL, the `dedup_cdc_chunks` precedent): the
+  * PHash64 fingerprint loop is not SQL-expressible (why the op was
+  * rows-only through r13), but the 64-bit digest per payload is
+  * deterministic given the bytes. At dump time the per-doc digests are
+  * read off the engine's own compiled expression and interpolated as
+  * VALUES; DuckDB then INDEPENDENTLY replays everything downstream —
+  * 4-band pigeonhole explode, 16-bit band keys, the band equi-join,
+  * distinct pairs, `bit_count(xor)` Hamming, and the ≤3 threshold — so
+  * the whole candidate-generation + verify chain is hash-checked
+  * cross-engine. The fingerprint recurrence itself stays covered by
+  * PhashNearDupSpec's replica + the frozen canary.
   */
 object PhashNearDup {
 
@@ -64,4 +71,39 @@ object PhashNearDup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_phash_neardup" -> (phashPairs _))
+
+  /** Dump-time digest table → VALUES; see the class doc. */
+  private def phashOracleSql(s: SparkSession, dir: String): String = {
+    graft.functions.HashExprs.register(s)
+    val digests = Tables.documents(s, dir)
+      .filter(octet_length(encode(col("text"), "UTF-8")) >= MinPayloadBytes)
+      .select(col("doc_id"),
+        graft.functions.HashExprs.phash64(encode(col("text"), "UTF-8")).as("phash"))
+      .collect()
+    if (digests.isEmpty)
+      return """SELECT NULL::BIGINT AS a_id, NULL::BIGINT AS b_id,
+                | NULL::BIGINT AS hamming WHERE 1=0""".stripMargin
+    // ::HUGEINT::BIGINT: a digest of exactly Long.MinValue would otherwise
+    // fail DuckDB's literal parse (unary minus binds after the BIGINT cast
+    // and |MinValue| overflows); via HUGEINT the negate happens in range
+    val values = digests
+      .map(r => s"(${r.getLong(0)},${r.getLong(1)}::HUGEINT::BIGINT)").mkString(",")
+    s"""WITH ph(doc_id, phash) AS (VALUES $values),
+       |bb AS (SELECT doc_id, phash, band,
+       |  ((phash >> (band * 16)::INT) & 65535) AS bkey
+       | FROM ph, (SELECT unnest(range(0, 4))::INT AS band) bs),
+       |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+       | FROM bb a JOIN bb b ON a.band = b.band AND a.bkey = b.bkey
+       |  AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, hamming FROM pairs
+       |WHERE hamming <= $MaxHamming
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  def oracles: Map[String, String] = Map(
+    "mm_phash_neardup" -> (graft.OracleContext.get match {
+      case None => graft.OracleContext.Placeholder
+      case Some((s, dir)) => phashOracleSql(s, dir)
+    }))
 }
