@@ -30,7 +30,7 @@ object SparkEntry {
       sim.VectorOps.queries ++ sim.Kmeans.queries ++ sim.Pca.queries ++ sim.Whiten.queries ++ sim.KCenter.queries ++
       sim.QuantizeInt8.queries ++ sim.BinaryEmb.queries ++ sim.RecallEval.queries ++
       multimodal.MultimodalQueries.queries ++ multimodal.PhashNearDup.queries ++ multimodal.Keyframes.queries ++ multimodal.AlignScore.queries ++ multimodal.RetrievalEval.queries ++
-      streaming.StreamQueries.queries ++
+      streaming.StreamQueries.queries ++ streaming.StreamLateData.queries ++
       streaming.StreamDedup.queries ++ streaming.StreamNearDup.queries ++
       streaming.StreamAnomaly.queries ++ streaming.StreamTopK.queries ++
       streaming.StreamCdcApply.queries ++ streaming.StreamCep.queries ++
@@ -66,7 +66,7 @@ object SparkEntry {
       sim.Kmeans.oracles ++ sim.KCenter.oracles ++ sim.QuantizeInt8.oracles ++
       sim.BinaryEmb.oracles ++ sim.RecallEval.oracles ++
       multimodal.MultimodalQueries.oracles ++ multimodal.Keyframes.oracles ++ multimodal.AlignScore.oracles ++ multimodal.RetrievalEval.oracles ++ multimodal.PhashNearDup.oracles ++
-      sim.VectorOps.oracles ++ streaming.StreamQueries.oracles ++
+      sim.VectorOps.oracles ++ streaming.StreamQueries.oracles ++ streaming.StreamLateData.oracles ++
       streaming.StreamDedup.oracles ++ streaming.StreamAnomaly.oracles ++
       streaming.StreamTopK.oracles ++ streaming.StreamCdcApply.oracles ++
       streaming.StreamCep.oracles ++ streaming.StreamDistinct.oracles ++
