@@ -39,7 +39,7 @@ object SparkEntry {
       timeseries.RollingQuantile.queries ++ timeseries.Lttb.queries ++ timeseries.MannKendall.queries ++ timeseries.TheilSen.queries ++ timeseries.HoltWinters.queries ++ timeseries.Periodogram.queries ++ timeseries.MatrixProfile.queries ++
       stats.SketchQueries.queries ++ stats.HeavyHitters.queries ++ stats.KmvSketch.queries ++
       stats.Correlation.queries ++ stats.CountMin.queries ++ stats.Concentration.queries ++ stats.MannWhitney.queries ++
-      stats.Hll.queries ++ stats.Bootstrap.queries ++ stats.Linreg.queries ++ stats.Anova.queries ++ text.Collocations.queries ++
+      stats.Hll.queries ++ stats.Bootstrap.queries ++ stats.Linreg.queries ++ stats.Anova.queries ++ text.Collocations.queries ++ text.Fertility.queries ++
       graph.PageRank.queries ++ graph.Triangles.queries ++ graph.Neighbors.queries ++
       graph.Bfs.queries ++ graph.KCore.queries ++ graph.Hits.queries ++
       graph.LabelProp.queries ++ graph.Components.queries ++ graph.Modularity.queries ++ graph.Assortativity.queries ++ graph.Scc.queries ++ graph.Reciprocity.queries ++ graph.Closeness.queries ++ graph.Coreness.queries ++ graph.Betweenness.queries ++ graph.Anf.queries ++
@@ -56,7 +56,7 @@ object SparkEntry {
       text.TextQueries.oracles ++ text.ImportanceResample.oracles ++ text.SampleSplit.oracles ++ text.PpsSample.oracles ++ text.HashEmbed.oracles ++
       text.Reservoir.oracles ++ text.KnCounts.oracles ++ text.KnScore.oracles ++
       text.PiiScrub.oracles ++ text.BpeTrain.oracles ++ text.UnigramTrain.oracles ++ text.NgramNovelty.oracles ++ text.EpochAlloc.oracles ++ text.Curriculum.oracles ++ sim.Pca.oracles ++ sim.Whiten.oracles ++ text.LmScore.oracles ++ text.PerplexityBuckets.oracles ++ text.LmEval.oracles ++ text.MixEval.oracles ++ text.ZipfFit.oracles ++
-      text.QualityClassifier.oracles ++
+      text.QualityClassifier.oracles ++ text.Fertility.oracles ++
       text.CorpusPipeline.oracles ++ dedup.DedupQueries.oracles ++
       dedup.DedupClusters.oracles ++ dedup.MinHashLsh.oracles ++
       dedup.SimHash.oracles ++ dedup.IncrementalNearDup.oracles ++
