@@ -42,7 +42,7 @@ object SparkEntry {
       stats.Hll.queries ++ stats.Bootstrap.queries ++ stats.Linreg.queries ++ stats.Anova.queries ++ text.Collocations.queries ++ text.Fertility.queries ++
       graph.PageRank.queries ++ graph.Triangles.queries ++ graph.Neighbors.queries ++
       graph.Bfs.queries ++ graph.KCore.queries ++ graph.Hits.queries ++
-      graph.LabelProp.queries ++ graph.Components.queries ++ graph.Modularity.queries ++ graph.Assortativity.queries ++ graph.Scc.queries ++ graph.Reciprocity.queries ++ graph.Closeness.queries ++ graph.Coreness.queries ++ graph.Betweenness.queries ++ graph.Anf.queries ++
+      graph.LabelProp.queries ++ graph.Louvain.queries ++ graph.Components.queries ++ graph.Modularity.queries ++ graph.Assortativity.queries ++ graph.Scc.queries ++ graph.Reciprocity.queries ++ graph.Closeness.queries ++ graph.Coreness.queries ++ graph.Betweenness.queries ++ graph.Anf.queries ++
       analytics.FunnelQueries.queries ++ ModelRegistry.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -78,6 +78,6 @@ object SparkEntry {
       stats.Hll.oracles ++ stats.Bootstrap.oracles ++ stats.Linreg.oracles ++ stats.Anova.oracles ++ text.Collocations.oracles ++
       graph.PageRank.oracles ++ graph.Triangles.oracles ++ graph.Neighbors.oracles ++
       graph.Bfs.oracles ++ graph.KCore.oracles ++ graph.Hits.oracles ++
-      graph.LabelProp.oracles ++ graph.Components.oracles ++ graph.Modularity.oracles ++ graph.Assortativity.oracles ++ graph.Scc.oracles ++ graph.Reciprocity.oracles ++ graph.Closeness.oracles ++ graph.Coreness.oracles ++ graph.Betweenness.oracles ++ graph.Anf.oracles ++
+      graph.LabelProp.oracles ++ graph.Louvain.oracles ++ graph.Components.oracles ++ graph.Modularity.oracles ++ graph.Assortativity.oracles ++ graph.Scc.oracles ++ graph.Reciprocity.oracles ++ graph.Closeness.oracles ++ graph.Coreness.oracles ++ graph.Betweenness.oracles ++ graph.Anf.oracles ++
       analytics.FunnelQueries.oracles ++ ModelRegistry.oracles
 }
