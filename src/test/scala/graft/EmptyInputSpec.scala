@@ -29,7 +29,7 @@ class EmptyInputSpec extends AnyFunSuite {
   private val risky = Seq(
     "text_chunk", "dedup_spans", "etl_scd2", "q11_funnel", "q12_retention",
     "ts_resample", "ts_moving_avg", "etl_pivot", "etl_backlog_check",
-    "stream_late_data", "text_tokenizer_fertility", "graph_louvain",
+    "stream_late_data", "text_tokenizer_fertility", "graph_louvain", "ann_knn_graph",
     "text_pack", "text_ngram_freq", "etl_zorder", "stats_histogram",
     "q14_skew_agg", "emb_project", "emb_normalize", "q10_cube", "text_bpe_vocab",
     "etl_zone_multi", "etl_ingest_bloom", "stats_heavy_hitters",

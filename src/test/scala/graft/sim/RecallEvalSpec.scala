@@ -17,9 +17,10 @@ class RecallEvalSpec extends AnyFunSuite {
   private val methodToKey = Map(
     "ivf" -> "ann_ivf", "lsh" -> "ann_lsh_bucketed",
     "multiprobe" -> "ann_multiprobe", "pq" -> "ann_pq",
-    "ivfpq" -> "ann_ivfpq", "hamming" -> "ann_hamming_rerank")
+    "ivfpq" -> "ann_ivfpq", "hamming" -> "ann_hamming_rerank",
+    "knngraph" -> "ann_knn_graph")
 
-  test("recall replays from the evaluated operators' own outputs, all six variants") {
+  test("recall replays from the evaluated operators' own outputs, all seven variants") {
     def pairs(name: String): Map[Long, Set[Long]] =
       SparkEntry.queries(name)(spark, sf).collect()
         .map(r => (r.getLong(0), r.getLong(1)))
