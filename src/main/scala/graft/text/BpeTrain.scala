@@ -50,18 +50,64 @@ object BpeTrain {
     * threshold or lean on the frequency floor, which is the bound that
     * actually shrinks the table. */
   def wordCounts(s: SparkSession, dir: String, minFreq: Long = MinWordFreq,
-                 maxWords: Int = MaxDictWords): Array[(String, Long)] =
-    Tables.documents(s, dir)
-      .select(explode(split(col("text"), "\\s+")).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy(col("word")).agg(count(lit(1)).as("n"))
-      .filter(col("n") >= minFreq)
-      .orderBy(col("n").desc, col("word")).limit(maxWords)
-      .collect().map(r => r.getString(0) -> r.getLong(1))
+                 maxWords: Int = MaxDictWords): Array[(String, Long)] = {
+    def compute(): Array[(String, Long)] =
+      Tables.documents(s, dir)
+        .select(explode(split(col("text"), "\\s+")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= minFreq)
+        .orderBy(col("n").desc, col("word")).limit(maxWords)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+    // the DEFAULT dictionary memoizes per (corpus, content fingerprint) —
+    // the Kmeans.trainedCentroids discipline: five registered consumers
+    // (bpe vocab/apply, unigram vocab/apply, tokenizer fertility) plus
+    // their dump-time oracles each need it, and re-collecting the same
+    // distributed dictionary per consumer is the redundant corpus pass a
+    // shared trained artifact exists to remove. Non-default bounds (spec
+    // probes) compute directly.
+    if (minFreq == MinWordFreq && maxWords == MaxDictWords)
+      memo(s"dict#$dir", docFp(s, dir))(compute())
+    else compute()
+  }
 
-  /** The learned merge list, most-frequent first. */
+  /** The learned merge list, most-frequent first (memoized with the
+    * dictionary — `learn` is pure CPU over it, run once per corpus). */
   def trainMerges(s: SparkSession, dir: String): Seq[(String, String)] =
-    learn(wordCounts(s, dir), NumMerges)
+    memo(s"merges#$dir", docFp(s, dir))(learn(wordCounts(s, dir), NumMerges))
+
+  // ---- session memo for trained tokenizer artifacts (driver-sized) ----
+  private final class Entry[T](val fingerprint: String, build0: () => T) {
+    private var built: Option[T] = None
+    def value: T = synchronized {
+      if (built.isEmpty) built = Some(build0())
+      built.get
+    }
+  }
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Entry[_]]()
+
+  def clearTokenizerCache(): Unit = cache.clear()
+
+  private[text] def docFp(s: SparkSession, dir: String): String =
+    graft.sources.TableFingerprint.of(s, s"$dir/documents.parquet")
+
+  /** Supersede-memo (the [[graft.StagedArtifacts]] Entry discipline, driver
+    * arrays instead of executor blocks): same key + fingerprint → the
+    * built artifact; a rewritten corpus replaces the stale entry. */
+  private[text] def memo[T](key: String, fp: String)(build: => T): T = {
+    while (true) {
+      val cur = cache.get(key)
+      if (cur != null && cur.fingerprint == fp)
+        return cur.asInstanceOf[Entry[T]].value
+      val fresh = new Entry[T](fp, () => build)
+      val installed =
+        if (cur == null) cache.putIfAbsent(key, fresh) == null
+        else cache.replace(key, cur, fresh)
+      if (installed) return fresh.value
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** Pure merge loop over the (word, count) dictionary. */
   def learn(wordCounts: Array[(String, Long)], rounds: Int): Seq[(String, String)] = {
@@ -112,7 +158,7 @@ object BpeTrain {
 
   private[text] def bpeVocabImpl(s: SparkSession, dir: String, mapLiteralMax: Int): DataFrame = {
     val dict = wordCounts(s, dir)
-    val merges = learn(dict, NumMerges)
+    val merges = trainMerges(s, dir)
     val ws = split(col("text"), "\\s+")
     val docs = Tables.documents(s, dir).select(col("doc_id"), ws.as("w"))
     val compression =
@@ -178,7 +224,7 @@ object BpeTrain {
     * vocab-op consistency identity. */
   def bpeApply(s: SparkSession, dir: String): DataFrame = {
     val dict = wordCounts(s, dir)
-    val merges = learn(dict, NumMerges)
+    val merges = trainMerges(s, dir)
     val wordSyms = dict.map { case (w, _) => w -> symbolsOf(w, merges) }
     val vocab = wordSyms.iterator.flatMap(_._2).toSet.toSeq.sorted
     val ids = vocab.iterator.zipWithIndex.map { case (t, i) => t -> i.toLong }.toMap
@@ -244,7 +290,7 @@ object BpeTrain {
       case None => graft.OracleContext.Placeholder
       case Some((s, dir)) =>
         val dict = wordCounts(s, dir)
-        val merges = learn(dict, NumMerges)
+        val merges = trainMerges(s, dir)
         val wordSyms = dict.map { case (w, _) => w -> symbolsOf(w, merges) }
         val vocab = wordSyms.iterator.flatMap(_._2).toSet.toSeq.sorted
         val ids = vocab.iterator.zipWithIndex.map { case (t, i) => t -> i.toLong }.toMap

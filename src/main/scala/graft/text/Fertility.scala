@@ -41,15 +41,16 @@ object Fertility {
 
   /** The shared dictionary with both tokenizers' per-word token counts —
     * (word, n_bytes, bpe_n, uni_n), driver-sized by the trainer bounds. */
-  private def wordTokenCounts(s: SparkSession, dir: String): Seq[(String, Long, Long)] = {
-    val dict = BpeTrain.wordCounts(s, dir)
-    val merges = BpeTrain.learn(dict, BpeTrain.NumMerges)
-    val model = UnigramTrain.train(dict)
-    val lp = model.map { case (p, (_, l)) => p -> l }
-    dict.toSeq.map { case (w, _) =>
-      (w, BpeTrain.tokensOf(w, merges), UnigramTrain.viterbi(w, lp).length.toLong)
+  private def wordTokenCounts(s: SparkSession, dir: String): Seq[(String, Long, Long)] =
+    BpeTrain.memo(s"fertility#$dir", BpeTrain.docFp(s, dir)) {
+      val dict = BpeTrain.wordCounts(s, dir)
+      val merges = BpeTrain.trainMerges(s, dir)
+      val model = UnigramTrain.trainedModel(s, dir)
+      val lp = model.map { case (p, (_, l)) => p -> l }
+      dict.toSeq.map { case (w, _) =>
+        (w, BpeTrain.tokensOf(w, merges), UnigramTrain.viterbi(w, lp).length.toLong)
+      }
     }
-  }
 
   def fertility(s: SparkSession, dir: String): DataFrame = {
     val counts = wordTokenCounts(s, dir)

@@ -90,6 +90,12 @@ object UnigramTrain {
   }
 
   /** The EM-pruned unigram model: piece → (final count, log-prob). */
+  /** Session-memoized EM model (the BpeTrain tokenizer-memo discipline):
+    * three registered consumers plus dump-time oracles share one train. */
+  private[text] def trainedModel(s: SparkSession, dir: String): Map[String, (Long, Double)] =
+    BpeTrain.memo(s"uniModel#$dir", BpeTrain.docFp(s, dir))(
+      train(BpeTrain.wordCounts(s, dir)))
+
   def train(dict: Array[(String, Long)]): Map[String, (Long, Double)] = {
     if (dict.isEmpty) return Map.empty
     val singles: Set[String] = dict.flatMap(_._1.map(_.toString)).toSet
@@ -136,7 +142,7 @@ object UnigramTrain {
   def unigramVocab(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val dict = BpeTrain.wordCounts(s, dir)
-    val model = train(dict)
+    val model = trainedModel(s, dir)
     if (model.isEmpty)
       return Seq.empty[(Long, String, Long, Long)]
         .toDF("rank", "piece", "logprob_i", "n_uses")
@@ -189,7 +195,7 @@ object UnigramTrain {
   def unigramApply(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val dict = BpeTrain.wordCounts(s, dir)
-    val model = train(dict)
+    val model = trainedModel(s, dir)
     val lp = model.map { case (p, (_, l)) => p -> l }
     // id = the published rank (unigramVocab's count-desc, piece-asc order)
     val ids = model.toSeq.sortBy { case (p, (c, _)) => (-c, p) }.zipWithIndex
@@ -234,7 +240,7 @@ object UnigramTrain {
       case None => graft.OracleContext.Placeholder
       case Some((s, dir)) =>
         val dict = BpeTrain.wordCounts(s, dir)
-        val model = train(dict)
+        val model = trainedModel(s, dir)
         val lp = model.map { case (p, (_, l)) => p -> l }
         val ids = model.toSeq.sortBy { case (p, (c, _)) => (-c, p) }.zipWithIndex
           .map { case ((p, _), r) => p -> (r.toLong + 1L) }.toMap

@@ -88,8 +88,12 @@ class Round11PlanSpec extends AnyFunSuite {
 
   test("text_lm_eval: split CASE pre-explode, uniform-key model joins, no NLJ") {
     val p = plan("text_lm_eval")
-    assert(p.contains("InMemoryTableScan"), "train counts and scoring share the cached bigram pass")
+    // r14: the bigram pass is the staged LM rung (a materialized
+    // checkpoint shared with text_lm_score), not a per-query cache
+    assert(p.contains("Scan ExistingRDD") || p.contains("InMemoryTableScan"),
+      "train counts and scoring share one materialized bigram pass")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    graft.text.LmScore.clearLmCache()
   }
 
   test("stats_bootstrap: pruned scan, no fact join — CI joins only |types|-row aggregates") {
