@@ -122,6 +122,12 @@ object ModelRegistry {
     rung("text/lmBigrams", text.LmScore.stagedBigrams(s, dir))
     rung("text/lmScored", text.LmScore.stagedScored(s, dir))
 
+    // staged knn graph (r14): keyed on the EMBEDDINGS fingerprint — the
+    // one rung whose corpus is the vector table, not documents
+    val embFp = md5hex(sources.TableFingerprint.of(s, s"$dir/embeddings.parquet"))
+    rows += (("sim/knnGraph", "staged_rung", embFp,
+      sim.AnnKnnGraph.queries("ann_knn_graph")(s, dir).count(), rungStorage))
+
     rows.toSeq.toDF("artifact", "kind", "fingerprint", "n_items", "storage")
       .orderBy(col("artifact"))
   }

@@ -65,7 +65,22 @@ object AnnKnnGraph {
       .select(col("q_id"), col("n_id"), col("rank"), col("cosine"))
   }
 
-  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+  /** Explicit invalidation for the staged knn-graph artifact. */
+  def clearKnnCache(): Unit = graft.StagedArtifacts.clear("sim/knnGraph")
+
+  /** The graph is a session-staged ARTIFACT (the family-ladder discipline):
+    * NN-descent is the engine's most expensive single build (~6.6 s at
+    * sf0.1), and `ann_recall_eval` re-runs the registered query as its
+    * seventh audited surface — without staging, the whole descent ran
+    * twice per session. One materialization per (corpus, fingerprint);
+    * supersede evicts on rewrite. */
+  def knnGraph(s: SparkSession, dir: String): DataFrame =
+    graft.StagedArtifacts.stage(s, s"sim/knnGraph#$dir",
+      graft.sources.TableFingerprint.of(s, s"$dir/embeddings.parquet")) {
+      buildKnnGraph(s, dir).localCheckpoint(true)
+    }.orderBy(col("q_id"), col("rank"))
+
+  private def buildKnnGraph(s: SparkSession, dir: String): DataFrame = {
     HashExprs.register(s)
     // persist: the embedding frame feeds the band index + every round's
     // candidate re-score (two joins per round)
@@ -130,8 +145,9 @@ object AnnKnnGraph {
         knn = topK(scored, SearchK).localCheckpoint(true)
       }
       // emit the OUTPUT k: the search width (SearchK) is wider than the
-      // published list, the standard efSearch > k practice
-      knn.filter(col("rank") <= K).orderBy(col("q_id"), col("rank"))
+      // published list, the standard efSearch > k practice (the rung
+      // stores this unordered; the query entry sorts)
+      knn.filter(col("rank") <= K)
     }
   }
 
