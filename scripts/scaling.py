@@ -30,14 +30,20 @@ for op in ("dedup_exact dedup_ngram_jaccard dedup_edit_distance dedup_containmen
            # corpus-heavy operators join the measurement set the round they land
            "text_kn_score text_ngram_novelty text_perplexity_buckets "
            "text_pii_scrub graph_closeness graph_reciprocity "
-           "mm_keyframe_select").split():
+           "mm_keyframe_select "
+           # round-14 additions
+           "graph_louvain text_tokenizer_fertility text_lm_score").split():
     TABLE_OF[op] = "documents"
 for op in ("ann_topk_brute ann_lsh_bucketed ann_multiprobe ann_ivf ann_pq "
            "ann_ivfpq ann_hamming_rerank ann_range_search emb_kmeans "
-           "dedup_semantic dedup_embedding_cosine dedup_embedding_lsh").split():
+           "dedup_semantic dedup_embedding_cosine dedup_embedding_lsh "
+           # round-14 additions
+           "ann_knn_graph").split():
     TABLE_OF[op] = "embeddings"
 for op in ("etl_geo_cluster stats_bootstrap "
-           "ts_periodogram ts_holtwinters stats_linreg").split():
+           "ts_periodogram ts_holtwinters stats_linreg "
+           # round-14 additions
+           "stream_late_data").split():
     TABLE_OF[op] = "events"
 
 
