@@ -30,7 +30,12 @@ import org.apache.spark.sql.functions._
   * gives five full even/odd sweeps — measured on the corpus graph, the
   * ascent passes `graph_labelprop`'s modularity there (0.0234 vs 0.0203
   * at sf0.001; LouvainSpec audits the inequality through the registered
-  * `graph_modularity` scorer).
+  * `graph_modularity` scorer). `converged` therefore witnesses ONE FULL
+  * even/odd sweep: the final labels are compared against pass
+  * [[Passes]]−2 (two passes back), because the last single pass only
+  * lets one color class move — a one-pass witness would report even
+  * nodes converged without their turn ever being re-taken (the r14
+  * ADVICE finding).
   *
   * EXACT INTEGER GAIN: moving node i (degree ki) to community C under
   * total edge count m maximizes ΔQ iff it maximizes
@@ -74,8 +79,12 @@ object Louvain {
     graft.InterpretedLoop.run(s, docs.count()) {
       var labels = docs.select(col("doc_id").as("node"), col("doc_id").as("c"))
         .localCheckpoint(true)
-      var prev = labels // pass P-1 assignment, the convergence witness
+      // convergence witness: labels TWO passes back (one full even/odd
+      // sweep — both color classes have re-taken their turn since)
+      var prev = labels
+      var prev2 = labels
       for (k <- 1 to Passes) {
+        prev2 = prev
         prev = labels
         val tot = labels.join(deg, Seq("node"))
           .groupBy(col("c")).agg(sum(col("ki")).as("tot"))
@@ -107,7 +116,7 @@ object Louvain {
       }
       val sizes = labels.groupBy(col("c")).agg(count(lit(1)).as("community_size"))
       labels.join(sizes, Seq("c"))
-        .join(prev.select(col("node"), col("c").as("c_prev")), Seq("node"))
+        .join(prev2.select(col("node"), col("c").as("c_prev")), Seq("node"))
         .select(col("node").as("doc_id"), col("c").as("community"),
           col("community_size"), (col("c_prev") === col("c")).as("converged"))
         .orderBy(col("doc_id"))
@@ -154,7 +163,7 @@ object Louvain {
          |SELECT l.node AS doc_id, l.c AS community, sz.community_size,
          | (lp.c = l.c) AS converged
          |FROM l$Passes l JOIN sz ON sz.c = l.c
-         |JOIN l${Passes - 1} lp ON lp.node = l.node
+         |JOIN l${Passes - 2} lp ON lp.node = l.node
          |ORDER BY doc_id""".stripMargin
     })
 }

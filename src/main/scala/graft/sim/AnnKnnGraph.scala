@@ -32,13 +32,17 @@ import graft.functions.HashExprs
   *     enters round 0 with ~K candidates even where LSH buckets are sparse
   *     (a small or high-entropy corpus) — descent cannot climb out of a
   *     disconnected start. Colliding pairs score round-4 cosine; each node
-  *     keeps its top-[[K]] by (cosine desc, id).
+  *     keeps its top-[[SearchK]] by (cosine desc, id) — the internal
+  *     search width is 2K (the efSearch > k practice; measured, the wide
+  *     internal list is what lifts recall 0.73 → 0.95+).
   *   - Rounds 1..[[Rounds]]: neighbor-of-neighbor refinement. B(i) =
-  *     knn(i) ∪ rknn(i) with the REVERSE list capped at K by the same
+  *     knn(i) ∪ rknn(i) with BOTH lists capped at [[SearchK]] by the same
   *     total order (Dong et al.'s reverse sampling made deterministic), so
-  *     the join fan is ≤ (2K)² per node — 4K²·n candidate mass per round,
-  *     linear by construction. Candidates re-score and each node re-keeps
-  *     its top-K.
+  *     the join fan is ≤ (2·SearchK)² per node — 4·SearchK²·n candidate
+  *     mass per round, linear by construction (the honest bound; SURVEY §2
+  *     #25n states the same one). Candidates re-score and each node
+  *     re-keeps its top-SearchK; only the final round publishes the
+  *     top-[[K]].
   *
   * Every decision uses the (round-4 cosine desc, id asc) total order, so
   * the whole recurrence is bit-stable under any partitioning and replays

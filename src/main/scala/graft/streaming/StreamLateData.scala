@@ -40,7 +40,14 @@ import graft.Tables
   * triggers, the `sample_pps_systematic` bounded-single-partition class)
   * → prefix-max window on the ledger → broadcast join back to the stream
   * → one final per-type aggregate. Counts are exact integers; the ppm
-  * readout is integer floor division — bit-identical in both engines. */
+  * readout is integer floor division — bit-identical in both engines.
+  *
+  * DECLARED RANGE (the betweenness-family envelope convention): the ppm
+  * scaling computes `n_dropped · 10⁶` in BIGINT, so the contract holds
+  * for n_dropped < 2⁶³/10⁶ ≈ 9.2·10¹² dropped rows PER EVENT TYPE —
+  * ~292 years of 1 kHz full-drop arrivals; beyond it Spark (non-ANSI)
+  * would wrap where the DuckDB oracle throws. Any real ledger is orders
+  * of magnitude inside the envelope. */
 object StreamLateData {
 
   val BatchSize = 1000L

@@ -26,8 +26,13 @@ import graft.Tables
   * Readouts (one fixed-form rounding each, from exact integer masses):
   * `tokens_per_word` = n_tokens/n_words, `bytes_per_token` =
   * n_bytes/n_tokens (NULL when the language has no tokens), `premium` =
-  * (n_tokens·en_words)/(n_words·en_tokens) — integer cross-products, ONE
-  * double divide, round 4 — NULL when no English rows exist to anchor it.
+  * (n_tokens·en_words)/(n_words·en_tokens) with BOTH cross-products taken
+  * in IEEE double (cast-then-multiply, identical order both engines) —
+  * overflow-free at any corpus mass, unlike a BIGINT cross-product, which
+  * wraps silently in Spark past ~3e9 tokens per side while the DuckDB
+  * oracle throws (the r14 ADVICE divergence class); the round-4 readout
+  * absorbs the ≤2⁻⁵² relative error of the double form. NULL when no
+  * English rows exist to anchor it.
   *
   * Scale: the corpus pass is one explode + ONE broadcast word→counts join
   * (the model table is vocabulary-sized driver state, the bpe_apply
@@ -40,7 +45,8 @@ object Fertility {
   val EnLang = "en"
 
   /** The shared dictionary with both tokenizers' per-word token counts —
-    * (word, n_bytes, bpe_n, uni_n), driver-sized by the trainer bounds. */
+    * (word, bpe_n, uni_n), driver-sized by the trainer bounds (byte
+    * length is computed corpus-side). */
   private def wordTokenCounts(s: SparkSession, dir: String): Seq[(String, Long, Long)] =
     BpeTrain.memo(s"fertility#$dir", BpeTrain.docFp(s, dir)) {
       val dict = BpeTrain.wordCounts(s, dir)
@@ -84,8 +90,8 @@ object Fertility {
         when(col("n_tokens") > 0,
           round(col("n_bytes").cast("double") / col("n_tokens"), 4)).as("bytes_per_token"),
         when(col("en_tokens") > 0 && col("n_words") > 0,
-          round((col("n_tokens") * col("en_words")).cast("double") /
-            (col("n_words") * col("en_tokens")), 4)).as("premium"))
+          round((col("n_tokens").cast("double") * col("en_words")) /
+            (col("n_words").cast("double") * col("en_tokens")), 4)).as("premium"))
       .orderBy(col("tokenizer"), col("lang"))
   }
 
@@ -128,7 +134,7 @@ object Fertility {
        | CASE WHEN n_tokens > 0
        |  THEN round(n_bytes::DOUBLE / n_tokens, 4) END AS bytes_per_token,
        | CASE WHEN en_tokens > 0 AND n_words > 0
-       |  THEN round((n_tokens * en_words)::DOUBLE / (n_words * en_tokens), 4)
+       |  THEN round((n_tokens::DOUBLE * en_words) / (n_words::DOUBLE * en_tokens), 4)
        | END AS premium
        |FROM base LEFT JOIN en ON en.tokenizer = base.tokenizer
        |ORDER BY 1, 2""".stripMargin
