@@ -25,6 +25,9 @@ import org.apache.spark.sql.functions._
   *    ladder the 16 link-graph operators share (same fingerprint scheme).
   *  - `text/lmBigrams`, `text/lmScored` — the staged LM ladder shared by
   *    the four bigram-LM consumers (same fingerprint scheme).
+  *  - `sim/knnGraph`, `sim/bandIndex` — the NN-descent neighbor graph and
+  *    the hyperplane banded-signature table (five LSH consumers), keyed
+  *    on the embeddings fingerprint.
   *
   * The registry BUILDS what it reports (each artifact resolves through
   * its session memo / staging rung — already-built artifacts are free, a
@@ -122,11 +125,13 @@ object ModelRegistry {
     rung("text/lmBigrams", text.LmScore.stagedBigrams(s, dir))
     rung("text/lmScored", text.LmScore.stagedScored(s, dir))
 
-    // staged knn graph (r14): keyed on the EMBEDDINGS fingerprint — the
-    // one rung whose corpus is the vector table, not documents
+    // staged knn graph (r14) + banded signature index (r15): keyed on the
+    // EMBEDDINGS fingerprint — the rungs whose corpus is the vector table
     val embFp = md5hex(sources.TableFingerprint.of(s, s"$dir/embeddings.parquet"))
     rows += (("sim/knnGraph", "staged_rung", embFp,
       sim.AnnKnnGraph.queries("ann_knn_graph")(s, dir).count(), rungStorage))
+    rows += (("sim/bandIndex", "staged_rung", embFp,
+      sim.SimArtifacts.stagedBandIndex(s, dir).count(), rungStorage))
 
     rows.toSeq.toDF("artifact", "kind", "fingerprint", "n_items", "storage")
       .orderBy(col("artifact"))

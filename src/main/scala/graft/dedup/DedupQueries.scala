@@ -266,12 +266,9 @@ object DedupQueries {
     * design (probabilistic recall, measured vs the exact blocked pairs in
     * EmbeddingLshSpec); emitted pairs are exact (cosine verified). */
   def embeddingLsh(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.HashExprs.register(s)
-    val banded = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      .select(col("vec_id"), col("emb"),
-        posexplode(graft.functions.HashExprs.hyperplaneBands(col("emb"))))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bkey"))
+    // banded signatures come from the staged `sim/bandIndex` rung (one
+    // sign-bit pass per session across all five LSH consumers)
+    val banded = graft.sim.SimArtifacts.banded(s, dir)
     // hot-bucket cap (MinHashLsh.MaxBandBucket, the shared declared
     // metric): a bucket of near-identical embeddings is exact/semantic
     // dedup's job — excluding over-cap buckets keeps the self-join's pair

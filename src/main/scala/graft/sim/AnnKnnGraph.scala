@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Tables
 import graft.dedup.DedupQueries.cosine
 import graft.functions.HashExprs
 
@@ -86,12 +85,12 @@ object AnnKnnGraph {
 
   private def buildKnnGraph(s: SparkSession, dir: String): DataFrame = {
     HashExprs.register(s)
-    // persist: the embedding frame feeds the band index + every round's
-    // candidate re-score (two joins per round)
-    val e = graft.CacheRegistry.track(
-      Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb")))
-    val b4 = e.select(col("vec_id"), HashExprs.hyperplaneBands(col("emb")).as("b"))
+    // the sign bits come from the staged `sim/bandIndex` rung (shared
+    // with the four other LSH consumers); the embedding frame read off
+    // the same rung feeds every round's candidate re-score
+    val idx = SimArtifacts.stagedBandIndex(s, dir)
+    val e = graft.CacheRegistry.track(idx.select(col("vec_id"), col("emb")))
+    val b4 = idx.select(col("vec_id"), col("bands").as("b"))
     val banded = b4.select(col("vec_id"), posexplode(array(
         col("b").getItem(0) * 16 + col("b").getItem(1),
         col("b").getItem(2) * 16 + col("b").getItem(3))))
@@ -130,7 +129,7 @@ object AnnKnnGraph {
     graft.InterpretedLoop.run(s, e.count()) {
       var knn = topK(dir0, SearchK).localCheckpoint(true)
       for (_ <- 1 to Rounds) {
-        // reverse lists capped at K by the same total order
+        // reverse lists capped at SearchK by the same total order
         val wR = Window.partitionBy(col("n_id")).orderBy(col("cosine").desc, col("q_id"))
         val rknn = knn.withColumn("rr", row_number().over(wR)).filter(col("rr") <= SearchK)
           .select(col("n_id").as("q_id"), col("q_id").as("n_id"))

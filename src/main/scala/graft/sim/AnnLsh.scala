@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Tables
 import graft.dedup.DedupQueries.cosine
 import graft.functions.HashExprs
 
@@ -41,12 +40,9 @@ object AnnLsh {
   val NumBands = Planes / BandBits
 
   def annTopkLsh(s: SparkSession, dir: String): DataFrame = {
-    HashExprs.register(s)
-    val banded = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      .select(col("vec_id"), col("emb"),
-        posexplode(HashExprs.hyperplaneBands(col("emb"))))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bkey"))
+    // the banded signature table is the staged `sim/bandIndex` rung —
+    // one corpus scan + sign-bit pass per session, not one per consumer
+    val banded = SimArtifacts.banded(s, dir)
     val q = banded.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("band"), col("bkey"))
     val c = banded.select(col("vec_id").as("n_id"), col("emb").as("n_emb"), col("band"), col("bkey"))
@@ -82,12 +78,7 @@ object AnnLsh {
     * out ×5. Candidate recall is therefore a strict superset of
     * single-probe's (spec-pinned, along with the recall@10 ordering). */
   def annTopkMultiprobe(s: SparkSession, dir: String): DataFrame = {
-    HashExprs.register(s)
-    val banded = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      .select(col("vec_id"), col("emb"),
-        posexplode(HashExprs.hyperplaneBands(col("emb"))))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bkey"))
+    val banded = SimArtifacts.banded(s, dir)
     val q = banded.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("band"),
         explode(expr("array(bkey, bkey ^ 1, bkey ^ 2, bkey ^ 4, bkey ^ 8)")).as("bkey"))

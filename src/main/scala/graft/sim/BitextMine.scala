@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Tables
 import graft.dedup.DedupQueries.{cosine, cosineSql}
 import graft.functions.HashExprs
 
@@ -94,12 +93,10 @@ object BitextMine {
   /** The LSH-banded cross-language candidate set over the embeddings
     * table (shared by the query entry and the spec's replay). */
   private[sim] def lshCandidates(s: SparkSession, dir: String): DataFrame = {
-    HashExprs.register(s)
-    val banded = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("label"),
-        col("embedding").cast("array<double>").as("emb"))
-      .select(col("vec_id"), col("label"), col("emb"),
-        posexplode(HashExprs.hyperplaneBands(col("emb"))))
+    // the staged `sim/bandIndex` rung carries the label column exactly for
+    // this consumer (cross-language banding needs it)
+    val banded = SimArtifacts.stagedBandIndex(s, dir)
+      .select(col("vec_id"), col("label"), col("emb"), posexplode(col("bands")))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bkey"))
     val a = banded.filter(col("label") === LangA)
       .select(col("vec_id").as("src_id"), col("emb").as("src_emb"), col("band"), col("bkey"))

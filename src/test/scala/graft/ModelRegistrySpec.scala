@@ -22,7 +22,7 @@ class ModelRegistrySpec extends AnyFunSuite {
     m
   }
 
-  test("all seventeen artifacts present; fingerprints recompute through the public seams") {
+  test("all eighteen artifacts present; fingerprints recompute through the public seams") {
     val got = snapshot()
     assert(got.keySet == Set(
       "classifier/quality_weights", "embedding/kmeans_centroids",
@@ -31,7 +31,7 @@ class ModelRegistrySpec extends AnyFunSuite {
       "dedupClusters/verifiedPairs",
       "graph/vertices", "graph/citation", "graph/simpleEdges",
       "graph/adjacency", "graph/directedSimple",
-      "text/lmBigrams", "text/lmScored", "sim/knnGraph"), got.keySet)
+      "text/lmBigrams", "text/lmScored", "sim/knnGraph", "sim/bandIndex"), got.keySet)
     // classifier weights: fingerprint = md5 of the broadcast array
     val w = text.QualityClassifier.modelFor(spark, sf)
     assert(got("classifier/quality_weights")._2 == md5hex(w.mkString("|")))
@@ -48,10 +48,13 @@ class ModelRegistrySpec extends AnyFunSuite {
     }
     assert(got("dedup/sketch")._3 ==
       dedup.DedupQueries.stagedSketch(spark, sf).count())
-    // sim/knnGraph keys on the EMBEDDINGS fingerprint, not documents
-    assert(got("sim/knnGraph")._1 == "staged_rung" &&
-      got("sim/knnGraph")._2 == md5hex(
-        sources.TableFingerprint.of(spark, s"$sf/embeddings.parquet")))
+    // sim/knnGraph + sim/bandIndex key on the EMBEDDINGS fingerprint
+    val embFp = md5hex(sources.TableFingerprint.of(spark, s"$sf/embeddings.parquet"))
+    assert(got("sim/knnGraph")._1 == "staged_rung" && got("sim/knnGraph")._2 == embFp)
+    assert(got("sim/bandIndex")._1 == "staged_rung" && got("sim/bandIndex")._2 == embFp)
+    // the band index is one row per vector by construction
+    assert(got("sim/bandIndex")._3 ==
+      Tables.embeddings(spark, sf).count())
     // graph-ladder internal consistency: adjacency is exactly 2× the
     // simple edges; citation is exactly 3× the vertex count
     assert(got("graph/adjacency")._3 == 2 * got("graph/simpleEdges")._3)
@@ -71,6 +74,7 @@ class ModelRegistrySpec extends AnyFunSuite {
     StagedArtifacts.clear("graph/")
     StagedArtifacts.clear("text/lm")
     StagedArtifacts.clear("sim/knnGraph")
+    StagedArtifacts.clear("sim/bandIndex")
     try {
       val disk = snapshot()
       assert(disk.keySet == mem.keySet)
@@ -95,6 +99,7 @@ class ModelRegistrySpec extends AnyFunSuite {
       StagedArtifacts.clear("graph/")
       StagedArtifacts.clear("text/lm")
       StagedArtifacts.clear("sim/knnGraph")
+      StagedArtifacts.clear("sim/bandIndex")
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
         f.delete(): Unit
@@ -120,11 +125,11 @@ class ModelRegistrySpec extends AnyFunSuite {
       masked.mkString("|")
     }.toSeq.sorted
     val md5 = md5hex(rendered.mkString("\n"))
-    assert(rows.length == 17, s"row count drifted: ${rows.length}")
+    assert(rows.length == 18, s"row count drifted: ${rows.length}")
     assert(rendered.contains(
       "classifier/quality_weights|logreg_weights|da9e10ffd96b2fad8e9d4fbed722afcc|67|memory"),
       s"anchor row vanished — rows now: ${rendered.take(3)}")
-    assert(md5 == "9f096cdfad5638e7d5dbe2fe526b1428", // re-captured: +5 graph, +2 LM, +1 knn rungs
+    assert(md5 == "896d056ce44570bfdcc02c3adb034a86", // re-captured r15: +sim/bandIndex rung
       s"complete-output digest drifted ($md5); if the change is a DELIBERATE " +
         "semantic update, re-capture the frozen values")
   }

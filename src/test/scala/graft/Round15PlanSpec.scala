@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan pins for the round-15 operators and the staged band-index
+  * refactor — asserted at authoring time so the 100 TB-safe shapes cannot
+  * silently regress. */
+class Round15PlanSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def plan(name: String): String = {
+    val p = SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+    CacheRegistry.releaseAll()
+    p
+  }
+
+  test("staged band index: ann_lsh_bucketed reads the checkpoint, not a private sign-bit pass") {
+    val p = plan("ann_lsh_bucketed")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
+      "lsh must read the staged band-index checkpoint")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin"), "the probe set stays broadcast")
+    sim.SimArtifacts.clearBandCache()
+  }
+
+  test("staged band index: dedup_embedding_lsh self-join runs over checkpoint blocks") {
+    val p = plan("dedup_embedding_lsh")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
+      "embedding-lsh must read the staged band-index checkpoint")
+    assert(!p.contains("CartesianProduct"))
+    sim.SimArtifacts.clearBandCache()
+  }
+
+  test("staged band index: emb_bitext_mine candidate join runs over checkpoint blocks") {
+    val p = plan("emb_bitext_mine")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
+      "bitext mining must read the staged band-index checkpoint")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    sim.SimArtifacts.clearBandCache()
+  }
+}
