@@ -26,7 +26,7 @@ object SparkEntry {
       dedup.MinHashLsh.queries ++ dedup.SimHash.queries ++
       dedup.DedupClusters.queries ++ dedup.IncrementalNearDup.queries ++
       sim.SimQueries.queries ++ sim.Mmr.queries ++ sim.AnnLsh.queries ++ sim.AnnIvf.queries ++ sim.BitextMine.queries ++
-      sim.AnnPq.queries ++ sim.AnnIvfPq.queries ++ sim.AnnCellStats.queries ++ sim.AnnKnnGraph.queries ++
+      sim.AnnPq.queries ++ sim.AnnIvfPq.queries ++ sim.AnnCellStats.queries ++ sim.AnnKnnGraph.queries ++ sim.AnnGraphSearch.queries ++
       sim.VectorOps.queries ++ sim.Kmeans.queries ++ sim.Pca.queries ++ sim.Whiten.queries ++ sim.KCenter.queries ++
       sim.QuantizeInt8.queries ++ sim.BinaryEmb.queries ++ sim.RecallEval.queries ++
       multimodal.MultimodalQueries.queries ++ multimodal.PhashNearDup.queries ++ multimodal.Keyframes.queries ++ multimodal.AlignScore.queries ++ multimodal.RetrievalEval.queries ++
@@ -62,7 +62,7 @@ object SparkEntry {
       dedup.SimHash.oracles ++ dedup.IncrementalNearDup.oracles ++
       sim.SimQueries.oracles ++ sim.Mmr.oracles ++ sim.AnnLsh.oracles ++ sim.BitextMine.oracles ++
       sim.AnnIvf.oracles ++ sim.AnnPq.oracles ++
-      sim.AnnIvfPq.oracles ++ sim.AnnCellStats.oracles ++ sim.AnnKnnGraph.oracles ++
+      sim.AnnIvfPq.oracles ++ sim.AnnCellStats.oracles ++ sim.AnnKnnGraph.oracles ++ sim.AnnGraphSearch.oracles ++
       sim.Kmeans.oracles ++ sim.KCenter.oracles ++ sim.QuantizeInt8.oracles ++
       sim.BinaryEmb.oracles ++ sim.RecallEval.oracles ++
       multimodal.MultimodalQueries.oracles ++ multimodal.Keyframes.oracles ++ multimodal.AlignScore.oracles ++ multimodal.RetrievalEval.oracles ++ multimodal.PhashNearDup.oracles ++

@@ -6,41 +6,53 @@ import org.apache.spark.sql.functions._
 /** #25k `ann_recall_eval` — recall@k of EVERY approximate ANN variant the
   * engine ships against the exact brute-force ground truth, per query: THE
   * evaluation an ANN deployment runs before trusting an index (Faiss/ScaNN
-  * ship it as a first-class tool), covering all seven surfaces whose
+  * ship it as a first-class tool), covering all eight surfaces whose
   * recall/latency/memory trade drives index choice — `ann_ivf` (inverted
   * file), `ann_lsh_bucketed` (hyperplane bands), `ann_multiprobe`
   * (Hamming-1 probe fan-out), `ann_pq` (ADC over 8-byte codes),
   * `ann_ivfpq` (IVFADC residual codes), `ann_hamming_rerank` (1-bit codes
   * + exact rerank), `ann_knn_graph` (NN-descent neighbor lists,
-  * probe-restricted). recall = |approx-top-k ∩ exact-top-k| / k.
+  * probe-restricted), `ann_graph_search` (the beam walk OVER that graph).
+  * recall = |approx-top-k ∩ exact-top-k| / k.
   *
   * Drift-proof BY CONSTRUCTION: each method row re-runs the variant's OWN
   * registered query, and the DuckDB twin embeds the variant's OWN
   * registered oracle as a subquery (the `etl_run_report` one-source-of-
   * truth discipline) — the audit cannot disagree with the indexes it
   * audits, and since every chain is deterministic the recall numbers are
-  * FULLY oracle-checked (re-proving cross-engine agreement of all eight
+  * FULLY oracle-checked (re-proving cross-engine agreement of all nine
   * operators in one query). k is reported per query (=|exact top-k|, 10 on
   * any corpus of ≥11 vectors) so the ratio is well-defined on degenerate
   * corpora.
   *
-  * Scale: the eight sub-pipelines inherit their own operators' posture
+  * Scale: the nine sub-pipelines inherit their own operators' posture
   * (map-side chains, broadcast query sides); each intersection is a
-  * left-semi join on (q_id, n_id) — |queries|·k rows — and the readout a
-  * 7·|queries|-row aggregate. Evaluation adds nothing super-linear. */
+  * left-semi join on (q_id, n_id) — |queries|·k rows — and the readout an
+  * 8·|queries|-row aggregate. Evaluation adds nothing super-linear. */
 object RecallEval {
 
   /** Every approximate variant the engine ships, with its registered
-    * query fn and its registered DuckDB oracle (composed verbatim).
+    * query fn and its DuckDB oracle (composed verbatim — except the two
+    * GRAPH-BASED methods, whose shared knn-graph chain is hoisted once as
+    * the `kgfull` MATERIALIZED CTE so the descent recurrence — the
+    * heaviest chain the engine replays — is not computed twice in one
+    * audit statement; their method SQL reads that outer relation, with
+    * `ann_graph_search`'s beam chain spliced through the same
+    * [[AnnGraphSearch.searchOverSql]] text its own registered oracle
+    * uses).
     *
     * `knngraph` is the all-nodes NN-descent graph restricted to the probe
     * set — the restriction happens BEFORE any broadcast (the graph is
-    * corpus-sized; the other six surfaces are probe-bounded by
-    * construction). Its neighbor lists are k=[[AnnKnnGraph.K]]=8 long
-    * against the exact top-10 ground truth, so its recall@10 ceiling is
-    * 0.8 BY DESIGN — the honest readout of an 8-neighbor index audited at
-    * 10, not a defect. */
+    * corpus-sized; the other surfaces are probe-bounded by construction).
+    * Its neighbor lists are k=[[AnnKnnGraph.K]]=8 long against the exact
+    * top-10 ground truth, so its recall@10 ceiling is 0.8 BY DESIGN — the
+    * honest readout of an 8-neighbor index audited at 10, not a defect.
+    * `graphsearch` is the SEARCH over that same graph: its beam escapes
+    * the probe's own list, so its recall reads ≥ the knngraph row
+    * (spec-pinned) with no 0.8 ceiling. */
   val Methods: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("graphsearch", AnnGraphSearch.queries("ann_graph_search"),
+      AnnGraphSearch.searchOverSql("kgfull")),
     ("hamming", BinaryEmb.queries("ann_hamming_rerank"),
       BinaryEmb.oracles("ann_hamming_rerank")),
     ("ivf", AnnIvf.queries("ann_ivf"), AnnIvf.oracles("ann_ivf")),
@@ -48,7 +60,7 @@ object RecallEval {
     ("knngraph",
       (s: SparkSession, dir: String) =>
         AnnKnnGraph.queries("ann_knn_graph")(s, dir).filter(col("q_id") < 10),
-      s"SELECT q_id, n_id FROM (\n${AnnKnnGraph.oracles("ann_knn_graph")}\n) kgq WHERE q_id < 10"),
+      "SELECT q_id, n_id FROM kgfull WHERE q_id < 10"),
     ("lsh", AnnLsh.queries("ann_lsh_bucketed"), AnnLsh.oracles("ann_lsh_bucketed")),
     ("multiprobe", AnnLsh.queries("ann_multiprobe"), AnnLsh.oracles("ann_multiprobe")),
     ("pq", AnnPq.queries("ann_pq"), AnnPq.oracles("ann_pq")))
@@ -95,6 +107,9 @@ object RecallEval {
          |${SimQueries.oracles("ann_topk_brute")}
          |) vb),
          |kq AS MATERIALIZED (SELECT q_id, count(*)::BIGINT AS k FROM brute GROUP BY q_id),
+         |kgfull AS MATERIALIZED (SELECT q_id, n_id FROM (
+         |${AnnKnnGraph.oracles("ann_knn_graph")}
+         |) kgv),
          |$methodCtes
          |$readouts
          |ORDER BY method, q_id""".stripMargin

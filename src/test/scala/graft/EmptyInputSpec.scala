@@ -83,7 +83,9 @@ class EmptyInputSpec extends AnyFunSuite {
     // round-13 additions
     "emb_bitext_mine", "mm_align_score", "graph_betweenness",
     "mm_retrieval_eval", "sample_epoch_alloc", "sample_curriculum",
-    "stats_mannwhitney", "graph_anf", "ts_matrix_profile")
+    "stats_mannwhitney", "graph_anf", "ts_matrix_profile",
+    // round-15 additions
+    "ann_graph_search")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {

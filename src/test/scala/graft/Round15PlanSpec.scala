@@ -33,6 +33,23 @@ class Round15PlanSpec extends AnyFunSuite {
     sim.SimArtifacts.clearBandCache()
   }
 
+  test("ann_graph_search: reads the staged graph rung (no descent re-run), equi-joins only") {
+    // stage the graph first (a prior consumer in the session), then the
+    // search plan must be joins over the checkpoint — none of the
+    // descent's window/distinct subtree may reappear
+    sim.AnnKnnGraph.queries("ann_knn_graph")(spark, sf).count()
+    CacheRegistry.releaseAll()
+    val p = plan("ann_graph_search")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
+      "search must read the staged knn-graph checkpoint")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the walk is equi-join only")
+    assert(p.contains("BroadcastHashJoin"),
+      "beam and probe sides stay broadcast")
+    sim.AnnKnnGraph.clearKnnCache()
+    sim.SimArtifacts.clearBandCache()
+  }
+
   test("staged band index: emb_bitext_mine candidate join runs over checkpoint blocks") {
     val p = plan("emb_bitext_mine")
     assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),

@@ -18,9 +18,9 @@ class RecallEvalSpec extends AnyFunSuite {
     "ivf" -> "ann_ivf", "lsh" -> "ann_lsh_bucketed",
     "multiprobe" -> "ann_multiprobe", "pq" -> "ann_pq",
     "ivfpq" -> "ann_ivfpq", "hamming" -> "ann_hamming_rerank",
-    "knngraph" -> "ann_knn_graph")
+    "knngraph" -> "ann_knn_graph", "graphsearch" -> "ann_graph_search")
 
-  test("recall replays from the evaluated operators' own outputs, all seven variants") {
+  test("recall replays from the evaluated operators' own outputs, all eight variants") {
     def pairs(name: String): Map[Long, Set[Long]] =
       SparkEntry.queries(name)(spark, sf).collect()
         .map(r => (r.getLong(0), r.getLong(1)))
