@@ -24,7 +24,7 @@ object SparkEntry {
       text.CorpusPipeline.queries ++
       dedup.DedupQueries.queries ++
       dedup.MinHashLsh.queries ++ dedup.SimHash.queries ++
-      dedup.DedupClusters.queries ++ dedup.IncrementalNearDup.queries ++
+      dedup.DedupClusters.queries ++ dedup.IncrementalNearDup.queries ++ dedup.KnnSemantic.queries ++
       sim.SimQueries.queries ++ sim.Mmr.queries ++ sim.AnnLsh.queries ++ sim.AnnIvf.queries ++ sim.BitextMine.queries ++
       sim.AnnPq.queries ++ sim.AnnIvfPq.queries ++ sim.AnnCellStats.queries ++ sim.AnnKnnGraph.queries ++ sim.AnnGraphSearch.queries ++
       sim.VectorOps.queries ++ sim.Kmeans.queries ++ sim.Pca.queries ++ sim.Whiten.queries ++ sim.KCenter.queries ++
@@ -59,7 +59,7 @@ object SparkEntry {
       text.QualityClassifier.oracles ++ text.Fertility.oracles ++
       text.CorpusPipeline.oracles ++ dedup.DedupQueries.oracles ++
       dedup.DedupClusters.oracles ++ dedup.MinHashLsh.oracles ++
-      dedup.SimHash.oracles ++ dedup.IncrementalNearDup.oracles ++
+      dedup.SimHash.oracles ++ dedup.IncrementalNearDup.oracles ++ dedup.KnnSemantic.oracles ++
       sim.SimQueries.oracles ++ sim.Mmr.oracles ++ sim.AnnLsh.oracles ++ sim.BitextMine.oracles ++
       sim.AnnIvf.oracles ++ sim.AnnPq.oracles ++
       sim.AnnIvfPq.oracles ++ sim.AnnCellStats.oracles ++ sim.AnnKnnGraph.oracles ++ sim.AnnGraphSearch.oracles ++

@@ -85,7 +85,7 @@ class EmptyInputSpec extends AnyFunSuite {
     "mm_retrieval_eval", "sample_epoch_alloc", "sample_curriculum",
     "stats_mannwhitney", "graph_anf", "ts_matrix_profile",
     // round-15 additions
-    "ann_graph_search")
+    "ann_graph_search", "dedup_knn_semantic")
 
   risky.foreach { name =>
     test(s"$name returns cleanly on empty input") {
