@@ -42,7 +42,9 @@ object KnnSemantic {
   val Tau: Double = graft.sim.Kmeans.SemTau
 
   def knnSemantic(s: SparkSession, dir: String): DataFrame = {
-    val g = graft.sim.AnnKnnGraph.knnGraph(s, dir)
+    // rung read WITHOUT the presentation sort: the τ filter + distinct
+    // destroy order, so the sorted accessor's range exchange is pure waste
+    val g = graft.sim.AnnKnnGraph.knnGraphRung(s, dir)
     val edges = g.filter(col("cosine") >= Tau)
       .select(least(col("q_id"), col("n_id")).as("a"),
         greatest(col("q_id"), col("n_id")).as("b"))

@@ -67,9 +67,11 @@ object AnnGraphSearch {
     * published beam width never loses to it. */
   private[sim] def searchWith(s: SparkSession, dir: String, ef: Int): DataFrame = {
     // the graph is the staged rung (built once per session, the
-    // `ann_recall_eval` lesson); embeddings read off the band-index rung
-    val g = graft.CacheRegistry.track(
-      AnnKnnGraph.knnGraph(s, dir).select(col("q_id"), col("n_id")))
+    // `ann_recall_eval` lesson), read UNSORTED — the sorted accessor
+    // would pay the rung-wide range exchange + sort per search, and the
+    // walk's joins destroy order anyway. No persist needed: the rung is
+    // already checkpoint blocks, each hop's read is a map-side project.
+    val g = AnnKnnGraph.knnGraphRung(s, dir).select(col("q_id"), col("n_id"))
     val e = SimArtifacts.stagedBandIndex(s, dir).select(col("vec_id"), col("emb"))
     val probes = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("p_id"), col("emb").as("p_emb"))
@@ -83,13 +85,19 @@ object AnnGraphSearch {
       .unionByName(g.filter(col("q_id") < 10)
         .select(col("q_id").as("p_id"), col("n_id").as("node")))
       .distinct()
-    var beam = topEf(score(entry), ef)
+    // lineage cut per hop (the emb_mmr greedy-loop contract): each hop
+    // references the previous beam TWICE (the broadcast expand and the
+    // monotone union), so without the checkpoint the final plan holds
+    // ~2^Hops copies of the hop-0 subtree, each rebuilding its own
+    // broadcast — measured 7.3 s at sf0.1 for a ≤ probes·Ef-row beam.
+    // The beam is bounded (≤ probes·Ef rows), so the cut is O(1).
+    var beam = topEf(score(entry), ef).localCheckpoint(true)
     for (_ <- 1 to Hops) {
       val expand = g
         .join(broadcast(beam.select(col("p_id"), col("node").as("q_id"))), Seq("q_id"))
         .select(col("p_id"), col("n_id").as("node"))
       val cand = expand.unionByName(beam.select(col("p_id"), col("node"))).distinct()
-      beam = topEf(score(cand), ef)
+      beam = topEf(score(cand), ef).localCheckpoint(true)
     }
     val w = Window.partitionBy(col("p_id")).orderBy(col("cosine").desc, col("node"))
     beam.filter(col("node") =!= col("p_id"))

@@ -78,10 +78,19 @@ object AnnKnnGraph {
     * twice per session. One materialization per (corpus, fingerprint);
     * supersede evicts on rewrite. */
   def knnGraph(s: SparkSession, dir: String): DataFrame =
+    knnGraphRung(s, dir).orderBy(col("q_id"), col("rank"))
+
+  /** The staged rung WITHOUT the presentation sort — consumers that
+    * re-join / re-aggregate the edge set (`ann_graph_search`'s beam
+    * expand, `dedup_knn_semantic`'s edge filter) read this form: their
+    * own operators destroy row order anyway, but a plan built on the
+    * sorted accessor pays the rung-wide range exchange + sort per read
+    * (the optimizer cannot eliminate a sort below a persist boundary). */
+  private[graft] def knnGraphRung(s: SparkSession, dir: String): DataFrame =
     graft.StagedArtifacts.stage(s, s"sim/knnGraph#$dir",
       graft.sources.TableFingerprint.of(s, s"$dir/embeddings.parquet")) {
       buildKnnGraph(s, dir).localCheckpoint(true)
-    }.orderBy(col("q_id"), col("rank"))
+    }
 
   private def buildKnnGraph(s: SparkSession, dir: String): DataFrame = {
     HashExprs.register(s)

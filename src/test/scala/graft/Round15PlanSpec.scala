@@ -33,19 +33,25 @@ class Round15PlanSpec extends AnyFunSuite {
     sim.SimArtifacts.clearBandCache()
   }
 
-  test("ann_graph_search: reads the staged graph rung (no descent re-run), equi-joins only") {
+  test("ann_graph_search: reads the staged graph rung (no descent re-run), hops lineage-cut") {
     // stage the graph first (a prior consumer in the session), then the
-    // search plan must be joins over the checkpoint — none of the
-    // descent's window/distinct subtree may reappear
+    // search's FINAL plan must be a bounded window over the last beam
+    // CHECKPOINT — the r15 optimization cut each hop's lineage (the
+    // emb_mmr greedy-loop contract: without it the final plan held
+    // ~2^Hops copies of the hop-0 subtree, measured 7.3 s -> 2.0 s at
+    // sf0.1), so neither the descent's window/distinct subtree nor the
+    // hop joins may reappear in the returned plan.
     sim.AnnKnnGraph.queries("ann_knn_graph")(spark, sf).count()
     CacheRegistry.releaseAll()
     val p = plan("ann_graph_search")
     assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
-      "search must read the staged knn-graph checkpoint")
+      "search must read the final beam checkpoint")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "the walk is equi-join only")
-    assert(p.contains("BroadcastHashJoin"),
-      "beam and probe sides stay broadcast")
+    assert(!p.contains("Join"),
+      "hop joins run inside the per-hop checkpointed jobs, not re-inlined")
+    assert(!p.contains("rangepartitioning(q_id") || p.contains("Sort"),
+      "only the declared output sort remains")
     sim.AnnKnnGraph.clearKnnCache()
     sim.SimArtifacts.clearBandCache()
   }
