@@ -393,8 +393,17 @@ object DedupQueries {
     // directions before the per-direction denominator join
     val sym = a.join(b, Seq("g")).filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("shared"))
-    val both = sym.unionByName(
-      sym.select(col("b_id").as("a_id"), col("a_id").as("b_id"), col("shared")))
+    // both directions via a map-side explode, NOT a self-union: the union
+    // referenced `sym` twice, re-running the dominant pair join + count
+    // aggregate a second time (r15; guide §2.4 — the plan held the rare
+    // self-join subtree twice). The explode emits the swapped row in the
+    // same pass; row set identical.
+    val both = sym.select(explode(array(
+        struct(col("a_id"), col("b_id"), col("shared")),
+        struct(col("b_id").as("a_id"), col("a_id").as("b_id"), col("shared"))))
+        .as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
+        col("p.shared").as("shared"))
     both
       .join(rareN.withColumnRenamed("doc_id", "a_id"), Seq("a_id"))
       .withColumn("containment", col("shared").cast("double") / col("n_rare"))

@@ -66,6 +66,16 @@ object Anf {
   private[graph] def anfOnAdj(s: SparkSession, docs: DataFrame, adj: DataFrame): DataFrame = {
     val n = docs.count()
     graft.InterpretedLoop.run(s, n) {
+      // self-loops fold the per-round `regs ∪ join(adj, regs)` into ONE
+      // join: the (v,v) row joins v's own registers, contributing exactly
+      // the rows the union branch carried — algebraically identical input
+      // to the register-max aggregate, one fewer regs scan + union
+      // exchange per round (r15; guide §2.3 "aggregate before you
+      // shuffle" — the union branch shuffled |V|·M register rows per
+      // round that the self-loop join carries for free).
+      val adjPlus = adj.unionByName(
+          docs.select(col("doc_id").as("node"), col("doc_id").as("nb")))
+        .localCheckpoint(true)
       var regs = Hll.registers(
           docs.select(col("doc_id").as("node"), col("doc_id").as("user_id")),
           Seq("node"))
@@ -77,9 +87,8 @@ object Anf {
           .select(lit(h.toLong).as("h"), col("nf_scaled"))
       var totals = Vector(roundTotal(0, regs))
       for (h <- 1 to H) {
-        regs = regs.unionByName(
-            adj.join(regs.withColumnRenamed("node", "nb"), Seq("nb"))
-              .select(col("node"), col("bucket"), col("m_j")))
+        regs = adjPlus.join(regs.withColumnRenamed("node", "nb"), Seq("nb"))
+          .select(col("node"), col("bucket"), col("m_j"))
           .groupBy(col("node"), col("bucket")).agg(max(col("m_j")).as("m_j"))
           .localCheckpoint(true)
         totals = totals :+ roundTotal(h, regs)

@@ -81,20 +81,33 @@ object Betweenness {
       .select(col("doc_id").as("lm")).localCheckpoint(true)
     graft.InterpretedLoop.run(s, docs.count()) {
       // -- forward: BFS with exact path counts ------------------------
-      var visited = lms.select(col("lm"), col("lm").as("node"),
+      // Visited state is kept as a VECTOR of per-round checkpoints and
+      // unioned lazily where a consumer needs the whole set: the former
+      // `visited = (visited ∪ next).localCheckpoint` RE-MATERIALIZED the
+      // full growing state every round (Σ_k |visited_k| checkpoint writes
+      // — quadratic write amplification in the hop budget) where a union
+      // of already-checkpointed parts is a free scan. Set semantics are
+      // identical: union order never matters to the anti-join or the
+      // aggregates. (r15 optimization; guide §2.4 — remove work, not
+      // reorder it.)
+      val seed = lms.select(col("lm"), col("lm").as("node"),
         lit(0L).as("dist"), lit(1L).as("sigma")).localCheckpoint(true)
-      var frontier = visited
+      var parts = Vector(seed)
+      var frontier = seed
       for (k <- 1 to MaxHops) {
+        val visitedSoFar = parts.map(_.select(col("lm"), col("node")))
+          .reduce(_.unionByName(_))
         val next = adj.join(frontier.select(col("lm"), col("node"), col("sigma")), Seq("node"))
           .groupBy(col("lm"), col("nb"))
           .agg(sum(col("sigma")).as("sigma"))
           .withColumnRenamed("nb", "node")
-          .join(visited.select(col("lm"), col("node")), Seq("lm", "node"), "left_anti")
+          .join(visitedSoFar, Seq("lm", "node"), "left_anti")
           .select(col("lm"), col("node"), lit(k.toLong).as("dist"), col("sigma"))
           .localCheckpoint(true)
-        visited = visited.unionByName(next).localCheckpoint(true)
+        parts = parts :+ next
         frontier = next
       }
+      val visited = parts.reduce(_.unionByName(_))
       // -- successor DAG: (v, w) edges with dist_w = dist_v + 1 -------
       val succ = visited.select(col("lm"), col("node"), col("dist").as("dv"), col("sigma").as("sv"))
         .join(adj, Seq("node"))
@@ -105,11 +118,18 @@ object Betweenness {
           col("sv"), col("sw"), col("dv"))
         .localCheckpoint(true)
       // -- backward: integer-millionth dependency accumulation --------
-      var delta = visited.filter(lit(false))
+      // Round d only ever matches depth-(d+1) delta rows (a node has one
+      // BFS depth per pivot, and succ edges step exactly one level), so
+      // the lookup side is the PREVIOUS round's frame alone — the shape
+      // the oracle always had (`b$d ... LEFT JOIN b${d+1}`); joining the
+      // whole accumulated delta and re-checkpointing the union per round
+      // was strictly wasted shuffle + write. Final acc unions the parts.
+      var deltaPrev = seed.filter(lit(false))
         .select(col("lm"), col("node"), lit(0L).as("delta")) // empty, schema only
+      var deltaParts = Vector.empty[DataFrame]
       for (d <- (MaxHops - 1) to 1 by -1) {
         val deltaD = succ.filter(col("dv") === d.toLong)
-          .join(delta.select(col("lm"), col("node").as("w"), col("delta").as("delta_w")),
+          .join(deltaPrev.select(col("lm"), col("node").as("w"), col("delta").as("delta_w")),
             Seq("lm", "w"), "left")
           // fail-fast range guard (the ann_cell_stats precedent): on a
           // dense graph sigma within MaxHops is degree^MaxHops-bounded and
@@ -126,8 +146,10 @@ object Betweenness {
           .agg(sum(col("term")).as("delta"))
           .withColumnRenamed("v", "node")
           .localCheckpoint(true)
-        delta = delta.unionByName(deltaD).localCheckpoint(true)
+        deltaParts = deltaParts :+ deltaD
+        deltaPrev = deltaD
       }
+      val delta = deltaParts.reduce(_.unionByName(_))
       val acc = delta.groupBy(col("node")).agg(sum(col("delta")).as("bc_scaled"))
       docs.join(acc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"),

@@ -41,18 +41,24 @@ object Bfs {
     val adj = GraphArtifacts.stagedAdjacency(s, dir)
     // tiny per-round frames: interpreted loop (the PageRank tradeoff)
     graft.InterpretedLoop.run(s, n) {
-      var visited = s.createDataFrame(Seq(Tuple2(Source, 0L)))
+      // visited as per-round checkpoint PARTS unioned lazily (r15, the
+      // Betweenness/Closeness fix): no per-round re-write of the whole
+      // growing frontier history; set semantics identical.
+      val seed = s.createDataFrame(Seq(Tuple2(Source, 0L)))
         .toDF("node", "dist").localCheckpoint(true)
-      var frontier = visited
+      var parts = Vector(seed)
+      var frontier = seed
       for (k <- 1 to MaxHops) {
+        val visitedSoFar = parts.map(_.select(col("node"))).reduce(_.unionByName(_))
         val next = adj.join(frontier.select(col("node")), Seq("node"))
           .select(col("nb").as("node")).distinct()
-          .join(visited.select(col("node")), Seq("node"), "left_anti")
+          .join(visitedSoFar, Seq("node"), "left_anti")
           .select(col("node"), lit(k.toLong).as("dist"))
           .localCheckpoint(true)
-        visited = visited.unionByName(next).localCheckpoint(true)
+        parts = parts :+ next
         frontier = next
       }
+      val visited = parts.reduce(_.unionByName(_))
       docs.join(visited.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("dist"), lit(-1L)).as("dist"),
           col("dist").isNotNull.as("reached"))

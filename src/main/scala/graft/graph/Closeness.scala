@@ -67,18 +67,27 @@ object Closeness {
     val lms = docs.orderBy(col("doc_id")).limit(K)
       .select(col("doc_id").as("lm")).localCheckpoint(true)
     graft.InterpretedLoop.run(s, docs.count()) {
-      var visited = lms.select(col("lm"), col("lm").as("node"), lit(0L).as("dist"))
+      // visited kept as per-round checkpoint PARTS, unioned lazily — the
+      // former per-round `(visited ∪ next).localCheckpoint` re-wrote the
+      // whole growing state each hop (quadratic write amplification in
+      // the hop budget); a union of checkpointed parts is a free scan and
+      // set semantics are identical (r15, the Betweenness fix).
+      val seed = lms.select(col("lm"), col("lm").as("node"), lit(0L).as("dist"))
         .localCheckpoint(true)
-      var frontier = visited
+      var parts = Vector(seed)
+      var frontier = seed
       for (k <- 1 to MaxHops) {
+        val visitedSoFar = parts.map(_.select(col("lm"), col("node")))
+          .reduce(_.unionByName(_))
         val next = adj.join(frontier.select(col("lm"), col("node")), Seq("node"))
           .select(col("lm"), col("nb").as("node")).distinct()
-          .join(visited.select(col("lm"), col("node")), Seq("lm", "node"), "left_anti")
+          .join(visitedSoFar, Seq("lm", "node"), "left_anti")
           .select(col("lm"), col("node"), lit(k.toLong).as("dist"))
           .localCheckpoint(true)
-        visited = visited.unionByName(next).localCheckpoint(true)
+        parts = parts :+ next
         frontier = next
       }
+      val visited = parts.reduce(_.unionByName(_))
       val agg = visited.filter(col("dist") >= 1L)
         .groupBy(col("node"))
         .agg(count(lit(1)).as("n_reached"),

@@ -57,7 +57,12 @@ object Keyframes {
       val pick = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("doc_id"), col("frame_idx"), col("h"),
           lit(t.toLong).as("sel_round"), col("mind").as("min_dist"))
-      sel = sel.unionByName(pick)
+      // lineage cut per round (the emb_mmr greedy-loop contract): each
+      // round references `sel` twice (anti-join + distance join), so an
+      // uncut plan holds ~3^K copies of the seed subtree — measured 72
+      // Exchanges in the K=3 plan before this cut. sel is ≤ K rows per
+      // video: the checkpoint is output-sized. (r15)
+      sel = sel.unionByName(pick).localCheckpoint(true)
     }
     sel.select(col("doc_id"), col("sel_round"), col("frame_idx"), col("min_dist"))
       .orderBy(col("doc_id"), col("sel_round"))

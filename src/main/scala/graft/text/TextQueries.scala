@@ -406,8 +406,26 @@ object TextQueries {
 
   /** The distinct selected (doc_id, gram_pos, ghash) fingerprints — shared
     * between `text_winnow` (the index itself) and `dedup_winnow_pairs`
-    * (its consumer) so the two cannot drift. */
-  private def winnowFingerprints(s: SparkSession, dir: String): DataFrame = {
+    * (its consumer) so the two cannot drift.
+    *
+    * Session-STAGED (r15; 5th instance of the ladder discipline): the
+    * per-gram md5 + per-doc window pass dominates BOTH consumers, and each
+    * recomputed it privately — at 100 TB that is two full corpus
+    * fingerprint passes where one staged index table suffices (exactly
+    * the winnowing index a MOSS-style pipeline persists). Keyed on the
+    * documents fingerprint, supersede evicts, disk mode persists —
+    * [[graft.StagedArtifacts]]. Not in `model_registry`: the registry's
+    * output is pinned by the rows-only frozen canary; extending its
+    * inventory is deferred to a build round. */
+  def clearWinnowCache(): Unit = graft.StagedArtifacts.clear("text/winnowFp")
+
+  private def winnowFingerprints(s: SparkSession, dir: String): DataFrame =
+    graft.StagedArtifacts.stage(s, s"text/winnowFp#$dir",
+      graft.dedup.DedupQueries.docFp(s, dir)) {
+      buildWinnowFingerprints(s, dir).localCheckpoint(true)
+    }
+
+  private def buildWinnowFingerprints(s: SparkSession, dir: String): DataFrame = {
     val wWin = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, WinW - 1)
