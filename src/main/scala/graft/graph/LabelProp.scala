@@ -54,8 +54,13 @@ object LabelProp {
   /** The LPA core over an explicit undirected adjacency (node, nb) — split
     * out so the spec can drive planted topologies. `preMaterialized` skips
     * the defensive checkpoint when the caller passes a staged rung. */
-  private[graph] def propagate(docs: DataFrame, adjIn: DataFrame,
-      preMaterialized: Boolean = false): DataFrame = {
+  /** The LPA loop alone → (final labels, round R−1 labels), both
+    * checkpointed (node, lbl) frames — split from the presentation
+    * (sizes join + convergence witness + sort) so `graph_modularity`'s
+    * composed input can read the IDENTICAL label map without paying the
+    * registered query's output dressing per audit (r15). */
+  private[graph] def propagateLabels(docs: DataFrame, adjIn: DataFrame,
+      preMaterialized: Boolean = false): (DataFrame, DataFrame) = {
     val adj = if (preMaterialized) adjIn else adjIn.localCheckpoint(true)
     var labels = docs.select(col("doc_id").as("node"), col("doc_id").as("lbl"))
       .localCheckpoint(true)
@@ -74,6 +79,12 @@ object LabelProp {
         .select(col("node"), coalesce(col("nl"), col("lbl")).as("lbl"))
         .localCheckpoint(true)
     }
+    (labels, prev)
+  }
+
+  private[graph] def propagate(docs: DataFrame, adjIn: DataFrame,
+      preMaterialized: Boolean = false): DataFrame = {
+    val (labels, prev) = propagateLabels(docs, adjIn, preMaterialized)
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
     labels.join(sizes, Seq("lbl"))
       .join(prev.select(col("node"), col("lbl").as("lbl_prev")), Seq("node"))

@@ -37,8 +37,14 @@ object Modularity {
   def modularity(s: SparkSession, dir: String): DataFrame = {
     val docs = GraphArtifacts.stagedVertices(s, dir)
     val n = docs.count()
-    val comm = LabelProp.queries("graph_labelprop")(s, dir)
-      .select(col("doc_id").as("node"), col("community"))
+    // the audit needs ONLY the label map: read the LPA loop's final labels
+    // directly (bit-identical to the registered query's `community` column
+    // — same loop, same checkpoints) instead of re-running graph_labelprop
+    // WITH its presentation dressing (sizes join + convergence witness +
+    // full-output sort) just to project two columns out of it (r15).
+    val comm = LabelProp.propagateLabels(docs,
+        GraphArtifacts.stagedAdjacency(s, dir), preMaterialized = true)._1
+      .select(col("node"), col("lbl").as("community"))
     if (n == 0)
       return comm.select(lit(0L).as("m_edges"), lit(0L).as("n_nodes"),
         lit(0L).as("n_communities"), lit(0L).as("intra_edges"),
