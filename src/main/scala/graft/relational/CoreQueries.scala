@@ -186,11 +186,20 @@ object CoreQueries {
       .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
       .withColumn("late", col("l_shipdate") > col("o_orderdate") + expr("interval 90 days"))
-    // one scan total: pre-aggregate per (order, supplier) — map-side
-    // combinable, carries the late-lineitem count forward — then derive the
+    // one scan total: pre-aggregate per (order, supplier), then derive the
     // per-order qualification with windows over the SAME rows instead of
-    // re-scanning the fact table for a join-back
-    val perSupp = li.groupBy(col("l_orderkey"), col("l_suppkey"))
+    // re-scanning the fact table for a join-back.
+    // ONE exchange serves both the aggregate and the windows (r15): the
+    // explicit hash-repartition by l_orderkey satisfies the aggregate's
+    // (l_orderkey, l_suppkey) clustering AND the windows' l_orderkey
+    // partitioning, so the fact stream shuffles once instead of twice
+    // (before: Exchange(okey,skey) for the agg + Exchange(okey) for the
+    // window — ~2× the post-join rows over the wire; guide §2.4). The
+    // forfeited map-side combine is worth ~nothing here: (order, supplier)
+    // groups average ~1 lineitem, so partial aggregation barely shrank
+    // the stream.
+    val perSupp = li.repartition(col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(col("late")).as("supp_late"),
         sum(when(col("late"), 1L).otherwise(0L)).as("n_late_items"))
     val byOrder = Window.partitionBy(col("l_orderkey"))

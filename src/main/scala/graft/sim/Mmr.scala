@@ -44,7 +44,14 @@ object Mmr {
   val LambdaNum = 7L
   val MuNum = 3L
 
-  def mmr(s: SparkSession, dir: String): DataFrame = {
+  def mmr(s: SparkSession, dir: String): DataFrame =
+    // greedy-step frames are ≤ |queries|·CandK rows by construction — the
+    // graph-loop interpreted gate applies (janino compiles SelectK unique
+    // step plans per run otherwise); scale posture unchanged: the gate is
+    // off under spark.graft.scale.approx (r15)
+    graft.InterpretedLoop.run(s, 10L * CandK)(mmrBody(s, dir))
+
+  private def mmrBody(s: SparkSession, dir: String): DataFrame = {
     graft.functions.HashExprs.register(s)
     val e = Tables.embeddings(s, dir)
     val q = e.filter(col("vec_id") < 10)

@@ -63,9 +63,14 @@ object ImportanceResample {
       .select(col("doc_id"), col("lang"), bucketOf(col("bg")).as("bucket"))
 
     val isT = col("lang") === TargetLang
-    val model = occ.groupBy(col("bucket")).agg(
+    // persist: the ≤B-row model is (1) collected for the two totals and
+    // (2) broadcast into the scoring join — un-persisted, the broadcast
+    // RE-RAN the whole corpus bigram-explode + count under it, a second
+    // full feature pass per run (r15; guide §5 persist-on-reuse — the
+    // cache is bounded at Buckets rows, nothing corpus-sized).
+    val model = graft.CacheRegistry.track(occ.groupBy(col("bucket")).agg(
       sum(when(isT, 1L).otherwise(0L)).as("cnt_t"),
-      sum(when(isT, 0L).otherwise(1L)).as("cnt_r"))
+      sum(when(isT, 0L).otherwise(1L)).as("cnt_r")))
 
     // four bounded scalars: the two model totals, pool size, quota
     val totRow = model.agg(
