@@ -75,10 +75,17 @@ class Round12PlanSpec extends AnyFunSuite {
   }
 
   test("mm_keyframe_select: bounded per-video rounds — equi-joins and per-video windows only") {
+    // since the r15 per-round lineage cut the greedy rounds (equi-joins +
+    // per-video argmax windows) execute inside checkpointed jobs; the
+    // returned plan is the declared sort over the final selected-set
+    // checkpoint — none of the round subtrees may re-inline (the uncut
+    // K=3 plan held 72 Exchanges)
     val p = plan("mm_keyframe_select")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), "greedy rounds must stay equi-joins")
-    assert(p.contains("Window"), "the per-video argmax is a bounded window")
+    assert(p.contains("Scan ExistingRDD"),
+      "the result reads the final per-round checkpoint")
+    assert(!p.contains("Join"), "round joins run inside the checkpointed jobs")
   }
 
   test("ann_cell_stats: the audit adds one aggregate over the compiled assignment — no extra shuffle of facts") {

@@ -22,7 +22,12 @@ class Round13PlanSpec extends AnyFunSuite {
     val p = plan("emb_bitext_mine")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "cross-language candidates must stay a banded equi-join")
-    assert(p.contains("hyperplane_bands"), "the compiled LSH index feeds the join")
+    // since the r15 sim/bandIndex rung, the compiled hyperplane_bands pass
+    // lives in the STAGING build; the query plan reads the banded
+    // signature table off checkpoint blocks and explodes the band-key
+    // array map-side (the Round15PlanSpec rung pins)
+    assert(p.contains("Scan ExistingRDD") && p.contains("posexplode(bands"),
+      "the staged band index feeds the join")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), "an equi-join strategy carries the candidate join")
   }

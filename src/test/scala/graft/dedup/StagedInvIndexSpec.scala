@@ -25,11 +25,18 @@ class StagedInvIndexSpec extends AnyFunSuite {
       DedupQueries.stagedInvIndex(spark, sf))
   }
 
-  test("containment reads the staged index: no explode, no per-shingle md5") {
+  test("containment reads the staged index: no shingle explode, no per-shingle md5") {
     DedupQueries.stagedInvIndex(spark, sf) // staged
     val p = plan("dedup_containment")
     assert(p.contains("ExistingRDD"), "must scan the staged checkpoint")
-    assert(!p.contains("Generate"), "the shingle explode lives in the staging pass")
+    // the ONLY Generate allowed is the r15 symmetric-pair struct explode
+    // (2 bounded rows per aggregated pair — it replaced a self-union that
+    // re-ran the rare-shingle join twice); the corpus-sized per-shingle
+    // explode must stay inside the staging pass
+    assert(!p.contains("explode(sh") && !p.contains("explode(shingles"),
+      "the shingle explode lives in the staging pass")
+    assert(p.contains("explode(array(struct"),
+      "both pair directions ride the map-side struct explode")
     assert(!p.contains("shingles3") && !p.contains("minhash_sig"))
   }
 
