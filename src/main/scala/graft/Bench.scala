@@ -59,7 +59,12 @@ object Bench {
     val passes = Seq.fill(runs)(timeAll())
     val results = passes.transpose.map(samples =>
       samples.head._1 -> samples.map(_._2).min)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Per-query seconds at millisecond precision (r16, the r15 verdict's
+    // measurement-contract fix): the driver keeps only a bounded TAIL of
+    // stdout, and sub-ms digits are pure noise at this methodology —
+    // shorter line, same information. Methodology (count() action, warmup,
+    // min-of-N) is UNCHANGED; see OPTIMIZATION_r16.md.
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Machine-readable burst context: the RAW total of each timing pass.
@@ -70,8 +75,7 @@ object Bench {
     // max(run_totals)/min(run_totals) as the burst indicator.
     val runTotals = passes.map(p => p.map(_._2).sum)
       .map(t => f"$t%.3f").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"run_totals":$runTotals,"queries":$qs,"sf":"$sfDir"}"""
-    println(line)
+    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","runs":$runs,"run_totals":$runTotals,"queries":$qs,"sf":"$sfDir"}"""
     // Persist the complete per-query record: the driver's artifact keeps
     // only the tail of the stdout line, so without a file most of each
     // round's timings are lost to the project history. GOVERNANCE (the
@@ -85,9 +89,24 @@ object Bench {
       .orElse(if (sys.env.get("SPARK_GRAFT_BENCH_COMMIT").contains("1"))
         Some("BENCH_FULL.json") else None)
       .getOrElse(java.nio.file.Files.createTempFile("bench_", ".json").toString)
-    System.err.println(s"[bench] record -> $outPath")
+    // Record and stderr notice FIRST, JSON lines LAST (r16): under
+    // `sbt runMain` stderr interleaves into the captured stream as
+    // [error]-prefixed lines, and in both r14 and r15 the record notice
+    // landed AFTER the JSON line in the driver's bounded tail — leaving
+    // the ~10 KB one-line record truncated mid-line and nothing parseable
+    // in the capture (PERF per_query empty two rounds running).
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] persist failed: $e") }
+    System.err.println(s"[bench] record -> $outPath")
+    System.err.flush()
+    // The full declared contract line (ONE JSON line with every query)...
+    println(line)
+    // ...then a compact totals line as the FINAL stdout line (the r15
+    // verdict's prescription): the full 249-query line exceeds any bounded
+    // tail capture, so a tail parser gets at least the totals, the burst
+    // context, and the path to the complete per-query record.
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","runs":$runs,"run_totals":$runTotals,"n_queries":${results.size},"record":"$outPath","sf":"$sfDir"}""")
+    System.out.flush()
     spark.stop()
   }
 }

@@ -24,6 +24,10 @@ object GenPlanFiles {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // NonFatal only + nonzero exit on any failure (r15 ADVICE): a
+    // swallowed error with exit 0 silently produces missing/stale plan
+    // evidence files
+    var failed = 0
     names.foreach { n =>
       try {
         val df = SparkEntry.queries(n)(spark, dir)
@@ -31,9 +35,12 @@ object GenPlanFiles {
           .explainString(ExplainMode.fromString("formatted"))
         Files.writeString(outDir.resolve(s"$n$suffix.txt"), txt)
         println(s"WROTE $n$suffix.txt (${txt.length} chars)")
-      } catch { case e: Throwable => println(s"FAILED $n: $e") }
+      } catch { case scala.util.control.NonFatal(e) =>
+        failed += 1; println(s"FAILED $n: $e")
+      }
       finally CacheRegistry.releaseAll()
     }
     spark.stop()
+    if (failed > 0) sys.exit(1)
   }
 }

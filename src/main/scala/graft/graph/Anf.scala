@@ -65,17 +65,24 @@ object Anf {
   /** The core over a MATERIALIZED symmetric adjacency (node, nb). */
   private[graph] def anfOnAdj(s: SparkSession, docs: DataFrame, adj: DataFrame): DataFrame = {
     val n = docs.count()
-    graft.InterpretedLoop.run(s, n) {
-      // self-loops fold the per-round `regs ∪ join(adj, regs)` into ONE
-      // join: the (v,v) row joins v's own registers, contributing exactly
-      // the rows the union branch carried — algebraically identical input
-      // to the register-max aggregate, one fewer regs scan + union
-      // exchange per round (r15; guide §2.3 "aggregate before you
-      // shuffle" — the union branch shuffled |V|·M register rows per
-      // round that the self-loop join carries for free).
-      val adjPlus = adj.unionByName(
-          docs.select(col("doc_id").as("node"), col("doc_id").as("nb")))
-        .localCheckpoint(true)
+    // self-loops fold the per-round `regs ∪ join(adj, regs)` into ONE
+    // join: the (v,v) row joins v's own registers, contributing exactly
+    // the rows the union branch carried — algebraically identical input
+    // to the register-max aggregate, one fewer regs scan + union
+    // exchange per round (r15; guide §2.3 "aggregate before you
+    // shuffle" — the union branch shuffled |V|·M register rows per
+    // round that the self-loop join carries for free).
+    val adjPlus = adj.unionByName(
+        docs.select(col("doc_id").as("node"), col("doc_id").as("nb")))
+      .localCheckpoint(true)
+    // Gate on the TRUE per-round working set (r16): each adjacency row
+    // fans out to [[Hll.M]] register rows in the round join, so the mass
+    // the interpreted window would cover is |adjPlus|·M — NOT |V|. Keyed
+    // on |V| the sf0.1 corpus ran ~2.2M-row register merges interpreted
+    // six rounds over (the Mmr gate-scope finding's sibling); keyed
+    // honestly, small corpora still skip the per-round janino compiles
+    // while anything edge-heavy keeps codegen.
+    graft.InterpretedLoop.run(s, adjPlus.count() * Hll.M) {
       var regs = Hll.registers(
           docs.select(col("doc_id").as("node"), col("doc_id").as("user_id")),
           Seq("node"))

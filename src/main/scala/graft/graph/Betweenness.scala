@@ -149,7 +149,10 @@ object Betweenness {
         deltaParts = deltaParts :+ deltaD
         deltaPrev = deltaD
       }
-      val delta = deltaParts.reduce(_.unionByName(_))
+      // reduceOption: the loop is empty whenever MaxHops < 2 — keep the
+      // function total in the budget (r15 ADVICE; the empty schema frame
+      // deltaPrev starts as is the correct zero)
+      val delta = deltaParts.reduceOption(_.unionByName(_)).getOrElse(deltaPrev)
       val acc = delta.groupBy(col("node")).agg(sum(col("delta")).as("bc_scaled"))
       docs.join(acc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"),

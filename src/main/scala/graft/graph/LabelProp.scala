@@ -1,7 +1,6 @@
 package graft.graph
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -70,11 +69,14 @@ object LabelProp {
       val counted = adj
         .join(labels.select(col("node").as("nb"), col("lbl").as("nl")), Seq("nb"))
         .groupBy(col("node"), col("nl")).agg(count(lit(1)).as("cnt"))
+      // per-node argmax as a map-side-combinable max(struct) instead of a
+      // row_number window (r16, guide §2.3): same (cnt desc, nl asc) total
+      // order — nl is unique within a node's group after the aggregate, so
+      // the max picks the identical row, with no per-round sort exchange
       val pick = counted
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("node")).orderBy(col("cnt").desc, col("nl"))))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("nl"))
+        .groupBy(col("node")).agg(max(struct(
+          col("cnt"), (-col("nl")).as("nn"), col("nl"))).as("b"))
+        .select(col("node"), col("b.nl").as("nl"))
       labels = labels.join(pick, Seq("node"), "left")
         .select(col("node"), coalesce(col("nl"), col("lbl")).as("lbl"))
         .localCheckpoint(true)

@@ -1,7 +1,6 @@
 package graft.graph
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** #37s `graph_louvain` — one-level modularity ASCENT (Blondel, Guillaume,
@@ -69,7 +68,19 @@ object Louvain {
 
   /** The ascent core over explicit vertex + MATERIALIZED symmetric
     * adjacency frames — split out so the spec can plant exact topologies
-    * (the two-clique bridge lands the clique split). */
+    * (the two-clique bridge lands the clique split).
+    *
+    * PER-PASS EXCHANGE DIET (r16, guide §2.3/§2.4): the labels frame
+    * carries each node's (constant) degree `ki`, so Σtot needs no join
+    * and the score join touches labels once instead of deg+labels; the
+    * kin count and the own-community zero row aggregate in ONE
+    * (node, cn) pass (adj rows weigh 1, the own row 0 — sum ≡ the old
+    * count-then-max-with-0); the per-node argmax is a map-side-combinable
+    * `max(struct(score, own, -cn, …))` instead of a row_number window
+    * (same (score desc, own desc, cn asc) total order — cn is unique per
+    * node after the aggregate, so the max is the identical pick). Per
+    * pass: 3 exchanges with partial aggregation, no sort, 2 fewer joins
+    * — was 4 exchanges + a window sort. */
   private[graph] def louvainOf(s: SparkSession, docs: DataFrame, adj: DataFrame): DataFrame = {
     val m = adj.count() / 2 // |E|: bounded driver scalar, oracle-mirrored
     val deg = graft.CacheRegistry.track(
@@ -77,7 +88,7 @@ object Louvain {
         .join(adj.groupBy(col("node")).agg(count(lit(1)).as("ki")), Seq("node"), "left")
         .select(col("node"), coalesce(col("ki"), lit(0L)).as("ki")))
     graft.InterpretedLoop.run(s, docs.count()) {
-      var labels = docs.select(col("doc_id").as("node"), col("doc_id").as("c"))
+      var labels = deg.select(col("node"), col("node").as("c"), col("ki"))
         .localCheckpoint(true)
       // convergence witness: labels TWO passes back (one full even/odd
       // sweep — both color classes have re-taken their turn since)
@@ -86,32 +97,33 @@ object Louvain {
       for (k <- 1 to Passes) {
         prev2 = prev
         prev = labels
-        val tot = labels.join(deg, Seq("node"))
-          .groupBy(col("c")).agg(sum(col("ki")).as("tot"))
-        val kin = adj
+        val tot = labels.groupBy(col("c")).agg(sum(col("ki")).as("tot"))
+        // kin per (node, candidate community) and the own-community
+        // candidate row (kin 0 when no internal edge — isolated nodes and
+        // stay-put decisions exist in the frame) in one aggregate
+        val cand = adj
           .join(labels.select(col("node").as("nb"), col("c").as("cn")), Seq("nb"))
-          .groupBy(col("node"), col("cn")).agg(count(lit(1)).as("kin"))
-        // the own community is always a candidate (kin 0 when no internal
-        // edge) so isolated nodes and stay-put decisions exist in the frame
-        val cand = kin
-          .unionByName(labels.select(col("node"), col("c").as("cn"), lit(0L).as("kin")))
-          .groupBy(col("node"), col("cn")).agg(max(col("kin")).as("kin"))
+          .select(col("node"), col("cn"), lit(1L).as("w"))
+          .unionByName(labels.select(col("node"), col("c").as("cn"), lit(0L).as("w")))
+          .groupBy(col("node"), col("cn")).agg(sum(col("w")).as("kin"))
         val sc = cand
-          .join(deg, Seq("node"))
-          .join(labels, Seq("node")) // own label `c`
+          .join(labels, Seq("node")) // own label `c` + degree `ki`
           .join(tot.withColumnRenamed("c", "cn"), Seq("cn"))
           .withColumn("score",
             lit(2L * m) * col("kin") -
               col("ki") * (col("tot") -
                 when(col("c") === col("cn"), col("ki")).otherwise(lit(0L))))
-        val w = Window.partitionBy(col("node")).orderBy(col("score").desc,
-          when(col("cn") === col("c"), 1L).otherwise(0L).desc, col("cn"))
         // parity coloring: only this pass's color class applies its pick;
         // the other class carries its previous label forward
-        labels = sc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select(col("node"),
-            when(col("node") % 2 === lit((k + 1) % 2).cast("long"), col("cn"))
-              .otherwise(col("c")).as("c"))
+        val best = sc.groupBy(col("node")).agg(max(struct(
+          col("score"),
+          when(col("cn") === col("c"), 1L).otherwise(0L).as("own"),
+          (-col("cn")).as("ncn"),
+          col("cn"), col("c"), col("ki"))).as("b"))
+        labels = best.select(col("node"),
+            when(col("node") % 2 === lit((k + 1) % 2).cast("long"), col("b.cn"))
+              .otherwise(col("b.c")).as("c"),
+            col("b.ki").as("ki"))
           .localCheckpoint(true)
       }
       val sizes = labels.groupBy(col("c")).agg(count(lit(1)).as("community_size"))

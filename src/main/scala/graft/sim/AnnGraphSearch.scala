@@ -65,7 +65,17 @@ object AnnGraphSearch {
   /** The walk with an explicit beam width — `ef = 1` is the pure GREEDY
     * descent (HNSW's searchLayer with ef=1); the spec pins that the
     * published beam width never loses to it. */
-  private[sim] def searchWith(s: SparkSession, dir: String, ef: Int): DataFrame = {
+  private[sim] def searchWith(s: SparkSession, dir: String, ef: Int): DataFrame =
+    searchRows(s, dir, ef).orderBy(col("q_id"), col("rank"))
+
+  /** The walk WITHOUT the presentation sort — `ann_recall_eval`'s
+    * graphsearch row re-aggregates these rows (order-destroying left-semi
+    * join + count), so reading the sorted registered query would pay a
+    * range exchange + sort below the audit for nothing (the
+    * `graph_modularity` / `knnGraphRung` precedent, r15). Identical row
+    * SET to the registered query by construction — same frame, sort
+    * dropped above the last computation. */
+  private[sim] def searchRows(s: SparkSession, dir: String, ef: Int = Ef): DataFrame = {
     // the graph is the staged rung (built once per session, the
     // `ann_recall_eval` lesson), read UNSORTED — the sorted accessor
     // would pay the rung-wide range exchange + sort per search, and the
@@ -104,7 +114,6 @@ object AnnGraphSearch {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= OutK)
       .select(col("p_id").as("q_id"), col("node").as("n_id"), col("rank"), col("cosine"))
-      .orderBy(col("q_id"), col("rank"))
   }
 
   /** The beam-walk CTE chain reading a graph relation named `kg` with

@@ -45,11 +45,7 @@ object Mmr {
   val MuNum = 3L
 
   def mmr(s: SparkSession, dir: String): DataFrame =
-    // greedy-step frames are ≤ |queries|·CandK rows by construction — the
-    // graph-loop interpreted gate applies (janino compiles SelectK unique
-    // step plans per run otherwise); scale posture unchanged: the gate is
-    // off under spark.graft.scale.approx (r15)
-    graft.InterpretedLoop.run(s, 10L * CandK)(mmrBody(s, dir))
+    mmrBody(s, dir)
 
   private def mmrBody(s: SparkSession, dir: String): DataFrame = {
     graft.functions.HashExprs.register(s)
@@ -75,12 +71,28 @@ object Mmr {
           round(cosine(col("ea"), col("eb")) * 10000).cast("long").as("pcos4")))
     val slim = cand.select(col("q_id"), col("n_id"), col("rel4"))
     // step 1: pure relevance (si in λ-scaled 10^-5 units, like later steps)
-    var selected = slim
+    val step1 = slim
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("rel4").desc, col("n_id"))))
       .filter(col("rn") === 1)
       .select(col("q_id"), lit(1L).as("step"), col("n_id").as("sel_id"),
         (col("rel4") * 10L).as("si"))
+    // Materialize the CORPUS-SIZED work (the brute candidate cut feeding
+    // `cand`'s cache) and the pair microframe OUTSIDE the interpreted
+    // window (r16, r15 ADVICE): the gate below is keyed on the constant
+    // ≤10·CandK greedy working set, and before this split the first gated
+    // action pulled the whole corpus scan into the codegen-off window —
+    // bypassing InterpretedLoop's ≤2M-row guard on any large corpus run
+    // without the scale-posture conf. Step 1 is an eager checkpoint (its
+    // scan fills `cand`'s cache under codegen); the pair join then runs
+    // over that cache.
+    var selected = step1.localCheckpoint()
+    pairs.count()
+    // greedy-step frames are ≤ |queries|·CandK rows by construction — the
+    // graph-loop interpreted gate applies to the STEP LOOP only (janino
+    // compiles SelectK unique step plans per run otherwise); scale posture
+    // unchanged: the gate is off under spark.graft.scale.approx (r15)
+    graft.InterpretedLoop.run(s, 10L * CandK) {
     for (k <- 2 to SelectK) {
       val selKeys = selected.select(col("q_id").as("sq"), col("sel_id").as("sid"))
       val remaining = slim.join(selKeys,
@@ -105,6 +117,7 @@ object Mmr {
       .select(col("q_id"), col("step"), col("sel_id"),
         (col("si").cast("double") / 100000.0).as("score"))
       .orderBy(col("q_id"), col("step"))
+    }
   }
 
   private def oracleSqlText: String = {

@@ -50,8 +50,11 @@ class Round15PlanSpec extends AnyFunSuite {
       "the walk is equi-join only")
     assert(!p.contains("Join"),
       "hop joins run inside the per-hop checkpointed jobs, not re-inlined")
-    assert(!p.contains("rangepartitioning(q_id") || p.contains("Sort"),
-      "only the declared output sort remains")
+    // pin the intent directly (r15 ADVICE: the old disjunct was vacuously
+    // true): the ONE range exchange in the plan is the declared output
+    // sort's — a second would mean a rung-wide re-sort crept back in
+    assert("rangepartitioning\\(q_id".r.findAllMatchIn(p).size == 1,
+      "exactly one q_id range exchange: the declared output sort's")
     sim.AnnKnnGraph.clearKnnCache()
     sim.SimArtifacts.clearBandCache()
   }
