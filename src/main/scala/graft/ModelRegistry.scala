@@ -25,6 +25,8 @@ import org.apache.spark.sql.functions._
   *    ladder the 16 link-graph operators share (same fingerprint scheme).
   *  - `text/lmBigrams`, `text/lmScored` — the staged LM ladder shared by
   *    the four bigram-LM consumers (same fingerprint scheme).
+  *  - `text/winnowFp` — the staged winnowing fingerprint index shared by
+  *    `text_winnow` and `dedup_winnow_pairs` (same fingerprint scheme).
   *  - `sim/knnGraph`, `sim/bandIndex` — the NN-descent neighbor graph and
   *    the hyperplane banded-signature table (five LSH consumers), keyed
   *    on the embeddings fingerprint.
@@ -124,6 +126,11 @@ object ModelRegistry {
     // text_perplexity_buckets / sample_curriculum
     rung("text/lmBigrams", text.LmScore.stagedBigrams(s, dir))
     rung("text/lmScored", text.LmScore.stagedScored(s, dir))
+
+    // staged winnowing index (r15 rung, registered r16 — the deferred
+    // inventory item, canary re-pinned in lockstep): the per-doc selected
+    // fingerprints shared by text_winnow / dedup_winnow_pairs
+    rung("text/winnowFp", text.TextQueries.winnowFingerprints(s, dir))
 
     // staged knn graph (r14) + banded signature index (r15): keyed on the
     // EMBEDDINGS fingerprint — the rungs whose corpus is the vector table

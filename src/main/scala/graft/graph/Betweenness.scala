@@ -79,7 +79,10 @@ object Betweenness {
   private[graph] def betweennessOnAdj(s: SparkSession, docs: DataFrame, adj: DataFrame): DataFrame = {
     val lms = docs.orderBy(col("doc_id")).limit(K)
       .select(col("doc_id").as("lm")).localCheckpoint(true)
-    graft.InterpretedLoop.run(s, docs.count()) {
+    // gate keyed on the per-hop worst-case join mass — frontier frames
+    // carry the K-pivot dimension over the adjacency, so the honest
+    // working set is |adj|·K, not |V| (r16, the graph_anf/Mmr class)
+    graft.InterpretedLoop.run(s, adj.count() * K) {
       // -- forward: BFS with exact path counts ------------------------
       // Visited state is kept as a VECTOR of per-round checkpoints and
       // unioned lazily where a consumer needs the whole set: the former

@@ -39,8 +39,10 @@ object Bfs {
       return docs.select(col("doc_id"), lit(-1L).as("dist"), lit(false).as("reached"))
     // staged family rung: symmetric adjacency shared across the BFS family
     val adj = GraphArtifacts.stagedAdjacency(s, dir)
-    // tiny per-round frames: interpreted loop (the PageRank tradeoff)
-    graft.InterpretedLoop.run(s, n) {
+    // tiny per-round frames: interpreted loop (the PageRank tradeoff);
+    // gate keyed on the per-hop frontier⋈adjacency join input |adj|, not
+    // |V| (r16, the graph_anf/Mmr gate-scope class)
+    graft.InterpretedLoop.run(s, adj.count()) {
       // visited as per-round checkpoint PARTS unioned lazily (r15, the
       // Betweenness/Closeness fix): no per-round re-write of the whole
       // growing frontier history; set semantics identical.

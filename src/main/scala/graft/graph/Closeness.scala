@@ -66,7 +66,10 @@ object Closeness {
   private[graph] def closenessOnAdj(s: SparkSession, docs: DataFrame, adj: DataFrame): DataFrame = {
     val lms = docs.orderBy(col("doc_id")).limit(K)
       .select(col("doc_id").as("lm")).localCheckpoint(true)
-    graft.InterpretedLoop.run(s, docs.count()) {
+    // gate keyed on the per-hop worst-case join mass — the frontier
+    // carries the K-landmark dimension over the adjacency, so the honest
+    // working set is |adj|·K, not |V| (r16, the graph_anf/Mmr class)
+    graft.InterpretedLoop.run(s, adj.count() * K) {
       // visited kept as per-round checkpoint PARTS, unioned lazily — the
       // former per-round `(visited ∪ next).localCheckpoint` re-wrote the
       // whole growing state each hop (quadratic write amplification in

@@ -67,7 +67,9 @@ object Coreness {
 
   /** The core over a MATERIALIZED symmetric adjacency (node, nb). */
   private[graph] def corenessOnAdj(s: SparkSession, docs: DataFrame, adj: DataFrame): DataFrame = {
-    graft.InterpretedLoop.run(s, docs.count()) {
+    // gate keyed on the per-round adjacency⋈score join input |adj|, not
+    // |V| (r16, the graph_anf/Mmr gate-scope class)
+    graft.InterpretedLoop.run(s, adj.count()) {
       val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("c"))
         .localCheckpoint(true)
       var cur = deg

@@ -42,7 +42,9 @@ object Hits {
     // staged family rungs (citation list + vertex frame): materialized
     // once per (corpus, fingerprint), shared with pagerank
     val edges = GraphArtifacts.stagedCitation(s, dir)
-    graft.InterpretedLoop.run(s, n) {
+    // gate keyed on the per-half-step edge⋈score join input |E|, not |V|
+    // (r16, the graph_anf/Mmr gate-scope class)
+    graft.InterpretedLoop.run(s, edges.count()) {
       // tiny per-iteration frames; interpreted loop (the PageRank tradeoff)
       var hub = verts.select(col("doc_id"), lit(Scale / n).as("v")).localCheckpoint(true)
       var auth = hub

@@ -46,10 +46,13 @@ object KCore {
         lit(0L).as("core_degree"))
     // tiny per-round frames: interpreted loop (the PageRank/dedup_clusters
     // tradeoff — janino compile per unique round plan costs more than it buys)
-    graft.InterpretedLoop.run(s, n) {
-      // round-0 adjacency is the staged family rung (already materialized);
-      // later rounds peel into per-op checkpoints
-      var adj = GraphArtifacts.stagedAdjacency(s, dir)
+    // round-0 adjacency is the staged family rung (already materialized);
+    // later rounds peel into per-op checkpoints
+    val adj0 = GraphArtifacts.stagedAdjacency(s, dir)
+    // gate keyed on the per-round peel input |adj|, not |V| (r16, the
+    // graph_anf/Mmr gate-scope class); later rounds only shrink it
+    graft.InterpretedLoop.run(s, adj0.count()) {
+      var adj = adj0
       for (_ <- 1 to PeelRounds) {
         val keep = adj.groupBy(col("node")).agg(count(lit(1)).as("c"))
           .filter(col("c") >= CoreK).select(col("node"))

@@ -87,7 +87,10 @@ object Louvain {
       docs.select(col("doc_id").as("node"))
         .join(adj.groupBy(col("node")).agg(count(lit(1)).as("ki")), Seq("node"), "left")
         .select(col("node"), coalesce(col("ki"), lit(0L)).as("ki")))
-    graft.InterpretedLoop.run(s, docs.count()) {
+    // gate keyed on the per-pass candidate-frame mass |adj| (+|V| own
+    // rows), not |V| alone (r16, the graph_anf/Mmr gate-scope class);
+    // 2m = |adj| is already a driver scalar here — no extra action
+    graft.InterpretedLoop.run(s, 2L * m + docs.count()) {
       var labels = deg.select(col("node"), col("node").as("c"), col("ki"))
         .localCheckpoint(true)
       // convergence witness: labels TWO passes back (one full even/odd

@@ -64,8 +64,12 @@ object PageRank {
     val edges = GraphArtifacts.stagedCitation(s, dir)
     // tiny per-iteration frames: run the loop interpreted (janino compile
     // per unique plan per round costs more than it buys — the
-    // dedup_clusters tradeoff); gated + conf-scoped by InterpretedLoop
-    graft.InterpretedLoop.run(s, n) {
+    // dedup_clusters tradeoff); gated + conf-scoped by InterpretedLoop.
+    // Gate keyed on the TRUE per-iteration working set — the edge⋈rank
+    // join input |E|, not |V| (r16, the graph_anf/Mmr gate-scope class:
+    // keyed on |V| a mid-scale corpus would run |E|-sized joins
+    // interpreted; graph_anf measured that mis-keying at +42% at sf0.1)
+    graft.InterpretedLoop.run(s, edges.count()) {
       var ranks = verts.select(col("doc_id"), lit(r0).as("r")).localCheckpoint(true)
       for (_ <- 1 to Iters) {
         val contrib = edges.join(ranks, edges("src") === ranks("doc_id"))

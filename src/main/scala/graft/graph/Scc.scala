@@ -101,8 +101,10 @@ object Scc {
   private[graph] def sccOf(s: SparkSession, verts: DataFrame,
       edgesIn: DataFrame): DataFrame = {
     // tiny per-round frames: interpreted loop (the PageRank/kcore tradeoff
-    // — janino compile per unique round plan costs more than it buys)
-    graft.InterpretedLoop.run(s, verts.count()) {
+    // — janino compile per unique round plan costs more than it buys);
+    // gate keyed on the per-round label⋈edge join mass |E| + |V|, not
+    // |V| alone (r16, the graph_anf/Mmr gate-scope class)
+    graft.InterpretedLoop.run(s, edgesIn.count() + verts.count()) {
       val edges0 = cut(edgesIn)
       var active = cut(verts.select(col("doc_id").as("node")))
       var activeN = active.count()

@@ -51,12 +51,23 @@ object CoreQueries {
     * run the SAME query over co-bucketed lineitem/orders copies, where the
     * fact⋈fact sort-merge join needs no Exchange at read time. */
   private[graft] def q2From(li: DataFrame, o: DataFrame, c: DataFrame, n: DataFrame): DataFrame = {
-    val rev = li
+    // Pre-aggregate line revenue per ORDER before the fact⋈fact join
+    // (r16, guide §2.2 "shuffle fewer bytes / aggregate early"): the
+    // per-orderkey partial sum shares the join's hash key, so the same
+    // exchange serves both, the join input shrinks by the lines-per-order
+    // factor (~4x), and the price/discount columns never cross the join.
+    // Revenue is an exact DECIMAL sum — associative, so grouping by order
+    // first then by customer is bit-identical to the flat per-customer
+    // sum (rounding happens once, at the end, as before).
+    val orev = li
+      .groupBy(col("l_orderkey"))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))).as("orev"))
+    val rev = orev
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), col("c_custkey"), col("c_name"))
-      .agg(round(sum((col("l_extendedprice").cast("decimal(18,2)") * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))).cast("double"), 2).as("revenue"))
+      .agg(round(sum(col("orev")).cast("double"), 2).as("revenue"))
     val w = Window.partitionBy(col("n_name")).orderBy(col("revenue").desc, col("c_custkey"))
     rev.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 3)

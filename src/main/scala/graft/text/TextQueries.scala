@@ -414,12 +414,12 @@ object TextQueries {
     * fingerprint passes where one staged index table suffices (exactly
     * the winnowing index a MOSS-style pipeline persists). Keyed on the
     * documents fingerprint, supersede evicts, disk mode persists —
-    * [[graft.StagedArtifacts]]. Not in `model_registry`: the registry's
-    * output is pinned by the rows-only frozen canary; extending its
-    * inventory is deferred to a build round. */
+    * [[graft.StagedArtifacts]]. Registered in `model_registry` as of r16
+    * (the r15 verdict's deferred-inventory item, done deliberately with
+    * the frozen canary re-pinned in the same commit). */
   def clearWinnowCache(): Unit = graft.StagedArtifacts.clear("text/winnowFp")
 
-  private def winnowFingerprints(s: SparkSession, dir: String): DataFrame =
+  private[graft] def winnowFingerprints(s: SparkSession, dir: String): DataFrame =
     graft.StagedArtifacts.stage(s, s"text/winnowFp#$dir",
       graft.dedup.DedupQueries.docFp(s, dir)) {
       buildWinnowFingerprints(s, dir).localCheckpoint(true)

@@ -22,7 +22,7 @@ class ModelRegistrySpec extends AnyFunSuite {
     m
   }
 
-  test("all eighteen artifacts present; fingerprints recompute through the public seams") {
+  test("all nineteen artifacts present; fingerprints recompute through the public seams") {
     val got = snapshot()
     assert(got.keySet == Set(
       "classifier/quality_weights", "embedding/kmeans_centroids",
@@ -31,7 +31,8 @@ class ModelRegistrySpec extends AnyFunSuite {
       "dedupClusters/verifiedPairs",
       "graph/vertices", "graph/citation", "graph/simpleEdges",
       "graph/adjacency", "graph/directedSimple",
-      "text/lmBigrams", "text/lmScored", "sim/knnGraph", "sim/bandIndex"), got.keySet)
+      "text/lmBigrams", "text/lmScored", "text/winnowFp",
+      "sim/knnGraph", "sim/bandIndex"), got.keySet)
     // classifier weights: fingerprint = md5 of the broadcast array
     val w = text.QualityClassifier.modelFor(spark, sf)
     assert(got("classifier/quality_weights")._2 == md5hex(w.mkString("|")))
@@ -43,7 +44,7 @@ class ModelRegistrySpec extends AnyFunSuite {
       "dedupClusters/verifiedPairs",
       "graph/vertices", "graph/citation", "graph/simpleEdges",
       "graph/adjacency", "graph/directedSimple",
-      "text/lmBigrams", "text/lmScored").foreach { r =>
+      "text/lmBigrams", "text/lmScored", "text/winnowFp").foreach { r =>
       assert(got(r)._1 == "staged_rung" && got(r)._2 == rungFp, r)
     }
     assert(got("dedup/sketch")._3 ==
@@ -73,6 +74,7 @@ class ModelRegistrySpec extends AnyFunSuite {
     StagedArtifacts.clear("dedup")
     StagedArtifacts.clear("graph/")
     StagedArtifacts.clear("text/lm")
+    StagedArtifacts.clear("text/winnowFp")
     StagedArtifacts.clear("sim/knnGraph")
     StagedArtifacts.clear("sim/bandIndex")
     try {
@@ -98,6 +100,7 @@ class ModelRegistrySpec extends AnyFunSuite {
       StagedArtifacts.clear("dedup")
       StagedArtifacts.clear("graph/")
       StagedArtifacts.clear("text/lm")
+      StagedArtifacts.clear("text/winnowFp")
       StagedArtifacts.clear("sim/knnGraph")
       StagedArtifacts.clear("sim/bandIndex")
       def rm(f: java.io.File): Unit = {
@@ -125,11 +128,11 @@ class ModelRegistrySpec extends AnyFunSuite {
       masked.mkString("|")
     }.toSeq.sorted
     val md5 = md5hex(rendered.mkString("\n"))
-    assert(rows.length == 18, s"row count drifted: ${rows.length}")
+    assert(rows.length == 19, s"row count drifted: ${rows.length}")
     assert(rendered.contains(
       "classifier/quality_weights|logreg_weights|da9e10ffd96b2fad8e9d4fbed722afcc|67|memory"),
       s"anchor row vanished — rows now: ${rendered.take(3)}")
-    assert(md5 == "896d056ce44570bfdcc02c3adb034a86", // re-captured r15: +sim/bandIndex rung
+    assert(md5 == "c244d0f2edb68340bcbabdb8298018a9", // re-captured r16: +text/winnowFp rung
       s"complete-output digest drifted ($md5); if the change is a DELIBERATE " +
         "semantic update, re-capture the frozen values")
   }
