@@ -7,6 +7,19 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Scale-adaptive reduce sizing (r16, guide §2.2): coalesce shuffle
+      // partitions by SIZE, not to the core count — sub-second stages
+      // collapse to one task (the ~200-query floor class: probe set
+      // measured −18% at 32 cores, −4% at 8, no paired regression),
+      // while the advisory stays a conf: 8 MB locally so sf0.1 stages
+      // coalesce the way 100 TB stages would at the guide's 64–256 MB
+      // (SPARK_GRAFT_AQE_ADVISORY in production). parallelismFirst=false
+      // is the Spark-documented posture for exactly this ("respect the
+      // advisory size in a busy cluster").
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "8m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -42,6 +55,9 @@ object Bench {
     // query in both passes).
     def timeAll(): Seq[(String, Double)] =
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // guide §1.5: label the jobs so a UI/event-log reader can
+        // attribute every stage to its query
+        spark.sparkContext.setJobDescription(s"bench:$name")
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9

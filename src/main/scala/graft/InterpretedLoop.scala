@@ -75,3 +75,26 @@ object InterpretedLoop {
     }
   }
 }
+
+/** Scoped session-conf window for operators that know their stages'
+  * per-ROW cost is far above what byte-based optimizer heuristics assume
+  * (guide §8 "use what you know that the optimizer does not"). Same
+  * hygiene contract as [[InterpretedLoop]]: the window covers exactly the
+  * eagerly-materializing body, capture-and-restore by effective value,
+  * serialized on a process-wide monitor so two scoped builders cannot
+  * interleave set/restore; an unrelated query run concurrently on the
+  * same session during the window sees the scoped value
+  * (performance-only — results are partitioning-independent). */
+object ScopedConf {
+  private val lock = new Object
+  def run[T](s: org.apache.spark.sql.SparkSession, key: String, value: String)(body: => T): T =
+    lock.synchronized {
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, value)
+      try body
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+}

@@ -82,7 +82,16 @@ object Anf {
     // six rounds over (the Mmr gate-scope finding's sibling); keyed
     // honestly, small corpora still skip the per-round janino compiles
     // while anything edge-heavy keeps codegen.
+    // Register merges are COMPUTE-dense per byte (M=64 packed register
+    // maxima per node against ~20-byte rows), which byte-based AQE
+    // coalescing cannot see: under the session's size-based posture
+    // (Bench.scala, r16) the ~40 MB round shuffle coalesced to ~5 tasks
+    // and serialized the merge — measured +68% at sf0.1/32. Scope the
+    // advisory small for exactly the round loop so its shuffles keep the
+    // configured dispatch width (guide §8 — the operator knows its
+    // per-row cost; the optimizer only sees bytes).
     graft.InterpretedLoop.run(s, adjPlus.count() * Hll.M) {
+     graft.ScopedConf.run(s, "spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m") {
       var regs = Hll.registers(
           docs.select(col("doc_id").as("node"), col("doc_id").as("user_id")),
           Seq("node"))
@@ -110,6 +119,7 @@ object Anf {
           round(col("nf_scaled").cast("double") / col("nf_final"), 4).as("pct_final"),
           (col("nf_scaled") * 10L >= col("nf_final") * 9L).as("covers90"))
         .orderBy(col("h"))
+     }
     }
   }
 
